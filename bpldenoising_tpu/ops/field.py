@@ -1,0 +1,58 @@
+"""Pointwise operations on dual (gradient) fields ``(..., 2, M, N)``.
+
+TPU-native equivalents of ``VariationalImaging.Util`` helpers used by the
+reference hypergradient assembly (``xi``, ``scalarprod``, ``prodesc``;
+call sites ``src/TVLearningFunctionVec.jl:107-133``).  The reference builds
+sparse per-pixel 2×2 block matrices; here everything is plain broadcast
+arithmetic on the component axis — fully fusible elementwise work on the VPU.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+__all__ = ["xi", "scalarprod", "norm21", "proj_norm21_ball", "pixel_outer_apply"]
+
+
+def xi(p, eps: float = 0.0):
+    """Per-pixel Euclidean norm of a field: (..., 2, M, N) → (..., M, N).
+
+    Reference: ``VariationalImaging.Util.xi`` (there replicated to stacked
+    length 2n²; here kept un-replicated and broadcast where needed).
+    """
+    return jnp.sqrt(jnp.sum(p * p, axis=-3) + eps)
+
+
+def scalarprod(a, b):
+    """Per-pixel inner product of two fields: (..., 2, M, N) → (..., M, N)."""
+    return jnp.sum(a * b, axis=-3)
+
+
+def norm21(p):
+    """Group (2,1)-norm: sum over pixels of per-pixel Euclidean norms."""
+    return jnp.sum(xi(p), axis=(-2, -1))
+
+
+def proj_norm21_ball(p, radius):
+    """Project each pixel's 2-vector onto the Euclidean ball of ``radius``.
+
+    ``radius`` is a scalar or an (..., M, N) map (spatially-varying α).
+    This is prox of the Fenchel conjugate of ``radius·‖·‖_{2,1}`` — the dual
+    step of PDPS.
+    """
+    n = xi(p)
+    r = jnp.asarray(radius)
+    if r.ndim:  # spatially varying map broadcasts over the component axis
+        r = r[..., None, :, :] if r.ndim >= 2 else r
+    scale = 1.0 / jnp.maximum(1.0, n[..., None, :, :] / r)
+    return p * scale
+
+
+def pixel_outer_apply(g, v, inv_den3):
+    """Apply the per-pixel rank-one block ``(g gᵀ / den³)`` to a field ``v``.
+
+    Equivalent of the reference's ``prodesc(Gu ./ den.^3, Gu)`` sparse matrix
+    acting on a stacked vector (``src/TVLearningFunctionVec.jl:119``):
+    ``out = g * (g·v) / den³`` pointwise.
+    """
+    return g * (scalarprod(g, v) * inv_den3)[..., None, :, :]
