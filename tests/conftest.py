@@ -7,8 +7,10 @@ float64 oracles (finite differences, dense solves) are available.
 
 import os
 
-# Must be set before jax initializes a backend.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax initializes a backend.  Force CPU (the ambient
+# environment may point JAX_PLATFORMS at a tunneled TPU, which is pathological
+# for many tiny test ops and unavailable in CI).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,6 +19,13 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
+
+# XLA:CPU compiles are slow in this environment (~0.5s per tiny executable);
+# cache them persistently so repeat test runs are cheap.
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
