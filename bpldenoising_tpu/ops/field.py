@@ -40,11 +40,14 @@ def proj_norm21_ball(p, radius):
     This is prox of the Fenchel conjugate of ``radius·‖·‖_{2,1}`` — the dual
     step of PDPS.
     """
-    n = xi(p)
-    r = jnp.asarray(radius)
-    if r.ndim:  # spatially varying map broadcasts over the component axis
-        r = r[..., None, :, :] if r.ndim >= 2 else r
-    scale = 1.0 / jnp.maximum(1.0, n[..., None, :, :] / r)
+    n = xi(p)[..., None, :, :]
+    r = jnp.asarray(radius, p.dtype)
+    if r.ndim >= 2:  # spatially varying map broadcasts over the component axis
+        r = r[..., None, :, :]
+    # NaN-safe: never form 0/0 (α=0 regularizer blocks hit n=r=0 on flat
+    # pixels); the untaken division branch is kept finite via the max.
+    tiny = jnp.asarray(jnp.finfo(p.dtype).tiny, p.dtype)
+    scale = jnp.where(n <= r, 1.0, r / jnp.maximum(n, tiny))
     return p * scale
 
 

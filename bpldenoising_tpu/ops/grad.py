@@ -29,7 +29,7 @@ import math
 import jax.numpy as jnp
 from jax import lax
 
-from .linop import LinOp
+from .linop import LinOp, StatelessOpMixin
 
 __all__ = [
     "FwdGradientOp",
@@ -98,7 +98,7 @@ def dcent_T(p, axis):
 # 2-D gradient LinOps
 # ---------------------------------------------------------------------------
 
-class GradientOp(LinOp):
+class GradientOp(StatelessOpMixin, LinOp):
     """Base: stacks one 1-D stencil applied along the last two axes."""
 
     _fwd = None   # staticmethod (u, axis) -> diff

@@ -61,6 +61,17 @@ class LinOp:
         return np.asarray(cols).T  # (out_dim, in_dim)
 
 
+class StatelessOpMixin:
+    """Equality/hash by type — lets parameterless ops live inside static
+    (hashable) model objects without spurious jit-cache misses."""
+
+    def __eq__(self, other):
+        return type(self) is type(other)
+
+    def __hash__(self):
+        return hash(type(self))
+
+
 class AdjointOp(LinOp):
     def __init__(self, op: LinOp):
         self.op = op

@@ -53,6 +53,13 @@ class PatchOp(LinOp):
         batch = g.shape[:-2]
         return g.reshape(batch + (m, bm, n, bn)).sum(axis=(-3, -1))
 
+    def __eq__(self, other):
+        return (type(self) is type(other) and self.size_in == other.size_in
+                and self.size_out == other.size_out)
+
+    def __hash__(self):
+        return hash((type(self), self.size_in, self.size_out))
+
     def opnorm_estimate(self, example_input=None, iters: int = 0, seed: int = 0):
         # ‖P‖ = sqrt(block area): P^T P = (bm*bn) I
         bm, bn = self.block
