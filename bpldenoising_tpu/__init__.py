@@ -1,0 +1,39 @@
+"""bpldenoising_tpu — TPU-native bilevel parameter learning for TV denoising.
+
+A from-scratch JAX/XLA/Pallas framework with the capabilities of
+dvillacis/BPLDenoising (bilevel learning of TV-regularization weights via a
+nonsmooth trust-region method over a primal–dual inner solver), re-designed
+TPU-first.  See SURVEY.md for the layer map and reference citations.
+"""
+
+from .experiments import (
+    TVDenoise,
+    generate_2d_cost_plot,
+    generate_2d_tv_cost,
+    generate_cost_plot,
+    generate_scalar_tv_cost,
+    patch_bilevel_sumregs_learn,
+    patch_bilevel_tv_learn,
+    scalar_bilevel_sumregs_learn,
+    scalar_bilevel_tv_learn,
+    validate_sumregs_parameter,
+    validate_tv_parameter,
+)
+from .bilevel import bilevel_learn
+from .learning import sumregs_learning_function, tv_learning_function
+from .models import sumregs_model, tv_model
+from .solvers import denoise_pdps, sumregs_denoise, tv_denoise
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "scalar_bilevel_tv_learn", "patch_bilevel_tv_learn",
+    "scalar_bilevel_sumregs_learn", "patch_bilevel_sumregs_learn",
+    "validate_tv_parameter", "validate_sumregs_parameter",
+    "generate_scalar_tv_cost", "generate_cost_plot",
+    "generate_2d_tv_cost", "generate_2d_cost_plot",
+    "TVDenoise", "bilevel_learn",
+    "tv_learning_function", "sumregs_learning_function",
+    "tv_model", "sumregs_model",
+    "denoise_pdps", "tv_denoise", "sumregs_denoise",
+]

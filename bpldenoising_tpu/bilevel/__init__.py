@@ -1,0 +1,7 @@
+from .harness import BilevelState, LiveView, bilevel_iterate
+from .trust_region import BilevelResult, TRModel, bilevel_learn, dogleg_box
+
+__all__ = [
+    "bilevel_learn", "dogleg_box", "TRModel", "BilevelResult",
+    "bilevel_iterate", "BilevelState", "LiveView",
+]

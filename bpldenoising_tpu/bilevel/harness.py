@@ -1,0 +1,164 @@
+"""Outer-loop iteration harness: logging, timing, stopping, visualization.
+
+Equivalent of ``iterate_bilevel_visualise`` / ``initialise_bilevel_visualisation``
+(``src/BilevelVisualise.jl:185-304``) with the same observable semantics:
+
+* logging cadence: every iteration while iter ≤ 20, every 10 while ≤ 200,
+  then every ``verbose_iter`` (ref ``:200``);
+* wall-time accounting per logged iteration that *excludes* time spent in
+  logging/visualization (``wasted_time``, ref ``:201-203,243``), and starts
+  the clock after iteration 1 to exclude JIT compile time (ref ``:192-196``);
+* stop when the trust-region radius Δ falls below ``params.tol`` (ref
+  ``:246-248``);
+* per-iteration PNG dumps behind ``save_iterations`` (ref ``:238-241``);
+* Ctrl-C stops iterating gracefully and returns the current state/log
+  (ref ``:257-269``).
+
+The live GR window becomes an optional matplotlib window, headless-safe and
+off by default under pytest/CI.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+import numpy as np
+
+from ..viz.log import BilevelLogEntry, IterLog
+
+__all__ = ["BilevelState", "bilevel_iterate", "LiveView"]
+
+
+class LiveView:
+    """Optional live visualization of the current reconstruction and
+    (for patch/3-map parameters) normalized parameter maps
+    (ref ``src/BilevelVisualise.jl:100-171,213-235``).  Headless-safe."""
+
+    def __init__(self):
+        self._fig = None
+
+    def show(self, image: np.ndarray, param: Optional[np.ndarray]):
+        try:
+            import matplotlib
+            import matplotlib.pyplot as plt
+            if self._fig is None:
+                if matplotlib.get_backend().lower() == "agg":
+                    return  # headless: no-op
+                plt.ion()
+                self._fig = plt.figure("bpldenoising")
+            self._fig.clf()
+            ncols = 1 + (param is not None)
+            ax = self._fig.add_subplot(1, ncols, 1)
+            ax.imshow(image, cmap="gray")
+            ax.set_title("reconstruction")
+            ax.axis("off")
+            if param is not None:
+                ax2 = self._fig.add_subplot(1, ncols, 2)
+                ax2.imshow(param, cmap="gray")
+                ax2.set_title("parameter")
+                ax2.axis("off")
+            self._fig.canvas.draw_idle()
+            self._fig.canvas.flush_events()
+        except Exception:
+            pass  # visualization must never take down a run
+
+    def close(self):
+        if self._fig is not None:
+            try:
+                import matplotlib.pyplot as plt
+                plt.close(self._fig)
+            except Exception:
+                pass
+            self._fig = None
+
+
+@dataclass
+class BilevelState:
+    """Harness state returned to experiment drivers (plays the role of the
+    reference's ``BilevelState``, ``src/BilevelVisualise.jl:48-54``)."""
+    log: IterLog = field(default_factory=IterLog)
+    start_time: Optional[float] = None
+    wasted_time: float = 0.0
+    interrupted: bool = False
+    view: Optional[LiveView] = None
+
+
+def _should_log(iteration: int, verbose_iter: int) -> bool:
+    # ref src/BilevelVisualise.jl:200
+    if iteration <= 20:
+        return True
+    if iteration <= 200:
+        return iteration % 10 == 0
+    return verbose_iter > 0 and iteration % verbose_iter == 0
+
+
+def bilevel_iterate(step: Callable, params, visualise: bool = False,
+                    save_iteration_fn: Optional[Callable] = None) -> BilevelState:
+    """Run ``step(verbose)`` for up to ``params.maxiter`` iterations.
+
+    ``step`` receives a ``verbose() -> (x, image, fx, gnorm, delta, step_norm)``
+    callback contract mirroring TRBox's 6-tuple (ref ``src/TRBox.jl:264-266``):
+    the step function calls ``verbose(lambda: ...)`` once per iteration; the
+    harness decides whether to actually materialize/log it.
+
+    Returns the harness state; iteration stops at ``maxiter``, when
+    Δ < ``params.tol``, or on KeyboardInterrupt.
+    """
+    st = BilevelState()
+    if visualise:
+        st.view = LiveView()
+    maxiter = int(params.maxiter)
+    verbose_iter = int(params.get("verbose_iter", 1) or 0)
+    tol = float(params.get("tol", 0.0))
+
+    try:
+        for iteration in range(1, maxiter + 1):
+            if st.start_time is None and iteration > 1:
+                # exclude first-iteration JIT compile (ref :192-196)
+                st.start_time = time.perf_counter()
+
+            stop = False
+
+            def verbose(value_fn, _it=iteration):
+                nonlocal stop
+                nonlocal_st = st
+                if not _should_log(_it, verbose_iter):
+                    return
+                t0 = time.perf_counter()
+                x, image, fx, gnorm, delta, step_norm = value_fn()
+                elapsed = (0.0 if nonlocal_st.start_time is None
+                           else t0 - nonlocal_st.start_time
+                           - nonlocal_st.wasted_time)
+                nonlocal_st.log.append(BilevelLogEntry(
+                    _it, elapsed, float(fx), float(gnorm), float(delta),
+                    float(step_norm)))
+                print(f"{_it:4d}/{maxiter} f={float(fx):.6e} "
+                      f"|g|={float(gnorm):.4e} Δ={float(delta):.4e} "
+                      f"step={float(step_norm):.4e}", flush=True)
+                if nonlocal_st.view is not None:
+                    xa = np.asarray(x)
+                    pmap = None
+                    if xa.ndim >= 2:  # patch / 3-map parameter display
+                        lo, hi = xa.min(), xa.max()
+                        pmap = (xa - lo) / (hi - lo) if hi > lo else xa * 0
+                        pmap = pmap.reshape(pmap.shape[0], -1)
+                    nonlocal_st.view.show(np.asarray(image), pmap)
+                if save_iteration_fn is not None:
+                    save_iteration_fn(_it, np.asarray(image))
+                if float(delta) < tol:  # ref :246-248
+                    stop = True
+                nonlocal_st.wasted_time += time.perf_counter() - t0
+
+            step(verbose)
+            if stop:
+                break
+    except KeyboardInterrupt:  # ref :257-269
+        st.interrupted = True
+        print("interrupted — returning current state", flush=True)
+
+    if st.view is not None:
+        st.view.close()
+    return st

@@ -1,0 +1,436 @@
+"""User-facing experiment API.
+
+Equivalents of every exported function of the reference module
+(``src/BPLDenoising.jl:3-6``):
+
+* ``scalar_bilevel_tv_learn`` / ``patch_bilevel_tv_learn``
+* ``scalar_bilevel_sumregs_learn`` / ``patch_bilevel_sumregs_learn``
+* ``validate_tv_parameter`` / ``validate_sumregs_parameter``
+* ``generate_scalar_tv_cost`` / ``generate_cost_plot``
+* ``generate_2d_tv_cost`` / ``generate_2d_cost_plot``
+
+plus ``TVDenoise`` and ``save_results``.  Output layout mirrors the
+reference: ``output/<dataset>/<prefix>{.txt,_quality.txt,_true_i.png,…}``
+(``src/BPLDenoising.jl:185-299``).
+
+TPU-first notes: cost sweeps vmap the whole α-range into one batched PDPS
+solve instead of the reference's serial loop (``src/BPLDenoising.jl:99``);
+learning runs add optional npz checkpointing (absent in the reference).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..bilevel import bilevel_learn
+from ..data import testdataset, write_png_gray
+from ..learning import (
+    make_sumregs_learning_function,
+    make_tv_learning_function,
+    sumregs_learning_function,
+)
+from ..metrics import l2_cost, psnr, ssim
+from ..models import tv_model
+from ..ops import PatchOp
+from ..solvers import denoise_pdps
+from ..utils.checkpoint import CheckpointWriter
+from ..utils.config import Params, merge
+from ..viz import plot_cost_contour, plot_cost_curve, write_log
+
+__all__ = [
+    "TVDenoise",
+    "L2CostFunction",
+    "generate_scalar_tv_cost", "generate_cost_plot",
+    "generate_2d_tv_cost", "generate_2d_cost_plot",
+    "scalar_bilevel_tv_learn", "patch_bilevel_tv_learn",
+    "scalar_bilevel_sumregs_learn", "patch_bilevel_sumregs_learn",
+    "validate_tv_parameter", "validate_sumregs_parameter",
+    "save_results",
+    "default_params", "bilevel_params", "patch_bilevel_params",
+    "sumregs_bilevel_params", "patch_sumregs_bilevel_params",
+]
+
+default_save_prefix = "output"  # ref src/BPLDenoising.jl:38
+
+# ref src/BPLDenoising.jl:306-314
+default_params = Params(
+    verbose_iter=1,
+    maxiter=20,
+    save_results=True,
+    dataset_name="cameraman_128_5",
+    save_iterations=False,
+    tol=1e-5,
+    num_samples=1,
+    checkpoint=False,
+    dtype="float64",   # reference is Float64 end-to-end; TPU runs use float32
+    inner_maxiter=5000,
+)
+
+# ref src/BPLDenoising.jl:316-323 (η₁/η₂/β₁/β₂/Δ₀/α₀ → ASCII names)
+bilevel_params = Params(
+    eta1=0.25, eta2=0.75, beta1=0.25, beta2=1.9, delta0=0.1, alpha0=0.1)
+
+# ref src/BPLDenoising.jl:350-357
+patch_bilevel_params = Params(
+    eta1=0.25, eta2=0.75, beta1=0.25, beta2=1.9, delta0=1e-4,
+    alpha0=1e-4 * np.ones((2, 2)))
+
+# ref src/BPLDenoising.jl:423-430
+sumregs_bilevel_params = Params(
+    eta1=0.25, eta2=0.75, beta1=0.25, beta2=1.9, delta0=0.01,
+    alpha0=np.array([1e-3, 1e-3, 1e-3]))
+
+# ref src/BPLDenoising.jl:455-462
+patch_sumregs_bilevel_params = Params(
+    eta1=0.25, eta2=0.75, beta1=0.25, beta2=1.5, delta0=0.1,
+    alpha0=1e-3 * np.ones((2, 2, 3)))
+
+_TV = tv_model()
+
+
+def _np_dtype(params) -> np.dtype:
+    return np.dtype(params.get("dtype", "float64"))
+
+
+def _load(params):
+    """Dataset → (O, M, N) float stacks sliced to num_samples
+    (ref src/BPLDenoising.jl:330-332)."""
+    true_, data = testdataset(params.dataset_name)
+    n = int(params.num_samples)
+    dt = _np_dtype(params)
+    return (jnp.asarray(true_[:n], dt), jnp.asarray(data[:n], dt))
+
+
+def _out_dir(params) -> str:
+    path = os.path.join(default_save_prefix, params.dataset_name)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def linear_stretch(x: np.ndarray) -> np.ndarray:
+    """Min-max stretch to [0, 1] (ref ImageContrastAdjustment
+    ``LinearStretching``, src/BPLDenoising.jl:337-339)."""
+    x = np.asarray(x, dtype=np.float64)
+    lo, hi = x.min(), x.max()
+    return (x - lo) / (hi - lo) if hi > lo else np.zeros_like(x)
+
+
+# ---------------------------------------------------------------------------
+# Standalone denoising + cost sweeps
+# ---------------------------------------------------------------------------
+
+def TVDenoise(data, parameter, visualize: bool = False, maxiter: int = 10000):
+    """TV denoising of an (O, M, N) stack with scalar or patch parameter
+    (ref ``TVDenoise``, src/BPLDenoising.jl:41-82; maxiter = 10000)."""
+    data = jnp.asarray(data)
+    p = np.asarray(parameter)
+    if p.ndim == 2:  # patch parameter → upsample (ref :62-64)
+        pop = PatchOp.for_image(p, data[0] if data.ndim == 3 else data)
+        alpha = pop.apply(jnp.asarray(p, data.dtype))
+    else:
+        alpha = jnp.asarray(parameter, data.dtype)
+    return denoise_pdps(data, (alpha,), _TV, maxiter=maxiter)
+
+
+def L2CostFunction(u, true_):
+    """ref src/BPLDenoising.jl:84-86."""
+    return float(l2_cost(u, true_))
+
+
+def generate_cost(dataset_name, parameter_range, *, num_samples=1,
+                  maxiter=10000, dtype="float64"):
+    """Cost landscape over scalar α (ref ``generate_cost``,
+    src/BPLDenoising.jl:92-111) — one vmapped batched solve over the whole
+    α range instead of a serial loop.  Caches to ``<ds>_cost.npz``."""
+    params = merge(default_params, dataset_name=dataset_name,
+                   num_samples=num_samples, dtype=dtype)
+    true_, data = _load(params)
+    alphas = jnp.asarray(np.asarray(parameter_range), true_.dtype)
+
+    sweep = jax.jit(jax.vmap(
+        lambda a: 0.5 * jnp.sum(
+            (denoise_pdps(data, (a,), _TV, maxiter=maxiter) - true_) ** 2)))
+    costs = np.asarray(sweep(alphas))
+
+    out = _out_dir(params)
+    np.savez(os.path.join(out, f"{dataset_name}_cost.npz"),
+             parameter_range=np.asarray(parameter_range), costs=costs)
+    return costs
+
+
+def generate_cost_plot(dataset_name):
+    """ref src/BPLDenoising.jl:113-125."""
+    path = os.path.join(default_save_prefix, dataset_name,
+                        f"{dataset_name}_cost.npz")
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"No cost calculation found at {path}")
+    z = np.load(path)
+    base = os.path.join(default_save_prefix, dataset_name,
+                        f"{dataset_name}_cost_plot")
+    plot_cost_curve(z["parameter_range"], z["costs"], base)
+    return base
+
+
+def generate_scalar_tv_cost(dataset_name, parameter_range, *, num_samples=1,
+                            **kw):
+    """ref src/BPLDenoising.jl:128-130."""
+    return generate_cost(dataset_name, parameter_range,
+                         num_samples=num_samples, **kw)
+
+
+def generate_2d_cost(dataset_name, parameter_range_1, parameter_range_2, *,
+                     num_samples=1, maxiter=10000, dtype="float64"):
+    """2-D cost landscape over (α₁, α₂)·ones(2,1) patch maps
+    (ref ``generate_2d_cost``, src/BPLDenoising.jl:136-160); one vmapped
+    batched solve over the flattened grid."""
+    params = merge(default_params, dataset_name=dataset_name,
+                   num_samples=num_samples, dtype=dtype)
+    true_, data = _load(params)
+    r1 = np.asarray(parameter_range_1, dtype=np.float64)
+    r2 = np.asarray(parameter_range_2, dtype=np.float64)
+    A1, A2 = np.meshgrid(r1, r2, indexing="ij")
+    pairs = jnp.asarray(np.stack([A1.ravel(), A2.ravel()], axis=1),
+                        true_.dtype)
+    pop = PatchOp((2, 1), tuple(data.shape[-2:]))
+
+    def one(pair):
+        amap = pop.apply(pair[:, None])  # (2,1) patch → image map (ref :148)
+        u = denoise_pdps(data, (amap,), _TV, maxiter=maxiter)
+        return 0.5 * jnp.sum((u - true_) ** 2)
+
+    costs = np.asarray(jax.jit(jax.vmap(one))(pairs)).reshape(A1.shape)
+    out = _out_dir(params)
+    np.savez(os.path.join(out, f"{dataset_name}_cost_2d.npz"),
+             parameter_range_1=r1, parameter_range_2=r2, costs=costs)
+    return costs
+
+
+def generate_2d_cost_plot(dataset_name):
+    """ref src/BPLDenoising.jl:160-178."""
+    path = os.path.join(default_save_prefix, dataset_name,
+                        f"{dataset_name}_cost_2d.npz")
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"No cost calculation found at {path}")
+    z = np.load(path)
+    base = os.path.join(default_save_prefix, dataset_name,
+                        f"{dataset_name}_cost_plot_2d")
+    plot_cost_contour(z["parameter_range_1"], z["parameter_range_2"],
+                      z["costs"], base)
+    return base
+
+
+def generate_2d_tv_cost(dataset_name, parameter_range_1, parameter_range_2,
+                        *, num_samples=1, **kw):
+    """ref src/BPLDenoising.jl:176-178."""
+    return generate_2d_cost(dataset_name, parameter_range_1,
+                            parameter_range_2, num_samples=num_samples, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Result reporting
+# ---------------------------------------------------------------------------
+
+def _write_quality_table(path: str, b, b_data, opt_img):
+    """Per-image SSIM/PSNR table + means row (ref src/BPLDenoising.jl:195-215).
+
+    Note: the reference's 3-map saver accumulates ``mean_psnr += mean_psnr``
+    (src/BPLDenoising.jl:282) — a bug producing a zero mean; all variants
+    here use the correct accumulation.
+    """
+    b = np.asarray(b)
+    b_data = np.asarray(b_data)
+    opt_img = np.asarray(opt_img)
+    O = b.shape[0]
+    with open(path, "w") as io:
+        io.write("img_num \t orig_ssim \t orig_psnr \t out_ssim \t out_psnr\n")
+        mean_ssim = mean_psnr = 0.0
+        for i in range(O):
+            noisy_ssim = float(ssim(b[i], b_data[i]))
+            noisy_psnr = float(psnr(b[i], b_data[i]))
+            out_ssim = float(ssim(b[i], opt_img[i]))
+            out_psnr = float(psnr(b[i], opt_img[i]))
+            io.write(f"{i + 1}\t {noisy_ssim} \t {noisy_psnr} \t "
+                     f"{out_ssim} \t {out_psnr}\n")
+            mean_ssim += out_ssim
+            mean_psnr += out_psnr
+        io.write(f"\t\t\t\t\t {mean_ssim / O}\t {mean_psnr / O}\n")
+    return mean_ssim / O, mean_psnr / O
+
+
+def _save_image_triplets(out_path, prefix, b, b_data, opt_img):
+    for i in range(np.asarray(b).shape[0]):
+        write_png_gray(os.path.join(out_path, f"{prefix}_true_{i + 1}.png"),
+                       np.asarray(b)[i])
+        write_png_gray(os.path.join(out_path, f"{prefix}_data_{i + 1}.png"),
+                       np.asarray(b_data)[i])
+        write_png_gray(os.path.join(out_path, f"{prefix}_reco_{i + 1}.png"),
+                       np.asarray(opt_img)[i])
+
+
+def save_results(params, b, b_data, x, opt_img, st):
+    """Write perf log, quality table, PNG triplets and learned-parameter maps
+    (ref ``save_results`` ×3, src/BPLDenoising.jl:185-299; dispatch on the
+    parameter shape mirrors the reference's three methods)."""
+    if not params.save_results:
+        return
+    out_path = _out_dir(params)
+    prefix = params.save_prefix
+    perffile = os.path.join(out_path, prefix + ".txt")
+    qualityfile = os.path.join(out_path, prefix + "_quality.txt")
+    print("Saving " + perffile)
+    write_log(perffile, st.log, f"# params = {dict(params)!r}, x = {x!r}")
+    _write_quality_table(qualityfile, b, b_data, opt_img)
+    _save_image_triplets(out_path, prefix, b, b_data, opt_img)
+
+    x = np.asarray(x)
+    if x.ndim == 2:  # patch α: normalized upsampled parameter PNG (ref :251-257)
+        pop = PatchOp.for_image(x, np.asarray(b)[0])
+        write_png_gray(os.path.join(out_path, prefix + "_par.png"),
+                       linear_stretch(pop.apply(jnp.asarray(x))))
+    elif x.ndim == 3:  # 3-map α (ref :291-298)
+        pop = PatchOp.for_image(x[..., 0], np.asarray(b)[0])
+        maps = np.stack([np.asarray(pop.apply(jnp.asarray(x[..., k])))
+                         for k in range(x.shape[-1])], axis=-1)
+        stretched = linear_stretch(maps)
+        for k in range(x.shape[-1]):
+            write_png_gray(
+                os.path.join(out_path, f"{prefix}_par_{k + 1}.png"),
+                stretched[..., k])
+
+
+# ---------------------------------------------------------------------------
+# Bilevel learning experiments
+# ---------------------------------------------------------------------------
+
+def _run_bilevel(params, learning_function, visualise):
+    ds = _load(params)
+    ckpt = None
+    if params.get("checkpoint"):
+        ckpt = CheckpointWriter(os.path.join(
+            _out_dir(params), params.save_prefix + "_ckpt.npz"))
+    save_iter_fn = None
+    if params.get("save_iterations"):
+        out = _out_dir(params)
+
+        def save_iter_fn(it, img):
+            write_png_gray(
+                os.path.join(out, f"{params.save_prefix}_iter_{it}.png"),
+                np.clip(img, 0, 1))
+
+    res = bilevel_learn(ds, learning_function, xinit=params.alpha0,
+                        params=params, visualise=visualise,
+                        save_iteration_fn=save_iter_fn, checkpoint=ckpt)
+    b, b_noisy = (linear_stretch(np.asarray(d)) for d in ds)
+    u = linear_stretch(np.asarray(res.u))
+    save_results(params, b, b_noisy, res.x, u, res.state)
+    return res
+
+
+def scalar_bilevel_tv_learn(visualise: bool = False, **kwargs):
+    """ref src/BPLDenoising.jl:325-344."""
+    params = merge(default_params, bilevel_params, kwargs)
+    params = params | dict(save_prefix="tv_optimal_parameter_scalar_"
+                           + params.dataset_name)
+    lf = make_tv_learning_function(maxiter=int(params.inner_maxiter))
+    return _run_bilevel(params, lf, visualise)
+
+
+def patch_bilevel_tv_learn(visualise: bool = False, **kwargs):
+    """ref src/BPLDenoising.jl:359-376."""
+    params = merge(default_params, patch_bilevel_params, kwargs)
+    shape = tuple(np.asarray(params.alpha0).shape)
+    params = params | dict(
+        save_prefix=f"tv_optimal_parameter_{shape}_" + params.dataset_name)
+    lf = make_tv_learning_function(maxiter=int(params.inner_maxiter))
+    return _run_bilevel(params, lf, visualise)
+
+
+def scalar_bilevel_sumregs_learn(visualise: bool = False, **kwargs):
+    """ref src/BPLDenoising.jl:432-449."""
+    params = merge(default_params, sumregs_bilevel_params, kwargs)
+    params = params | dict(save_prefix="sumregs_optimal_parameter_scalar_"
+                           + params.dataset_name)
+    lf = make_sumregs_learning_function(maxiter=int(params.inner_maxiter))
+    return _run_bilevel(params, lf, visualise)
+
+
+def patch_bilevel_sumregs_learn(image_pair=None, dataset_name=None,
+                                visualise: bool = False, **kwargs):
+    """ref src/BPLDenoising.jl:464-501 (both methods: dataset-name form and
+    explicit image-pair form)."""
+    params = merge(default_params, patch_sumregs_bilevel_params, kwargs)
+    shape = tuple(np.asarray(params.alpha0).shape)
+    if dataset_name is not None:
+        params = params | dict(dataset_name=dataset_name)
+    params = params | dict(
+        save_prefix=f"sumregs_optimal_parameter_patch_{shape}"
+        + params.dataset_name)
+    lf = make_sumregs_learning_function(maxiter=int(params.inner_maxiter))
+    if image_pair is not None:
+        dt = _np_dtype(params)
+        b = jnp.asarray(image_pair[0], dt)[None]
+        b_noisy = jnp.asarray(image_pair[1], dt)[None]
+        ds = (b, b_noisy)
+        res = bilevel_learn(ds, lf, xinit=params.alpha0, params=params,
+                            visualise=visualise)
+        save_results(params, linear_stretch(np.asarray(b)),
+                     linear_stretch(np.asarray(b_noisy)), res.x,
+                     linear_stretch(np.asarray(res.u)), res.state)
+        return res
+    return _run_bilevel(params, lf, visualise)
+
+
+# ---------------------------------------------------------------------------
+# Validation (re-denoise at a fixed learned parameter)
+# ---------------------------------------------------------------------------
+
+def _validate(params, u, img, noisy):
+    out_path = _out_dir(params)
+    qualityfile = os.path.join(out_path,
+                               params.save_prefix + "_quality.txt")
+    mean_ssim, mean_psnr = _write_quality_table(qualityfile, img, noisy, u)
+    _save_image_triplets(out_path, params.save_prefix, img, noisy, u)
+    return mean_ssim, mean_psnr
+
+
+def validate_tv_parameter(parameter, **kwargs):
+    """ref src/BPLDenoising.jl:381-415: one TVDenoise at the learned α
+    (maxiter 10000) + quality table.  Uses the full dataset stack (the
+    reference skips the num_samples slice here too)."""
+    params = merge(default_params, bilevel_params, kwargs)
+    shape = tuple(np.shape(parameter))
+    params = params | dict(
+        save_prefix=f"val_tv_optimal_parameter_scalar_{shape}_"
+        + params.dataset_name)
+    img, noisy = testdataset(params.dataset_name)
+    dt = _np_dtype(params)
+    u = np.asarray(TVDenoise(jnp.asarray(noisy, dt), parameter))
+    cost = L2CostFunction(u, img)
+    print(f"Denoising parameter {parameter}: cost = {cost}")
+    mean_ssim, mean_psnr = _validate(params, u, img, noisy)
+    return dict(cost=cost, mean_ssim=mean_ssim, mean_psnr=mean_psnr, u=u)
+
+
+def validate_sumregs_parameter(parameter, **kwargs):
+    """ref src/BPLDenoising.jl:506-539."""
+    params = merge(default_params, bilevel_params, kwargs)
+    shape = tuple(np.shape(parameter))
+    params = params | dict(
+        save_prefix=f"val_sumregs_optimal_parameter_scalar_{shape}_"
+        + params.dataset_name)
+    img, noisy = testdataset(params.dataset_name)
+    dt = _np_dtype(params)
+    ds = (jnp.asarray(img, dt), jnp.asarray(noisy, dt))
+    u, cost, _ = sumregs_learning_function(
+        jnp.asarray(parameter, dt), ds, 0.1)
+    u = np.asarray(u)
+    print(f"Denoising parameter {parameter}: cost = {float(cost)}")
+    mean_ssim, mean_psnr = _validate(params, u, img, noisy)
+    return dict(cost=float(cost), mean_ssim=mean_ssim, mean_psnr=mean_psnr,
+                u=u)

@@ -1,0 +1,7 @@
+from .sumregs import make_sumregs_learning_function, sumregs_learning_function
+from .tv import make_tv_learning_function, tv_learning_function
+
+__all__ = [
+    "tv_learning_function", "make_tv_learning_function",
+    "sumregs_learning_function", "make_sumregs_learning_function",
+]

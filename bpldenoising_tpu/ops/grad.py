@@ -94,6 +94,28 @@ def dcent_T(p, axis):
     return (down - up) * 0.5
 
 
+def dplus_gram(w, axis):
+    """diag(D⁺ᵀ diag(w) D⁺) for per-output weights ``w`` (±1 stencil ⇒
+    squared-weight version of :func:`dplus_T`)."""
+    pm = lax.slice_in_dim(w, 0, -1, axis=axis)
+    z = _zeros_slice(w, axis)
+    return jnp.concatenate([z, pm], axis=axis) + jnp.concatenate([pm, z], axis=axis)
+
+
+def dminus_gram(w, axis):
+    pp = lax.slice_in_dim(w, 1, None, axis=axis)
+    z = _zeros_slice(w, axis)
+    return jnp.concatenate([z, pp], axis=axis) + jnp.concatenate([pp, z], axis=axis)
+
+
+def dcent_gram(w, axis):
+    z = _zeros_slice(w, axis)
+    q = jnp.concatenate([z, lax.slice_in_dim(w, 1, -1, axis=axis), z], axis=axis)
+    down = jnp.concatenate([z, lax.slice_in_dim(q, 0, -1, axis=axis)], axis=axis)
+    up = jnp.concatenate([lax.slice_in_dim(q, 1, None, axis=axis), z], axis=axis)
+    return (down + up) * 0.25
+
+
 # ---------------------------------------------------------------------------
 # 2-D gradient LinOps
 # ---------------------------------------------------------------------------
@@ -103,6 +125,7 @@ class GradientOp(StatelessOpMixin, LinOp):
 
     _fwd = None   # staticmethod (u, axis) -> diff
     _adj = None   # staticmethod (p, axis) -> adjoint diff
+    _gram = None  # staticmethod (w, axis) -> diag(DᵀWD) contribution
     _opnorm2 = None  # float upper bound on ||G||²
 
     def apply(self, u):
@@ -118,11 +141,22 @@ class GradientOp(StatelessOpMixin, LinOp):
     def opnorm_bound(self) -> float:
         return math.sqrt(type(self)._opnorm2)
 
+    def gram_diag(self, w):
+        """diag(Gᵀ diag(w) G): (..., 2, M, N) weights → (..., M, N).
+
+        Used to build Jacobi preconditioners for the hypergradient systems
+        (which the reference instead hands to sparse LU,
+        ``src/TVLearningFunctionVec.jl:131``).
+        """
+        gram = type(self)._gram
+        return gram(w[..., 0, :, :], -2) + gram(w[..., 1, :, :], -1)
+
 
 class FwdGradientOp(GradientOp):
     """Forward-difference gradient (the reference's default TV operator)."""
     _fwd = staticmethod(dplus)
     _adj = staticmethod(dplus_T)
+    _gram = staticmethod(dplus_gram)
     _opnorm2 = 8.0
 
 
@@ -130,6 +164,7 @@ class BwdGradientOp(GradientOp):
     """Backward-difference gradient (sumregs op₂)."""
     _fwd = staticmethod(dminus)
     _adj = staticmethod(dminus_T)
+    _gram = staticmethod(dminus_gram)
     _opnorm2 = 8.0
 
 
@@ -137,4 +172,5 @@ class CenteredGradientOp(GradientOp):
     """Centered-difference gradient (sumregs op₃)."""
     _fwd = staticmethod(dcent)
     _adj = staticmethod(dcent_T)
+    _gram = staticmethod(dcent_gram)
     _opnorm2 = 2.0

@@ -1,0 +1,238 @@
+"""Hypergradients dJ/dα via adjoint (KKT) systems — matrix-free, TPU-native.
+
+The reference computes the gradient of the upper-level loss
+J(α) = ½‖u(α) − ū‖² by assembling a sparse KKT system from active/inactive
+sets of the TV subdifferential and solving it with sparse LU
+(`src/TVLearningFunctionVec.jl:98-161`, `src/SumRegsLearningFunction.jl:112-407`).
+
+TPU-native reformulation (no sparse matrices anywhere):
+
+The reference's (1+2K)n² × (1+2K)n² system
+
+    [ I        −G₁ᵀ …       −G_Kᵀ ] [p ]   [u − ū]
+    [ A₁       D₁              0  ] [q₁] = [  0  ]      (exact form)
+    [ …                  …        ] [… ]   [  …  ]
+    [ A_K      0             D_K  ] [q_K]  [  0  ]
+
+with Aₖ = Actₖ Gₖ + Inactₖ αₖ (Denₖ − prodKuKuₖ) Gₖ and the *diagonal*
+dual blocks Dₖ = Inactₖ + ε Actₖ, admits exact block elimination
+qₖ = −Dₖ⁻¹ Aₖ p, leaving one n²×n² system
+
+    M p = u − ū,    M = I + Σₖ Gₖᵀ [ μ·actₖ + inactₖ·αₖ·Hₖ ] Gₖ
+
+where μ = 1/ε is a penalty weight on the active (|∇u| = 0) constraint and
+Hₖ v = v/denₖ − Guₖ (Guₖ·v)/denₖ³ is the per-pixel curvature block.  Every
+per-pixel block is symmetric PSD and αₖ acts as a scalar per pixel, so M is
+**SPD** — solved here by Jacobi-preconditioned matrix-free CG where the
+reference needed general sparse LU.  The same elimination applied to the
+γ-regularized (Huber) form (`src/TVLearningFunctionVec.jl:137-161`) gives
+
+    M_reg p = ū − u,   M_reg = I + Σₖ αₖ ⊙ Gₖᵀ Wₖ Gₖ,
+    Wₖ = γ·inactₖ + actₖ·Hₖ     (act/inact roles swapped: act = |∇u| > 1/γ)
+
+which is again SPD with α applied in *dual* space.  (The reference's
+spatially-varying reg variant multiplies α in primal space instead
+(`src/SumRegsLearningFunction.jl:260`) — that does not correspond to the
+lower-level problem actually solved, where α is the per-pixel dual-ball
+radius; implicit differentiation of the Huber-smoothed problem gives the
+dual-space form used here, validated against finite differences.)
+
+All functions below operate on a single image; callers vmap over the batch
+and sum (the reference loops images sequentially,
+`src/TVLearningFunctionVec.jl:72-83`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models import DenoiseModel
+from ..ops import scalarprod, xi
+from .krylov import cg
+
+__all__ = [
+    "exact_hypergrad",
+    "reg_hypergrad",
+    "HypergradConfig",
+]
+
+
+class HypergradConfig(NamedTuple):
+    """Static knobs for the hypergradient solves.
+
+    Defaults mirror the reference where a direct equivalent exists; ``None``
+    means "derive from dtype" (the reference hardcodes float64 constants —
+    ``eps()`` and ``1e-12`` at `src/TVLearningFunctionVec.jl:109,128` — which
+    must rescale for float32 execution on TPU).
+    """
+    act_tol: float | None = None    # active-set threshold (ref: 1e-12 in f64)
+    mu: float | None = None         # penalty on active constraints (ref: 1/ε
+    #                                 via sparse LU; iterative solves want a
+    #                                 moderate value — grad error is O(1/μ)
+    #                                 and empirically invisible below 1e-7)
+    gamma: float = 1e8              # Huber smoothing (ref: 1e8; 1e3 sumregs-vec)
+    cg_tol: float | None = None
+    cg_maxiter: int = 2000
+
+
+def _defaults(dtype, cfg: HypergradConfig):
+    f64 = dtype == jnp.float64
+    act_tol = cfg.act_tol if cfg.act_tol is not None else (
+        1e-12 if f64 else 1e-6)
+    mu = cfg.mu if cfg.mu is not None else (1e6 if f64 else 1e4)
+    cg_tol = cfg.cg_tol if cfg.cg_tol is not None else (1e-8 if f64 else 1e-5)
+    return act_tol, mu, cg_tol
+
+
+def _bcast(m):
+    """(…, M, N) pixel map → broadcastable over the component axis."""
+    return m[..., None, :, :]
+
+
+def _curvature_apply(Gu, den, v):
+    """Per-pixel symmetric PSD block Hv = v/den − Gu (Gu·v)/den³."""
+    inv_den = 1.0 / den
+    return v * _bcast(inv_den) - Gu * _bcast(scalarprod(Gu, v) * inv_den ** 3)
+
+
+def _as_dual_alpha(alpha, dtype):
+    """α (scalar or (M,N) map) → per-pixel map broadcastable in dual space."""
+    a = jnp.asarray(alpha, dtype)
+    return _bcast(a) if a.ndim >= 2 else a
+
+
+# ---------------------------------------------------------------------------
+# Exact (active-set) hypergradient
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("model", "cfg", "want_maps"))
+def exact_hypergrad(u, utrue, alphas, model: DenoiseModel,
+                    cfg: HypergradConfig = HypergradConfig(),
+                    want_maps: bool = False):
+    """Active-set adjoint hypergradient for one image.
+
+    Mirrors `src/TVLearningFunctionVec.jl:98-135` (K=1) and
+    `src/SumRegsLearningFunction.jl:264-327` (K=3) via the SPD elimination
+    described in the module docstring.
+
+    Args:
+      u: denoised image (M, N) — the lower-level solution at α.
+      utrue: ground-truth image (M, N).
+      alphas: K-tuple; each entry a scalar or a full-size (M, N) map
+        (patch parameters are upsampled by the caller).
+      want_maps: if True return per-pixel gradient maps (M, N) per k
+        (for patch parameters, reference `:219-254`); else scalars per k.
+
+    Returns:
+      (grads, info) — grads is a K-tuple of scalars or (M, N) maps.
+    """
+    dtype = u.dtype
+    act_tol, mu, cg_tol = _defaults(dtype, cfg)
+
+    pieces = []
+    for op, alpha in zip(model.ops, alphas):
+        Gu = op.apply(u)
+        nGu = xi(Gu)
+        act = (nGu < act_tol).astype(dtype)
+        inact = 1.0 - act
+        den = jnp.where(act > 0, 1.0, nGu)
+        a_dual = _as_dual_alpha(alpha, dtype)
+        pieces.append((op, Gu, act, inact, den, a_dual))
+
+    def M_apply(p):
+        out = p
+        for op, Gu, act, inact, den, a_dual in pieces:
+            Gp = op.apply(p)
+            w = (mu * _bcast(act)) * Gp \
+                + _bcast(inact) * a_dual * _curvature_apply(Gu, den, Gp)
+            out = out + op.apply_adjoint(w)
+        return out
+
+    # Jacobi preconditioner from exact stencil Gram diagonals.
+    diag = jnp.ones_like(u)
+    for op, Gu, act, inact, den, a_dual in pieces:
+        h_diag = _bcast(1.0 / den) - Gu ** 2 * _bcast(1.0 / den ** 3)
+        w_diag = mu * _bcast(act) + _bcast(inact) * a_dual * h_diag
+        diag = diag + op.gram_diag(w_diag)
+    inv_diag = 1.0 / diag
+
+    rhs = u - utrue
+    p, info = cg(M_apply, rhs, tol=cg_tol, maxiter=cfg.cg_maxiter,
+                 M=lambda r: inv_diag * r)
+
+    grads = []
+    for op, Gu, act, inact, den, a_dual in pieces:
+        # Inact·Den·Gu — the dual direction field (ref `:133`)
+        field = _bcast(inact / den) * Gu
+        # Per-pixel attribution happens in DUAL space: dJ/dα_pix =
+        # −(Gp · Gu/|Gu|)_pix.  This matches the reference's scalar and
+        # TV-patch-exact forms (`src/TVLearningFunctionVec.jl:133,251`); its
+        # sumregs-patch variant instead uses the primal-space contraction
+        # −p ⊙ Gᵀ(·) (`src/SumRegsLearningFunction.jl:420-422`), which has the
+        # same total but the wrong per-patch attribution — finite differences
+        # confirm the dual form, so it is used for every parameterization.
+        gmap = -scalarprod(op.apply(p), field)
+        grads.append(gmap if want_maps else jnp.sum(gmap))
+    return tuple(grads), info
+
+
+# ---------------------------------------------------------------------------
+# γ-regularized (Huber/implicit-differentiation) hypergradient
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("model", "cfg", "want_maps"))
+def reg_hypergrad(u, utrue, alphas, model: DenoiseModel,
+                  cfg: HypergradConfig = HypergradConfig(),
+                  want_maps: bool = False):
+    """γ-smoothed hypergradient for one image
+    (`src/TVLearningFunctionVec.jl:137-161`, `src/SumRegsLearningFunction.jl:112-262`).
+
+    This is implicit differentiation through the γ-Huber-smoothed lower-level
+    problem; used by the learning functions when the trust region has shrunk
+    below Δt (`src/TVLearningFunctionVec.jl:21-25`).
+    """
+    dtype = u.dtype
+    _, _, cg_tol = _defaults(dtype, cfg)
+    gamma = jnp.asarray(cfg.gamma, dtype)
+
+    pieces = []
+    for op, alpha in zip(model.ops, alphas):
+        Gu = op.apply(u)
+        nGu = xi(Gu)
+        act = (nGu > 1.0 / gamma).astype(dtype)   # note: roles swapped vs exact
+        inact = 1.0 - act
+        den = jnp.where(act > 0, nGu, 1.0)
+        a_dual = _as_dual_alpha(alpha, dtype)
+        pieces.append((op, Gu, act, inact, den, a_dual))
+
+    def M_apply(p):
+        out = p
+        for op, Gu, act, inact, den, a_dual in pieces:
+            Gp = op.apply(p)
+            w = a_dual * ((gamma * _bcast(inact)) * Gp
+                          + _bcast(act) * _curvature_apply(Gu, den, Gp))
+            out = out + op.apply_adjoint(w)
+        return out
+
+    diag = jnp.ones_like(u)
+    for op, Gu, act, inact, den, a_dual in pieces:
+        h_diag = _bcast(1.0 / den) - Gu ** 2 * _bcast(1.0 / den ** 3)
+        w_diag = a_dual * (gamma * _bcast(inact) + _bcast(act) * h_diag)
+        diag = diag + op.gram_diag(w_diag)
+    inv_diag = 1.0 / diag
+
+    rhs = utrue - u
+    p, info = cg(M_apply, rhs, tol=cg_tol, maxiter=cfg.cg_maxiter,
+                 M=lambda r: inv_diag * r)
+
+    grads = []
+    for op, Gu, act, inact, den, a_dual in pieces:
+        field = _bcast(act / den) * Gu + gamma * _bcast(inact) * Gu
+        # dual-space per-pixel attribution (see exact_hypergrad)
+        gmap = scalarprod(op.apply(p), field)
+        grads.append(gmap if want_maps else jnp.sum(gmap))
+    return tuple(grads), info
