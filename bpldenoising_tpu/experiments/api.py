@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..bilevel import bilevel_learn
-from ..data import testdataset, write_png_gray
+from ..data import full_datasetname, testdataset, write_png_gray
 from ..learning import (
     make_sumregs_learning_function,
     make_tv_learning_function,
@@ -98,6 +98,13 @@ def _np_dtype(params) -> np.dtype:
     return np.dtype(params.get("dtype", "float64"))
 
 
+def _canon(params):
+    """Resolve a partial dataset name once so save paths, prefixes and the
+    loader all agree (the reference resolves only inside testdataset and
+    writes outputs under the unresolved name — a CWD-dependent quirk)."""
+    return params | dict(dataset_name=full_datasetname(params.dataset_name))
+
+
 def _load(params):
     """Dataset → (O, M, N) float stacks sliced to num_samples
     (ref src/BPLDenoising.jl:330-332)."""
@@ -148,8 +155,8 @@ def generate_cost(dataset_name, parameter_range, *, num_samples=1,
     """Cost landscape over scalar α (ref ``generate_cost``,
     src/BPLDenoising.jl:92-111) — one vmapped batched solve over the whole
     α range instead of a serial loop.  Caches to ``<ds>_cost.npz``."""
-    params = merge(default_params, dataset_name=dataset_name,
-                   num_samples=num_samples, dtype=dtype)
+    params = _canon(merge(default_params, dataset_name=dataset_name,
+                          num_samples=num_samples, dtype=dtype))
     true_, data = _load(params)
     alphas = jnp.asarray(np.asarray(parameter_range), true_.dtype)
 
@@ -159,13 +166,14 @@ def generate_cost(dataset_name, parameter_range, *, num_samples=1,
     costs = np.asarray(sweep(alphas))
 
     out = _out_dir(params)
-    np.savez(os.path.join(out, f"{dataset_name}_cost.npz"),
+    np.savez(os.path.join(out, f"{params.dataset_name}_cost.npz"),
              parameter_range=np.asarray(parameter_range), costs=costs)
     return costs
 
 
 def generate_cost_plot(dataset_name):
     """ref src/BPLDenoising.jl:113-125."""
+    dataset_name = full_datasetname(dataset_name)
     path = os.path.join(default_save_prefix, dataset_name,
                         f"{dataset_name}_cost.npz")
     if not os.path.exists(path):
@@ -189,8 +197,8 @@ def generate_2d_cost(dataset_name, parameter_range_1, parameter_range_2, *,
     """2-D cost landscape over (α₁, α₂)·ones(2,1) patch maps
     (ref ``generate_2d_cost``, src/BPLDenoising.jl:136-160); one vmapped
     batched solve over the flattened grid."""
-    params = merge(default_params, dataset_name=dataset_name,
-                   num_samples=num_samples, dtype=dtype)
+    params = _canon(merge(default_params, dataset_name=dataset_name,
+                          num_samples=num_samples, dtype=dtype))
     true_, data = _load(params)
     r1 = np.asarray(parameter_range_1, dtype=np.float64)
     r2 = np.asarray(parameter_range_2, dtype=np.float64)
@@ -206,13 +214,14 @@ def generate_2d_cost(dataset_name, parameter_range_1, parameter_range_2, *,
 
     costs = np.asarray(jax.jit(jax.vmap(one))(pairs)).reshape(A1.shape)
     out = _out_dir(params)
-    np.savez(os.path.join(out, f"{dataset_name}_cost_2d.npz"),
+    np.savez(os.path.join(out, f"{params.dataset_name}_cost_2d.npz"),
              parameter_range_1=r1, parameter_range_2=r2, costs=costs)
     return costs
 
 
 def generate_2d_cost_plot(dataset_name):
     """ref src/BPLDenoising.jl:160-178."""
+    dataset_name = full_datasetname(dataset_name)
     path = os.path.join(default_save_prefix, dataset_name,
                         f"{dataset_name}_cost_2d.npz")
     if not os.path.exists(path):
@@ -335,6 +344,7 @@ def _run_bilevel(params, learning_function, visualise):
 def scalar_bilevel_tv_learn(visualise: bool = False, **kwargs):
     """ref src/BPLDenoising.jl:325-344."""
     params = merge(default_params, bilevel_params, kwargs)
+    params = _canon(params)
     params = params | dict(save_prefix="tv_optimal_parameter_scalar_"
                            + params.dataset_name)
     lf = make_tv_learning_function(maxiter=int(params.inner_maxiter))
@@ -344,6 +354,7 @@ def scalar_bilevel_tv_learn(visualise: bool = False, **kwargs):
 def patch_bilevel_tv_learn(visualise: bool = False, **kwargs):
     """ref src/BPLDenoising.jl:359-376."""
     params = merge(default_params, patch_bilevel_params, kwargs)
+    params = _canon(params)
     shape = tuple(np.asarray(params.alpha0).shape)
     params = params | dict(
         save_prefix=f"tv_optimal_parameter_{shape}_" + params.dataset_name)
@@ -354,6 +365,7 @@ def patch_bilevel_tv_learn(visualise: bool = False, **kwargs):
 def scalar_bilevel_sumregs_learn(visualise: bool = False, **kwargs):
     """ref src/BPLDenoising.jl:432-449."""
     params = merge(default_params, sumregs_bilevel_params, kwargs)
+    params = _canon(params)
     params = params | dict(save_prefix="sumregs_optimal_parameter_scalar_"
                            + params.dataset_name)
     lf = make_sumregs_learning_function(maxiter=int(params.inner_maxiter))
@@ -365,9 +377,10 @@ def patch_bilevel_sumregs_learn(image_pair=None, dataset_name=None,
     """ref src/BPLDenoising.jl:464-501 (both methods: dataset-name form and
     explicit image-pair form)."""
     params = merge(default_params, patch_sumregs_bilevel_params, kwargs)
+    params = _canon(params)
     shape = tuple(np.asarray(params.alpha0).shape)
     if dataset_name is not None:
-        params = params | dict(dataset_name=dataset_name)
+        params = _canon(params | dict(dataset_name=dataset_name))
     params = params | dict(
         save_prefix=f"sumregs_optimal_parameter_patch_{shape}"
         + params.dataset_name)
@@ -404,6 +417,7 @@ def validate_tv_parameter(parameter, **kwargs):
     (maxiter 10000) + quality table.  Uses the full dataset stack (the
     reference skips the num_samples slice here too)."""
     params = merge(default_params, bilevel_params, kwargs)
+    params = _canon(params)
     shape = tuple(np.shape(parameter))
     params = params | dict(
         save_prefix=f"val_tv_optimal_parameter_scalar_{shape}_"
@@ -420,6 +434,7 @@ def validate_tv_parameter(parameter, **kwargs):
 def validate_sumregs_parameter(parameter, **kwargs):
     """ref src/BPLDenoising.jl:506-539."""
     params = merge(default_params, bilevel_params, kwargs)
+    params = _canon(params)
     shape = tuple(np.shape(parameter))
     params = params | dict(
         save_prefix=f"val_sumregs_optimal_parameter_scalar_{shape}_"

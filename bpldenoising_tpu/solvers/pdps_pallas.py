@@ -1,0 +1,251 @@
+"""Fused Pallas TPU kernel for the accelerated PDPS inner solve.
+
+The entire Chambolle–Pock iteration (SURVEY.md §7 step 7: "keep (u, p, ū)
+VMEM-resident across iterations, fuse grad/prox/div per iteration; grid over
+batch") runs inside one kernel: primal, duals and step sizes live in the
+``fori_loop`` carry for all ``maxiter`` iterations, so per-iteration state
+never round-trips HBM — the jnp path re-reads O(maxiter·(1+2K)·M·N) bytes
+from HBM; this kernel reads each image once and writes it once.
+
+Stencils are expressed as ``pltpu.roll`` + ``broadcasted_iota`` boundary
+masks (the roll form of :mod:`bpldenoising_tpu.ops.grad`'s slice/concat
+stencils — circular shifts are native to the VPU lane/sublane layout).
+
+The grid tiles the batch dimension in VMEM-sized chunks; the α map (when
+spatially varying) is broadcast to every grid step.  Semantics match
+:func:`bpldenoising_tpu.solvers.pdps.denoise_pdps` (same fixed point, same
+τ₀/σ₀/γ acceleration) — that jnp path remains the oracle, and
+``test_pdps_pallas.py`` asserts agreement in interpret mode.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models import DenoiseModel
+from ..ops.grad import BwdGradientOp, CenteredGradientOp, FwdGradientOp
+
+__all__ = ["denoise_pdps_pallas"]
+
+
+# ---------------------------------------------------------------------------
+# Roll+mask stencils on (..., M, N) values inside the kernel
+# ---------------------------------------------------------------------------
+
+def _idx(shape, axis):
+    dim = len(shape) + axis if axis < 0 else axis
+    return lax.broadcasted_iota(jnp.int32, shape, dimension=dim)
+
+
+def _size(shape, axis):
+    return shape[axis]
+
+
+def _dplus(u, axis):
+    i = _idx(u.shape, axis)
+    n = _size(u.shape, axis)
+    return jnp.where(i < n - 1, pltpu.roll(u, -1, axis) - u, 0.0)
+
+
+def _dplus_T(p, axis):
+    i = _idx(p.shape, axis)
+    n = _size(p.shape, axis)
+    a = jnp.where(i >= 1, pltpu.roll(p, 1, axis), 0.0)
+    b = jnp.where(i < n - 1, p, 0.0)
+    return a - b
+
+
+def _dminus(u, axis):
+    i = _idx(u.shape, axis)
+    return jnp.where(i >= 1, u - pltpu.roll(u, 1, axis), 0.0)
+
+
+def _dminus_T(p, axis):
+    i = _idx(p.shape, axis)
+    n = _size(p.shape, axis)
+    a = jnp.where(i >= 1, p, 0.0)
+    b = jnp.where(i < n - 1, pltpu.roll(p, -1, axis), 0.0)
+    return a - b
+
+
+def _dcent(u, axis):
+    i = _idx(u.shape, axis)
+    n = _size(u.shape, axis)
+    interior = jnp.logical_and(i >= 1, i < n - 1)
+    return jnp.where(
+        interior, 0.5 * (pltpu.roll(u, -1, axis) - pltpu.roll(u, 1, axis)),
+        0.0)
+
+
+def _dcent_T(p, axis):
+    i = _idx(p.shape, axis)
+    n = _size(p.shape, axis)
+    interior = jnp.logical_and(i >= 1, i < n - 1)
+    q = jnp.where(interior, p, 0.0)
+    a = jnp.where(i >= 1, pltpu.roll(q, 1, axis), 0.0)
+    b = jnp.where(i < n - 1, pltpu.roll(q, -1, axis), 0.0)
+    return 0.5 * (a - b)
+
+
+_STENCILS = {
+    FwdGradientOp: (_dplus, _dplus_T),
+    BwdGradientOp: (_dminus, _dminus_T),
+    CenteredGradientOp: (_dcent, _dcent_T),
+}
+
+
+def _grad_pair(op, u):
+    """op.apply as two planes (gx, gy) each shaped like u."""
+    fwd, _ = _STENCILS[type(op)]
+    return fwd(u, -2), fwd(u, -1)
+
+
+def _div_pair(op, gx, gy):
+    _, adj = _STENCILS[type(op)]
+    return adj(gx, -2) + adj(gy, -1)
+
+
+# ---------------------------------------------------------------------------
+# Kernel
+# ---------------------------------------------------------------------------
+
+def _make_kernel(model: DenoiseModel, maxiter: int, accel: bool,
+                 gamma: float, tau_init: float, sigma_init: float,
+                 alpha_is_map: tuple[bool, ...]):
+    K = model.K
+
+    def kernel(*refs):
+        f_ref = refs[0]
+        alpha_refs = refs[1:1 + K]
+        out_ref = refs[1 + K]
+
+        f = f_ref[:]
+        dtype = f.dtype
+        alphas = []
+        for k, is_map in enumerate(alpha_is_map):
+            a = alpha_refs[k][:]
+            alphas.append(a if is_map else a[0, 0])
+
+        u0 = f
+        zeros = jnp.zeros_like(f)
+        ys0 = tuple(zeros for _ in range(2 * K))
+        carry0 = (u0, ys0, jnp.asarray(tau_init, dtype),
+                  jnp.asarray(sigma_init, dtype))
+
+        def body(_, carry):
+            u, ys, tau, sigma = carry
+            div = None
+            for k, op in enumerate(model.ops):
+                d = _div_pair(op, ys[2 * k], ys[2 * k + 1])
+                div = d if div is None else div + d
+            u_new = (u - tau * (div - f)) / (1.0 + tau)
+            if accel:
+                omega = lax.rsqrt(1.0 + 2.0 * gamma * tau)
+                tau = tau * omega
+                sigma = sigma / omega
+            else:
+                omega = jnp.asarray(1.0, dtype)
+            ubar = (1.0 + omega) * u_new - omega * u
+            ys_new = []
+            for k, op in enumerate(model.ops):
+                gx, gy = _grad_pair(op, ubar)
+                px = ys[2 * k] + sigma * gx
+                py = ys[2 * k + 1] + sigma * gy
+                n = jnp.sqrt(px * px + py * py)
+                r = alphas[k]
+                tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+                scale = jnp.where(n <= r, 1.0, r / jnp.maximum(n, tiny))
+                ys_new.extend((px * scale, py * scale))
+            return (u_new, tuple(ys_new), tau, sigma)
+
+        u_final, _, _, _ = lax.fori_loop(0, maxiter, body, carry0)
+        out_ref[:] = u_final
+
+    return kernel
+
+
+def _vmem_chunk(O: int, M: int, N: int, K: int, itemsize: int) -> int:
+    """Batch-chunk size keeping kernel state within a VMEM budget."""
+    # live planes per image: u, f, ubar, div, 2K duals (+2K temps)
+    planes = 4 + 4 * K
+    budget = 8 * 1024 * 1024  # leave headroom in ~16MB VMEM
+    chunk = max(1, budget // (planes * M * N * itemsize))
+    return min(O, chunk)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "maxiter", "accel", "interpret"))
+def _pallas_impl(f, alphas, *, model, tau0, sigma0, gamma, maxiter, accel,
+                 interpret):
+    O, M, N = f.shape
+    dtype = f.dtype
+    K = model.K
+    L = float(model.opnorm_sq()) ** 0.5
+    tau_init = float(tau0) / L
+    sigma_init = float(sigma0) / L
+
+    alpha_is_map = tuple(a.ndim >= 2 for a in alphas)
+    chunk = _vmem_chunk(O, M, N, K, dtype.itemsize)
+    grid = (O + chunk - 1) // chunk
+
+    # pad O to a multiple of the chunk
+    O_pad = grid * chunk
+    if O_pad != O:
+        f = jnp.pad(f, ((0, O_pad - O), (0, 0), (0, 0)))
+
+    in_specs = [pl.BlockSpec((chunk, M, N), lambda o: (o, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    alpha_args = []
+    for a, is_map in zip(alphas, alpha_is_map):
+        if is_map:
+            in_specs.append(pl.BlockSpec((M, N), lambda o: (0, 0),
+                                         memory_space=pltpu.VMEM))
+            alpha_args.append(a.astype(dtype))
+        else:
+            in_specs.append(pl.BlockSpec((1, 1), lambda o: (0, 0),
+                                         memory_space=pltpu.SMEM))
+            alpha_args.append(jnp.reshape(a.astype(dtype), (1, 1)))
+
+    kernel = _make_kernel(model, int(maxiter), bool(accel), float(gamma),
+                          tau_init, sigma_init, alpha_is_map)
+
+    flops_per_iter = (20 + 30 * K) * M * N  # stencils + prox, rough
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((chunk, M, N), lambda o: (o, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((O_pad, M, N), dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_iter * int(maxiter) * O_pad,
+            bytes_accessed=(2 + K) * O_pad * M * N * dtype.itemsize,
+            transcendentals=int(maxiter)),
+        interpret=bool(interpret),
+    )(f, *alpha_args)
+    return out[:O]
+
+
+def denoise_pdps_pallas(f, alphas, model: DenoiseModel, *, tau0=5.0,
+                        sigma0=0.99 / 5.0, gamma=1.0, maxiter=5000,
+                        accel=True, interpret=False):
+    """Drop-in fused-kernel replacement for
+    :func:`bpldenoising_tpu.solvers.pdps.denoise_pdps` (no early-stop mode,
+    no dual return — the jnp path covers those)."""
+    f = jnp.asarray(f)
+    squeeze = f.ndim == 2
+    if squeeze:
+        f = f[None]
+    alphas = tuple(jnp.asarray(a, f.dtype)
+                   for a in model.canonical_alphas(alphas))
+    out = _pallas_impl(f, alphas, model=model, tau0=tau0, sigma0=sigma0,
+                       gamma=gamma, maxiter=int(maxiter), accel=bool(accel),
+                       interpret=bool(interpret))
+    return out[0] if squeeze else out

@@ -18,6 +18,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The ambient 'axon' TPU plugin overrides the JAX_PLATFORMS env var; the
+# config API takes precedence — force the CPU backend for tests.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 # XLA:CPU compiles are slow in this environment (~0.5s per tiny executable);

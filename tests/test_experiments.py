@@ -1,0 +1,111 @@
+"""Experiment-API smoke tests: every exported entry point runs end-to-end
+(reduced budgets) and produces the reference's output artifacts
+(``output/<dataset>/<prefix>{.txt,_quality.txt,*.png}``)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import bpldenoising_tpu.experiments.api as api
+
+
+@pytest.fixture(autouse=True)
+def out_in_tmpdir(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    yield tmp_path
+
+
+FAST = dict(inner_maxiter=300, maxiter=3, dataset_name="circle",
+            num_samples=1)
+
+
+def artifacts(ds="circle_128_10"):
+    d = os.path.join("output", ds)
+    return sorted(os.listdir(d)) if os.path.isdir(d) else []
+
+
+class TestBilevelExperiments:
+    def test_scalar_tv_learn(self):
+        res = api.scalar_bilevel_tv_learn(**FAST)
+        files = artifacts()
+        assert any(f.endswith("_quality.txt") for f in files)
+        assert any("reco" in f for f in files)
+        assert any(f.endswith(".txt") and "quality" not in f for f in files)
+        assert float(res.x) > 0
+
+    def test_patch_tv_learn(self):
+        res = api.patch_bilevel_tv_learn(
+            alpha0=1e-4 * np.ones((2, 2)), delta0=1e-4, **FAST)
+        assert res.x.shape == (2, 2)
+        assert any("_par.png" in f for f in artifacts())
+
+    def test_scalar_sumregs_learn(self):
+        res = api.scalar_bilevel_sumregs_learn(**FAST)
+        assert res.x.shape == (3,)
+
+    def test_patch_sumregs_learn(self):
+        res = api.patch_bilevel_sumregs_learn(
+            alpha0=1e-3 * np.ones((2, 2, 3)), **FAST)
+        assert res.x.shape == (2, 2, 3)
+        files = artifacts()
+        assert sum("_par_" in f for f in files) == 3
+
+    def test_checkpoint_written(self):
+        api.scalar_bilevel_tv_learn(checkpoint=True, **FAST)
+        assert any(f.endswith("_ckpt.npz") for f in artifacts())
+
+
+class TestValidateAndSweeps:
+    def test_validate_tv_parameter(self):
+        out = api.validate_tv_parameter(0.1, dataset_name="circle")
+        assert out["cost"] > 0
+        assert 0 < out["mean_ssim"] <= 1
+        files = artifacts()
+        assert any(f.startswith("val_tv") and f.endswith("_quality.txt")
+                   for f in files)
+
+    def test_validate_sumregs_parameter(self):
+        out = api.validate_sumregs_parameter(
+            np.array([0.05, 0.02, 0.01]), dataset_name="circle")
+        assert out["cost"] > 0
+
+    def test_cost_sweep_and_plot(self):
+        costs = api.generate_scalar_tv_cost(
+            "circle_128_10", np.logspace(-3, 0, 5), maxiter=300)
+        assert costs.shape == (5,)
+        base = api.generate_cost_plot("circle_128_10")
+        assert os.path.exists(base + ".png")
+
+    def test_2d_cost_sweep_and_plot(self):
+        costs = api.generate_2d_tv_cost(
+            "circle_128_10", np.logspace(-3, -1, 3),
+            np.logspace(-3, -1, 3), maxiter=200)
+        assert costs.shape == (3, 3)
+        base = api.generate_2d_cost_plot("circle_128_10")
+        assert os.path.exists(base + ".png")
+
+    def test_sweep_has_interior_minimum(self):
+        """The de-facto correctness oracle the reference authors used
+        (SURVEY.md §4): the cost curve over α has an interior valley."""
+        alphas = np.logspace(-3, 0.5, 9)
+        costs = api.generate_scalar_tv_cost(
+            "circle_128_10", alphas, maxiter=2000)
+        k = int(np.argmin(costs))
+        assert 0 < k < len(alphas) - 1
+
+
+class TestTVDenoiseAPI:
+    def test_scalar(self):
+        from bpldenoising_tpu.data import testdataset as load
+        true_, noisy = load("circle")
+        u = np.asarray(api.TVDenoise(noisy, 0.1, maxiter=500))
+        assert u.shape == noisy.shape
+        assert np.mean((u - true_) ** 2) < np.mean((noisy - true_) ** 2)
+
+    def test_patch(self):
+        from bpldenoising_tpu.data import testdataset as load
+        _, noisy = load("circle")
+        u = np.asarray(api.TVDenoise(noisy, 0.1 * np.ones((2, 2)),
+                                     maxiter=300))
+        assert u.shape == noisy.shape

@@ -1,0 +1,108 @@
+"""Multi-device (8 virtual CPU devices) sharding tests — SURVEY.md §4:
+"a multi-device test path using CPU mesh emulation so sharded runs are
+testable without a TPU pod"."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bpldenoising_tpu.bilevel import bilevel_learn
+from bpldenoising_tpu.learning import tv_learning_function
+from bpldenoising_tpu.parallel import (
+    make_batch_mesh,
+    make_sharded_sumregs_learning_function,
+    make_sharded_tv_learning_function,
+    pad_batch,
+)
+from bpldenoising_tpu.utils.config import Params
+
+
+def small_ds(rng, n=16, O=8, sigma=0.1):
+    x, y = np.meshgrid(np.arange(n), np.arange(n))
+    clean = ((x - n / 2) ** 2 + (y - n / 2) ** 2 < (n / 3) ** 2).astype(float)
+    true_ = np.stack([clean] * O) \
+        + 0.01 * rng.standard_normal((O, n, n))  # decorrelate images
+    noisy = true_ + sigma * rng.standard_normal((O, n, n))
+    return jnp.asarray(true_), jnp.asarray(noisy)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must fake 8 CPU devices"
+    return make_batch_mesh(8)
+
+
+class TestPadBatch:
+    def test_no_pad_needed(self):
+        a, w = pad_batch(jnp.ones((8, 4, 4)), 8)
+        assert a.shape[0] == 8 and float(w.sum()) == 8
+
+    def test_pads_and_weights(self):
+        a, w = pad_batch(jnp.ones((10, 4, 4)), 8)
+        assert a.shape[0] == 16
+        assert float(w.sum()) == 10
+        np.testing.assert_array_equal(np.asarray(a[10:]), 0.0)
+
+
+class TestShardedTV:
+    def test_matches_unsharded_scalar(self, rng, mesh):
+        ds = small_ds(rng, O=8)
+        lf = make_sharded_tv_learning_function(mesh, maxiter=400)
+        u_s, c_s, g_s = lf(0.1, ds, 0.1)
+        u_r, c_r, g_r = tv_learning_function(0.1, ds, 0.1, maxiter=400)
+        np.testing.assert_allclose(np.asarray(u_s), np.asarray(u_r),
+                                   atol=1e-10)
+        np.testing.assert_allclose(float(c_s), float(c_r), rtol=1e-12)
+        np.testing.assert_allclose(float(g_s), float(g_r), rtol=1e-8)
+
+    def test_matches_unsharded_uneven_batch(self, rng, mesh):
+        ds = small_ds(rng, O=5)  # 5 does not divide 8 → padding path
+        lf = make_sharded_tv_learning_function(mesh, maxiter=300)
+        u_s, c_s, g_s = lf(0.1, ds, 0.1)
+        u_r, c_r, g_r = tv_learning_function(0.1, ds, 0.1, maxiter=300)
+        assert u_s.shape == ds[0].shape
+        np.testing.assert_allclose(float(c_s), float(c_r), rtol=1e-12)
+        np.testing.assert_allclose(float(g_s), float(g_r), rtol=1e-8)
+
+    def test_patch_parameter(self, rng, mesh):
+        ds = small_ds(rng, O=8)
+        lf = make_sharded_tv_learning_function(mesh, maxiter=300)
+        x = jnp.full((2, 2), 0.1)
+        u_s, c_s, g_s = lf(x, ds, 0.1)
+        u_r, c_r, g_r = tv_learning_function(x, ds, 0.1, maxiter=300)
+        np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_r),
+                                   rtol=1e-8)
+
+    def test_reg_branch(self, rng, mesh):
+        ds = small_ds(rng, O=8)
+        lf = make_sharded_tv_learning_function(mesh, maxiter=300)
+        _, _, g_s = lf(0.1, ds, 1e-9)
+        _, _, g_r = tv_learning_function(0.1, ds, 1e-9, maxiter=300)
+        np.testing.assert_allclose(float(g_s), float(g_r), rtol=1e-8)
+
+
+class TestShardedSumregs:
+    def test_matches_unsharded_vector(self, rng, mesh):
+        from bpldenoising_tpu.learning import sumregs_learning_function
+        ds = small_ds(rng, O=8)
+        lf = make_sharded_sumregs_learning_function(mesh, maxiter=300)
+        x = jnp.asarray([0.05, 0.03, 0.02])
+        _, c_s, g_s = lf(x, ds, 0.1)
+        _, c_r, g_r = sumregs_learning_function(x, ds, 0.1, maxiter=300)
+        np.testing.assert_allclose(float(c_s), float(c_r), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_r),
+                                   rtol=1e-8)
+
+
+class TestShardedBilevel:
+    def test_full_bilevel_on_mesh(self, rng, mesh):
+        """The complete training loop with the sharded learning function —
+        what the driver's dryrun_multichip exercises."""
+        ds = small_ds(rng, O=8)
+        lf = make_sharded_tv_learning_function(mesh, maxiter=300)
+        params = Params(eta1=0.25, eta2=0.75, beta1=0.25, beta2=1.9,
+                        delta0=0.1, maxiter=4, tol=1e-5, verbose_iter=0)
+        res = bilevel_learn(ds, lf, xinit=0.1, params=params)
+        assert np.isfinite(res.cost)
+        assert float(res.x) > 0
