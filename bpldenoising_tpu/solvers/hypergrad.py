@@ -81,8 +81,13 @@ class HypergradConfig(NamedTuple):
 
 def _defaults(dtype, cfg: HypergradConfig):
     f64 = dtype == jnp.float64
+    # The reference thresholds at 1e-12 (`src/TVLearningFunctionVec.jl:109`),
+    # which misclassifies should-be-flat pixels whose |∇u| ~ solver residual
+    # as inactive and amplifies them by 1/|∇u|³ — the gradient then swings
+    # with inner-solve convergence.  1e-9 (f64) is stable across 2k–20k inner
+    # iterations and matches the 1e-12 value in the converged limit.
     act_tol = cfg.act_tol if cfg.act_tol is not None else (
-        1e-12 if f64 else 1e-6)
+        1e-9 if f64 else 1e-6)
     mu = cfg.mu if cfg.mu is not None else (1e6 if f64 else 1e4)
     cg_tol = cfg.cg_tol if cfg.cg_tol is not None else (1e-8 if f64 else 1e-5)
     return act_tol, mu, cg_tol

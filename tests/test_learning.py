@@ -60,9 +60,9 @@ class TestLearningFunctionContract:
     def test_reg_branch_selected_below_delta_t(self, rng):
         ds = small_ds(rng)
         # both branches must run and produce close gradients
-        _, _, g_exact = tv_learning_function(0.1, ds, 1.0, maxiter=6000)
-        _, _, g_reg = tv_learning_function(0.1, ds, 1e-8, maxiter=6000)
-        np.testing.assert_allclose(float(g_exact), float(g_reg), rtol=8e-2)
+        _, _, g_exact = tv_learning_function(0.1, ds, 1.0, maxiter=2000)
+        _, _, g_reg = tv_learning_function(0.1, ds, 1e-8, maxiter=2000)
+        np.testing.assert_allclose(float(g_exact), float(g_reg), rtol=5e-2)
 
     def test_batch_grad_is_sum_of_singles(self, rng):
         ds = small_ds(rng, O=2)
