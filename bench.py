@@ -1,0 +1,145 @@
+#!/usr/bin/env python
+"""Benchmark: full scalar bilevel TV learning on faces_train_128_10 (TPU).
+
+Runs the reference's flagship workload (SURVEY.md §6 north star: wall-clock
+to learned α on ``faces_train_128_10`` — 20 trust-region iterations, 5000
+accelerated PDPS inner iterations per solve on the (10, 128, 128) stack,
+exact active-set hypergradients) end-to-end on the available accelerator and
+prints ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "...", "vs_baseline": N, ...}
+
+``vs_baseline`` is speedup vs the same workload executed by this framework's
+jnp path on the build host's CPU in float64 (multithreaded XLA:CPU — a
+*conservative* stand-in for the single-process Julia reference, which
+publishes no numbers; see BASELINE.md).  Baseline constant measured via
+``python bench.py --measure-baseline`` on the build host.
+
+Usage:
+    python bench.py              # TPU benchmark (one JSON line on stdout)
+    python bench.py --quick      # reduced budgets (smoke test)
+    python bench.py --measure-baseline   # re-measure the CPU reference time
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+# Measured on the build host (see BASELINE.md "Measured baselines"):
+# CPU f64, jnp path, full 20-iteration bilevel learn on faces_train_128_10.
+CPU_BASELINE_SECONDS = 270.0  # updated by --measure-baseline runs
+
+
+def _build(dtype_name: str, inner_maxiter: int, outer_maxiter: int,
+           backend: str):
+    import jax.numpy as jnp
+    import numpy as np
+    from bpldenoising_tpu.bilevel import bilevel_learn
+    from bpldenoising_tpu.data import testdataset
+    from bpldenoising_tpu.learning import make_tv_learning_function
+    from bpldenoising_tpu.utils.config import Params
+
+    true_, noisy = testdataset("faces_train_128_10")
+    dt = jnp.dtype(dtype_name)
+    ds = (jnp.asarray(true_, dt), jnp.asarray(noisy, dt))
+    lf = make_tv_learning_function(maxiter=inner_maxiter, backend=backend)
+    params = Params(eta1=0.25, eta2=0.75, beta1=0.25, beta2=1.9, delta0=0.1,
+                    maxiter=outer_maxiter, tol=1e-5, verbose_iter=0)
+    return ds, lf, params
+
+
+def run(quick: bool = False, backend: str = "pallas",
+        dtype_name: str = "float32") -> dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from bpldenoising_tpu.bilevel import bilevel_learn
+    from bpldenoising_tpu.metrics import psnr
+    from bpldenoising_tpu.solvers import denoise_pdps
+    from bpldenoising_tpu.solvers.pdps_pallas import denoise_pdps_pallas
+    from bpldenoising_tpu.models import tv_model
+
+    inner = 500 if quick else 5000
+    outer = 3 if quick else 20
+    ds, lf, params = _build(dtype_name, inner, outer, backend)
+
+    # Warm up the device↔host path and compile the learning function once
+    # (the reference's harness likewise excludes first-iteration JIT time,
+    # src/BilevelVisualise.jl:192-196).
+    float(jnp.zeros(()))
+    u, c, g = lf(0.1, ds, 0.1)
+    jax.block_until_ready(u)
+    _ = float(c), float(g)
+    u, c, g = lf(0.1, ds, 1e-9)  # compile the reg-gradient branch too
+    jax.block_until_ready(u)
+
+    t0 = time.perf_counter()
+    res = bilevel_learn(ds, lf, xinit=0.1, params=params)
+    wall = time.perf_counter() - t0
+
+    mean_psnr = float(np.mean(np.asarray(psnr(ds[0],
+                                              jnp.asarray(res.u)))))
+
+    # Secondary metric: raw fused-kernel PD iteration throughput on the
+    # batch-10 128² stack (iterations/sec of the full primal-dual update).
+    model = tv_model()
+    bench_iters = 1000 if quick else 5000
+    solve = (denoise_pdps_pallas if backend == "pallas" else denoise_pdps)
+    solve(ds[1], (0.1,), model, maxiter=bench_iters).block_until_ready()
+    t0 = time.perf_counter()
+    solve(ds[1], (0.1,), model, maxiter=bench_iters).block_until_ready()
+    pd_rate = bench_iters / (time.perf_counter() - t0)
+
+    scale = 1.0 if not quick else (5000 / inner) * (20 / outer)
+    return {
+        "metric": "bilevel_tv_walltime_faces_train_128_10",
+        "value": round(wall, 3),
+        "unit": "s",
+        "vs_baseline": round(CPU_BASELINE_SECONDS / (wall * scale), 2),
+        "pd_iters_per_sec_batch10_128": round(pd_rate, 1),
+        "learned_alpha": round(float(res.x), 6),
+        "final_cost": round(res.cost, 4),
+        "mean_psnr_db": round(mean_psnr, 3),
+        "outer_iterations": res.iterations,
+        "backend": backend,
+        "dtype": dtype_name,
+        "device": str(jax.devices()[0]),
+        "quick": quick,
+    }
+
+
+def measure_baseline() -> float:
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    from bpldenoising_tpu.bilevel import bilevel_learn
+    ds, lf, params = _build("float64", 5000, 20, "jnp")
+    u, c, g = lf(0.1, ds, 0.1)
+    jax.block_until_ready(u)
+    t0 = time.perf_counter()
+    bilevel_learn(ds, lf, xinit=0.1, params=params)
+    wall = time.perf_counter() - t0
+    print(f"CPU_BASELINE_SECONDS = {wall:.2f}", file=sys.stderr)
+    return wall
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--backend", default="pallas", choices=["pallas", "jnp"])
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--measure-baseline", action="store_true")
+    args = ap.parse_args()
+    if args.measure_baseline:
+        measure_baseline()
+        return
+    result = run(quick=args.quick, backend=args.backend,
+                 dtype_name=args.dtype)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

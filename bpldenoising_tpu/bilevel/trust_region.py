@@ -175,7 +175,9 @@ def bilevel_learn(ds, learning_function: Callable, *, xinit, params,
 
     def call_lf(x_flat, d):
         u, cost, grad = learning_function(x_flat.reshape(shape), ds, d)
-        return (np.asarray(u), float(cost),
+        # u stays on device (only small scalars/grads cross to the host;
+        # the reconstruction is materialized once by the caller at the end)
+        return (u, float(cost),
                 np.asarray(grad, dtype=np.float64).reshape(-1))
 
     # ref init_rest (src/TRBox.jl:34-52): evaluate at x₀, B init

@@ -19,6 +19,7 @@ from ..models import sumregs_model
 from ..ops import PatchOp
 from ..solvers.hypergrad import HypergradConfig, exact_hypergrad, reg_hypergrad
 from ..solvers.pdps import denoise_pdps
+from ..solvers.pdps_pallas import denoise_pdps_pallas
 
 __all__ = ["sumregs_learning_function", "make_sumregs_learning_function"]
 
@@ -28,6 +29,7 @@ _MODEL = sumregs_model()
 def sumregs_learning_function(x, ds, delta, *, delta_t: float = 1e-3,
                               maxiter: int = 5000,
                               cfg: HypergradConfig = HypergradConfig(),
+                              backend: str = "jnp",
                               solver_kwargs: Optional[dict] = None):
     """L4 learning function for the 3-regularizer model.
 
@@ -53,7 +55,8 @@ def sumregs_learning_function(x, ds, delta, *, delta_t: float = 1e-3,
         raise ValueError(
             f"sumregs parameter must be (3,) or (m, n, 3), got {x.shape}")
 
-    u = denoise_pdps(f, alphas, _MODEL, maxiter=maxiter, **kwargs)
+    solve = denoise_pdps_pallas if backend == "pallas" else denoise_pdps
+    u = solve(f, alphas, _MODEL, maxiter=maxiter, **kwargs)
 
     per_image = jax.vmap(
         lambda ui, ti: fn(ui, ti, alphas, _MODEL, cfg, want_maps)[0])

@@ -26,6 +26,7 @@ from ..models import tv_model
 from ..ops import PatchOp
 from ..solvers.hypergrad import HypergradConfig, exact_hypergrad, reg_hypergrad
 from ..solvers.pdps import denoise_pdps
+from ..solvers.pdps_pallas import denoise_pdps_pallas
 
 __all__ = ["tv_learning_function", "make_tv_learning_function"]
 
@@ -44,6 +45,7 @@ def _batched_hypergrad(u, utrue, alpha_img, method: str,
 def tv_learning_function(x, ds, delta, *, delta_t: float = 1e-6,
                          maxiter: int = 5000,
                          cfg: HypergradConfig = HypergradConfig(),
+                         backend: str = "jnp",
                          solver_kwargs: Optional[dict] = None):
     """L4 learning function for TV denoising.
 
@@ -62,16 +64,17 @@ def tv_learning_function(x, ds, delta, *, delta_t: float = 1e-6,
     x = jnp.asarray(x, utrue.dtype)
     method = "exact" if float(delta) > delta_t else "reg"
     kwargs = solver_kwargs or {}
+    solve = denoise_pdps_pallas if backend == "pallas" else denoise_pdps
 
     if x.ndim == 0:
         alpha_img = x
-        u = denoise_pdps(f, (alpha_img,), _MODEL, maxiter=maxiter, **kwargs)
+        u = solve(f, (alpha_img,), _MODEL, maxiter=maxiter, **kwargs)
         grad = _batched_hypergrad(u, utrue, alpha_img, method, cfg,
                                   want_maps=False)
     elif x.ndim == 2:
         pop = PatchOp.for_image(x, f[0] if f.ndim == 3 else f)
         alpha_img = pop.apply(x)
-        u = denoise_pdps(f, (alpha_img,), _MODEL, maxiter=maxiter, **kwargs)
+        u = solve(f, (alpha_img,), _MODEL, maxiter=maxiter, **kwargs)
         gmap = _batched_hypergrad(u, utrue, alpha_img, method, cfg,
                                   want_maps=True)
         grad = pop.apply_adjoint(gmap)  # ref calc_adjoint pullback (:214,253)

@@ -43,6 +43,14 @@ def _idx(shape, axis):
     return lax.broadcasted_iota(jnp.int32, shape, dimension=dim)
 
 
+def _roll(x, shift, axis):
+    """jnp.roll semantics on top of pltpu.roll (which requires a
+    non-negative shift and axis index)."""
+    ax = axis % x.ndim
+    n = x.shape[ax]
+    return pltpu.roll(x, shift % n, ax)
+
+
 def _size(shape, axis):
     return shape[axis]
 
@@ -50,27 +58,27 @@ def _size(shape, axis):
 def _dplus(u, axis):
     i = _idx(u.shape, axis)
     n = _size(u.shape, axis)
-    return jnp.where(i < n - 1, pltpu.roll(u, -1, axis) - u, 0.0)
+    return jnp.where(i < n - 1, _roll(u, -1, axis) - u, 0.0)
 
 
 def _dplus_T(p, axis):
     i = _idx(p.shape, axis)
     n = _size(p.shape, axis)
-    a = jnp.where(i >= 1, pltpu.roll(p, 1, axis), 0.0)
+    a = jnp.where(i >= 1, _roll(p, 1, axis), 0.0)
     b = jnp.where(i < n - 1, p, 0.0)
     return a - b
 
 
 def _dminus(u, axis):
     i = _idx(u.shape, axis)
-    return jnp.where(i >= 1, u - pltpu.roll(u, 1, axis), 0.0)
+    return jnp.where(i >= 1, u - _roll(u, 1, axis), 0.0)
 
 
 def _dminus_T(p, axis):
     i = _idx(p.shape, axis)
     n = _size(p.shape, axis)
     a = jnp.where(i >= 1, p, 0.0)
-    b = jnp.where(i < n - 1, pltpu.roll(p, -1, axis), 0.0)
+    b = jnp.where(i < n - 1, _roll(p, -1, axis), 0.0)
     return a - b
 
 
@@ -79,7 +87,7 @@ def _dcent(u, axis):
     n = _size(u.shape, axis)
     interior = jnp.logical_and(i >= 1, i < n - 1)
     return jnp.where(
-        interior, 0.5 * (pltpu.roll(u, -1, axis) - pltpu.roll(u, 1, axis)),
+        interior, 0.5 * (_roll(u, -1, axis) - _roll(u, 1, axis)),
         0.0)
 
 
@@ -88,8 +96,8 @@ def _dcent_T(p, axis):
     n = _size(p.shape, axis)
     interior = jnp.logical_and(i >= 1, i < n - 1)
     q = jnp.where(interior, p, 0.0)
-    a = jnp.where(i >= 1, pltpu.roll(q, 1, axis), 0.0)
-    b = jnp.where(i < n - 1, pltpu.roll(q, -1, axis), 0.0)
+    a = jnp.where(i >= 1, _roll(q, 1, axis), 0.0)
+    b = jnp.where(i < n - 1, _roll(q, -1, axis), 0.0)
     return 0.5 * (a - b)
 
 
@@ -129,8 +137,9 @@ def _make_kernel(model: DenoiseModel, maxiter: int, accel: bool,
         dtype = f.dtype
         alphas = []
         for k, is_map in enumerate(alpha_is_map):
-            a = alpha_refs[k][:]
-            alphas.append(a if is_map else a[0, 0])
+            # SMEM scalars load elementwise; VMEM maps load whole-block
+            alphas.append(alpha_refs[k][:] if is_map
+                          else alpha_refs[k][0, 0])
 
         u0 = f
         zeros = jnp.zeros_like(f)
@@ -181,7 +190,8 @@ def _vmem_chunk(O: int, M: int, N: int, K: int, itemsize: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("model", "maxiter", "accel", "interpret"))
+    static_argnames=("model", "maxiter", "accel", "interpret", "tau0",
+                     "sigma0", "gamma"))
 def _pallas_impl(f, alphas, *, model, tau0, sigma0, gamma, maxiter, accel,
                  interpret):
     O, M, N = f.shape
