@@ -29,8 +29,10 @@ import sys
 import time
 
 # Measured on the build host (see BASELINE.md "Measured baselines"):
-# CPU f64, jnp path, full 20-iteration bilevel learn on faces_train_128_10.
-CPU_BASELINE_SECONDS = 270.0  # updated by --measure-baseline runs
+# CPU f64, jnp path, full bilevel learn on faces_train_128_10 (maxiter=20,
+# converged at 13 outer iterations via Δ < tol; learned α = 0.070185,
+# final cost 152.335, mean PSNR 27.387 dB).
+CPU_BASELINE_SECONDS = 214.63  # updated by --measure-baseline runs
 
 
 def _build(dtype_name: str, inner_maxiter: int, outer_maxiter: int,

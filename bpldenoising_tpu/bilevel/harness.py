@@ -21,6 +21,7 @@ off by default under pytest/CI.
 from __future__ import annotations
 
 import os
+import sys
 import time
 from dataclasses import dataclass, field
 from typing import Callable, Optional
@@ -87,12 +88,14 @@ class BilevelState:
 
 
 def _should_log(iteration: int, verbose_iter: int) -> bool:
-    # ref src/BilevelVisualise.jl:200
+    # ref src/BilevelVisualise.jl:200; verbose_iter <= 0 disables logging
+    if verbose_iter <= 0:
+        return False
     if iteration <= 20:
         return True
     if iteration <= 200:
         return iteration % 10 == 0
-    return verbose_iter > 0 and iteration % verbose_iter == 0
+    return iteration % verbose_iter == 0
 
 
 def bilevel_iterate(step: Callable, params, visualise: bool = False,
@@ -137,7 +140,8 @@ def bilevel_iterate(step: Callable, params, visualise: bool = False,
                     float(step_norm)))
                 print(f"{_it:4d}/{maxiter} f={float(fx):.6e} "
                       f"|g|={float(gnorm):.4e} Δ={float(delta):.4e} "
-                      f"step={float(step_norm):.4e}", flush=True)
+                      f"step={float(step_norm):.4e}",
+                      file=sys.stderr, flush=True)
                 if nonlocal_st.view is not None:
                     xa = np.asarray(x)
                     pmap = None
@@ -152,12 +156,16 @@ def bilevel_iterate(step: Callable, params, visualise: bool = False,
                     stop = True
                 nonlocal_st.wasted_time += time.perf_counter() - t0
 
-            step(verbose)
-            if stop:
+            # `step` may itself request a stop (Δ < tol) — decoupled from
+            # logging, unlike the reference where the stop check lives only
+            # inside the visualiser callback.
+            requested = step(verbose)
+            if stop or requested:
                 break
     except KeyboardInterrupt:  # ref :257-269
         st.interrupted = True
-        print("interrupted — returning current state", flush=True)
+        print("interrupted — returning current state", file=sys.stderr,
+              flush=True)
 
     if st.view is not None:
         st.view.close()

@@ -218,6 +218,7 @@ def bilevel_learn(ds, learning_function: Callable, *, xinit, params,
         verbose(lambda: (x.reshape(shape), u[0], fx,
                          np.linalg.norm(gx), delta,
                          np.linalg.norm(residual)))
+        return delta < float(params.get("tol", 0.0))
 
     st = bilevel_iterate(step, params, visualise=visualise,
                          save_iteration_fn=save_iteration_fn)
