@@ -180,9 +180,17 @@ def bilevel_learn(ds, learning_function: Callable, *, xinit, params,
         return (u, float(cost),
                 np.asarray(grad, dtype=np.float64).reshape(-1))
 
-    # ref init_rest (src/TRBox.jl:34-52): evaluate at x₀, B init
+    # ref init_rest (src/TRBox.jl:34-52): evaluate at x₀, B init.
+    # Dense BFGS is exact and cheap at typical parameter counts; large patch
+    # grids switch to limited-memory BFGS (the reference always uses
+    # LBFGSOperator for array parameters, src/TRBox.jl:50).
     u, fx, gx = call_lf(x, delta)
-    model = TRModel(n, init_scale=0.1)
+    if n > int(params.get("lbfgs_threshold", 64)):
+        from ..solvers.lbfgs import LBFGSModel
+        model = LBFGSModel(n, memory=int(params.get("lbfgs_memory", 10)),
+                           init_scale=0.1)
+    else:
+        model = TRModel(n, init_scale=0.1)
     residual = np.zeros_like(x)
     it_count = 0
 

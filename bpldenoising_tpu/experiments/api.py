@@ -320,9 +320,20 @@ def save_results(params, b, b_data, x, opt_img, st):
 def _run_bilevel(params, learning_function, visualise):
     ds = _load(params)
     ckpt = None
-    if params.get("checkpoint"):
-        ckpt = CheckpointWriter(os.path.join(
-            _out_dir(params), params.save_prefix + "_ckpt.npz"))
+    ckpt_path = os.path.join(_out_dir(params),
+                             params.save_prefix + "_ckpt.npz")
+    if params.get("resume"):
+        # resume from the last accepted iterate (capability the reference
+        # lacks; SURVEY.md §5 checkpoint/resume)
+        from ..utils.checkpoint import load_checkpoint
+        state = load_checkpoint(ckpt_path)
+        if state is not None:
+            params = params | dict(alpha0=state["x"],
+                                   delta0=float(state["delta"]))
+            print(f"resuming from {ckpt_path} "
+                  f"(iteration {int(state['iteration'])})")
+    if params.get("checkpoint") or params.get("resume"):
+        ckpt = CheckpointWriter(ckpt_path)
     save_iter_fn = None
     if params.get("save_iterations"):
         out = _out_dir(params)

@@ -1,0 +1,198 @@
+"""Unit tests: config merge semantics, checkpoint/resume, krylov solvers,
+L-BFGS model, profiling helpers, iteration-harness cadence/timing."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bpldenoising_tpu.bilevel.harness import _should_log, bilevel_iterate
+from bpldenoising_tpu.solvers.krylov import bicgstab, cg
+from bpldenoising_tpu.solvers.lbfgs import LBFGSModel
+from bpldenoising_tpu.utils import (
+    Params,
+    SectionTimer,
+    load_checkpoint,
+    merge,
+    save_checkpoint,
+)
+
+
+class TestParams:
+    def test_right_biased_merge(self):
+        p = merge(Params(a=1, b=2), Params(b=3), c=4)
+        assert p.a == 1 and p.b == 3 and p.c == 4
+
+    def test_immutable(self):
+        p = Params(a=1)
+        with pytest.raises(AttributeError):
+            p.a = 2
+
+    def test_or_operator(self):
+        p = Params(a=1) | dict(a=5, b=6)
+        assert p.a == 5 and p.b == 6
+
+    def test_none_merge(self):
+        assert merge(None, Params(a=1), None).a == 1
+
+    def test_mapping_protocol(self):
+        p = Params(a=1, b=2)
+        assert dict(p) == {"a": 1, "b": 2}
+        assert p.get("z", 9) == 9
+
+
+class TestCheckpoint:
+    def test_roundtrip(self, tmp_path):
+        path = str(tmp_path / "ck.npz")
+        save_checkpoint(path, x=np.array([1.0, 2.0]), delta=0.05,
+                        iteration=7)
+        state = load_checkpoint(path)
+        np.testing.assert_array_equal(state["x"], [1.0, 2.0])
+        assert float(state["delta"]) == 0.05
+        assert int(state["iteration"]) == 7
+
+    def test_missing_returns_none(self, tmp_path):
+        assert load_checkpoint(str(tmp_path / "nope.npz")) is None
+
+    def test_experiment_resume(self, tmp_path, monkeypatch):
+        import bpldenoising_tpu.experiments.api as api
+        monkeypatch.chdir(tmp_path)
+        fast = dict(inner_maxiter=200, maxiter=2, dataset_name="circle",
+                    num_samples=1, checkpoint=True)
+        res1 = api.scalar_bilevel_tv_learn(**fast)
+        # resume continues from the stored iterate
+        res2 = api.scalar_bilevel_tv_learn(resume=True, **fast)
+        assert res2.cost <= res1.cost + 1e-9
+
+
+class TestKrylov:
+    def spd_system(self, rng, n=40):
+        A = rng.standard_normal((n, n))
+        A = A @ A.T + n * np.eye(n)
+        b = rng.standard_normal(n)
+        return jnp.asarray(A), jnp.asarray(b)
+
+    def test_cg_solves_spd(self, rng):
+        A, b = self.spd_system(rng)
+        x, info = cg(lambda v: A @ v, b, tol=1e-12, maxiter=200)
+        assert bool(info.converged)
+        np.testing.assert_allclose(np.asarray(A @ x), np.asarray(b),
+                                   atol=1e-8)
+
+    def test_cg_preconditioned_faster(self, rng):
+        n = 60
+        d = jnp.asarray(np.geomspace(1, 1e4, n))
+        A = lambda v: d * v
+        b = jnp.asarray(rng.standard_normal(n))
+        _, plain = cg(A, b, tol=1e-10, maxiter=1000)
+        _, prec = cg(A, b, tol=1e-10, maxiter=1000, M=lambda r: r / d)
+        assert int(prec.iters) < int(plain.iters)
+
+    def test_bicgstab_nonsymmetric(self, rng):
+        n = 40
+        A = rng.standard_normal((n, n)) + n * np.eye(n)
+        Aj = jnp.asarray(A)
+        b = jnp.asarray(rng.standard_normal(n))
+        x, info = bicgstab(lambda v: Aj @ v, b, tol=1e-10, maxiter=400)
+        assert bool(info.converged)
+        np.testing.assert_allclose(np.asarray(Aj @ x), np.asarray(b),
+                                   atol=1e-6)
+
+
+class TestLBFGS:
+    def test_inverse_and_forward_consistent(self, rng):
+        n = 30
+        H = rng.standard_normal((n, n))
+        H = H @ H.T + n * np.eye(n)
+        m = LBFGSModel(n, memory=20)
+        for _ in range(40):
+            s = rng.standard_normal(n) * 0.1
+            m.update(H @ s, s)
+        v = rng.standard_normal(n)
+        # B (B⁻¹ v) ≈ v
+        np.testing.assert_allclose(m.apply(m.solve(v)), v, rtol=1e-6,
+                                   atol=1e-8)
+
+    def test_learns_quadratic_hessian_action(self, rng):
+        H = np.diag([2.0, 8.0, 1.0])
+        m = LBFGSModel(3, memory=10)
+        for _ in range(20):
+            s = rng.standard_normal(3)
+            m.update(H @ s, s)
+        # limited-memory B only approximates H (B₀ = γI bias); direction
+        # quality is what the dogleg needs
+        v = rng.standard_normal(3)
+        np.testing.assert_allclose(m.apply(v), H @ v, rtol=0.2)
+        pn = m.newton_step(v)
+        exact = -np.linalg.solve(H, v)
+        cos = pn @ exact / (np.linalg.norm(pn) * np.linalg.norm(exact))
+        assert cos > 0.99
+
+    def test_skips_bad_curvature(self):
+        m = LBFGSModel(2)
+        m.update(np.array([-1.0, 0.0]), np.array([1.0, 0.0]))
+        assert len(m.S) == 0
+
+    def test_large_patch_uses_lbfgs(self):
+        """bilevel_learn must switch to L-BFGS above the threshold."""
+        from bpldenoising_tpu.bilevel import bilevel_learn
+        calls = []
+
+        def lf(x, ds, delta):
+            calls.append(1)
+            g = 2 * (x - 0.3)
+            return np.zeros((1, 2, 2)), float(np.sum((x - 0.3) ** 2)), g
+
+        params = Params(eta1=0.25, eta2=0.75, beta1=0.25, beta2=1.9,
+                        delta0=0.2, maxiter=120, tol=1e-10, verbose_iter=0)
+        res = bilevel_learn((None, None), lf,
+                            xinit=0.1 * np.ones((10, 10)), params=params)
+        np.testing.assert_allclose(res.x, 0.3, atol=1e-5)
+
+
+class TestHarness:
+    def test_cadence(self):
+        assert _should_log(5, 1)
+        assert _should_log(20, 1)
+        assert not _should_log(21, 1)
+        assert _should_log(30, 1)
+        assert not _should_log(201, 1)
+        assert _should_log(400, 100)
+        assert not _should_log(5, 0)  # disabled
+
+    def test_step_stop_request(self):
+        count = [0]
+
+        def step(verbose):
+            count[0] += 1
+            return count[0] >= 3
+
+        st = bilevel_iterate(step, Params(maxiter=100, tol=0.0,
+                                          verbose_iter=0))
+        assert count[0] == 3
+
+    def test_timing_excludes_first_iteration(self):
+        entries = []
+
+        def step(verbose):
+            verbose(lambda: (0.0, np.zeros((2, 2)), 1.0, 1.0, 1.0, 0.0))
+
+        st = bilevel_iterate(step, Params(maxiter=3, tol=0.0,
+                                          verbose_iter=1))
+        assert len(st.log) == 3
+        assert st.log[0].time == 0.0  # clock starts after iteration 1
+
+
+class TestProfiling:
+    def test_section_timer(self):
+        t = SectionTimer()
+        with t.section("a"):
+            x = sum(range(1000))
+        assert t.totals["a"] > 0
+        assert "a" in t.report()
+
+    def test_trace_noop(self):
+        from bpldenoising_tpu.utils import trace
+        with trace(None):
+            pass
