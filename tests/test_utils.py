@@ -157,7 +157,8 @@ class TestHarness:
         assert _should_log(20, 1)
         assert not _should_log(21, 1)
         assert _should_log(30, 1)
-        assert not _should_log(201, 1)
+        assert _should_log(201, 1)        # verbose_iter=1 → every iteration
+        assert not _should_log(201, 100)
         assert _should_log(400, 100)
         assert not _should_log(5, 0)  # disabled
 
