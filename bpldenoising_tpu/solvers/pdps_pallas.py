@@ -51,53 +51,50 @@ def _roll(x, shift, axis):
     return pltpu.roll(x, shift % n, ax)
 
 
-def _size(shape, axis):
-    return shape[axis]
+def make_masks(shape):
+    """Boundary masks per spatial axis, computed ONCE per kernel invocation
+    and reused across all loop iterations (loop-invariant hoisting the
+    Mosaic compiler is not guaranteed to do through ``fori_loop``)."""
+    masks = {}
+    for axis in (-2, -1):
+        i = _idx(shape, axis)
+        n = shape[axis]
+        masks[(axis, "not_last")] = i < n - 1
+        masks[(axis, "not_first")] = i >= 1
+        masks[(axis, "interior")] = jnp.logical_and(i >= 1, i < n - 1)
+    return masks
 
 
-def _dplus(u, axis):
-    i = _idx(u.shape, axis)
-    n = _size(u.shape, axis)
-    return jnp.where(i < n - 1, _roll(u, -1, axis) - u, 0.0)
+def _dplus(u, axis, m):
+    return jnp.where(m[(axis, "not_last")], _roll(u, -1, axis) - u, 0.0)
 
 
-def _dplus_T(p, axis):
-    i = _idx(p.shape, axis)
-    n = _size(p.shape, axis)
-    a = jnp.where(i >= 1, _roll(p, 1, axis), 0.0)
-    b = jnp.where(i < n - 1, p, 0.0)
+def _dplus_T(p, axis, m):
+    a = jnp.where(m[(axis, "not_first")], _roll(p, 1, axis), 0.0)
+    b = jnp.where(m[(axis, "not_last")], p, 0.0)
     return a - b
 
 
-def _dminus(u, axis):
-    i = _idx(u.shape, axis)
-    return jnp.where(i >= 1, u - _roll(u, 1, axis), 0.0)
+def _dminus(u, axis, m):
+    return jnp.where(m[(axis, "not_first")], u - _roll(u, 1, axis), 0.0)
 
 
-def _dminus_T(p, axis):
-    i = _idx(p.shape, axis)
-    n = _size(p.shape, axis)
-    a = jnp.where(i >= 1, p, 0.0)
-    b = jnp.where(i < n - 1, _roll(p, -1, axis), 0.0)
+def _dminus_T(p, axis, m):
+    a = jnp.where(m[(axis, "not_first")], p, 0.0)
+    b = jnp.where(m[(axis, "not_last")], _roll(p, -1, axis), 0.0)
     return a - b
 
 
-def _dcent(u, axis):
-    i = _idx(u.shape, axis)
-    n = _size(u.shape, axis)
-    interior = jnp.logical_and(i >= 1, i < n - 1)
+def _dcent(u, axis, m):
     return jnp.where(
-        interior, 0.5 * (_roll(u, -1, axis) - _roll(u, 1, axis)),
-        0.0)
+        m[(axis, "interior")],
+        0.5 * (_roll(u, -1, axis) - _roll(u, 1, axis)), 0.0)
 
 
-def _dcent_T(p, axis):
-    i = _idx(p.shape, axis)
-    n = _size(p.shape, axis)
-    interior = jnp.logical_and(i >= 1, i < n - 1)
-    q = jnp.where(interior, p, 0.0)
-    a = jnp.where(i >= 1, _roll(q, 1, axis), 0.0)
-    b = jnp.where(i < n - 1, _roll(q, -1, axis), 0.0)
+def _dcent_T(p, axis, m):
+    q = jnp.where(m[(axis, "interior")], p, 0.0)
+    a = jnp.where(m[(axis, "not_first")], _roll(q, 1, axis), 0.0)
+    b = jnp.where(m[(axis, "not_last")], _roll(q, -1, axis), 0.0)
     return 0.5 * (a - b)
 
 
@@ -108,15 +105,15 @@ _STENCILS = {
 }
 
 
-def _grad_pair(op, u):
+def _grad_pair(op, u, m):
     """op.apply as two planes (gx, gy) each shaped like u."""
     fwd, _ = _STENCILS[type(op)]
-    return fwd(u, -2), fwd(u, -1)
+    return fwd(u, -2, m), fwd(u, -1, m)
 
 
-def _div_pair(op, gx, gy):
+def _div_pair(op, gx, gy, m):
     _, adj = _STENCILS[type(op)]
-    return adj(gx, -2) + adj(gy, -1)
+    return adj(gx, -2, m) + adj(gy, -1, m)
 
 
 # ---------------------------------------------------------------------------
@@ -146,12 +143,15 @@ def _make_kernel(model: DenoiseModel, maxiter: int, accel: bool,
         ys0 = tuple(zeros for _ in range(2 * K))
         carry0 = (u0, ys0, jnp.asarray(tau_init, dtype),
                   jnp.asarray(sigma_init, dtype))
+        masks = make_masks(f.shape)  # loop-invariant boundary masks
+        tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+        r2s = [a * a for a in alphas]
 
         def body(_, carry):
             u, ys, tau, sigma = carry
             div = None
             for k, op in enumerate(model.ops):
-                d = _div_pair(op, ys[2 * k], ys[2 * k + 1])
+                d = _div_pair(op, ys[2 * k], ys[2 * k + 1], masks)
                 div = d if div is None else div + d
             u_new = (u - tau * (div - f)) / (1.0 + tau)
             if accel:
@@ -163,13 +163,13 @@ def _make_kernel(model: DenoiseModel, maxiter: int, accel: bool,
             ubar = (1.0 + omega) * u_new - omega * u
             ys_new = []
             for k, op in enumerate(model.ops):
-                gx, gy = _grad_pair(op, ubar)
+                gx, gy = _grad_pair(op, ubar, masks)
                 px = ys[2 * k] + sigma * gx
                 py = ys[2 * k + 1] + sigma * gy
-                n = jnp.sqrt(px * px + py * py)
-                r = alphas[k]
-                tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
-                scale = jnp.where(n <= r, 1.0, r / jnp.maximum(n, tiny))
+                # projection via rsqrt on the squared norm (no sqrt+divide)
+                n2 = px * px + py * py
+                scale = jnp.where(n2 <= r2s[k], 1.0,
+                                  alphas[k] * lax.rsqrt(n2 + tiny))
                 ys_new.extend((px * scale, py * scale))
             return (u_new, tuple(ys_new), tau, sigma)
 
