@@ -1,0 +1,121 @@
+"""Command-line interface.
+
+The reference is REPL-driven (no CLI); this is the optional argparse layer
+SURVEY.md §5 ("config/flag system") plans on top of the same experiment API::
+
+    python -m bpldenoising_tpu scalar-tv --dataset faces_train --num-samples 10
+    python -m bpldenoising_tpu patch-tv --dataset cameraman_128_5 --patch 2
+    python -m bpldenoising_tpu scalar-sumregs --dataset circle
+    python -m bpldenoising_tpu patch-sumregs --dataset cameraman_128_5
+    python -m bpldenoising_tpu validate-tv 0.07 --dataset faces_val
+    python -m bpldenoising_tpu cost-sweep --dataset cameraman_128_5 \
+        --lo 1e-3 --hi 1 --points 50 --plot
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="bpldenoising_tpu")
+    ap.add_argument("--x64", action="store_true",
+                    help="run in float64 (CPU oracle mode)")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def common(p):
+        p.add_argument("--dataset", default="cameraman_128_5")
+        p.add_argument("--num-samples", type=int, default=1)
+        p.add_argument("--maxiter", type=int, default=20)
+        p.add_argument("--inner-maxiter", type=int, default=5000)
+        p.add_argument("--checkpoint", action="store_true")
+        p.add_argument("--resume", action="store_true")
+        p.add_argument("--visualise", action="store_true")
+        p.add_argument("--dtype", default=None,
+                       help="float32|float64 (default: float64)")
+
+    p = sub.add_parser("scalar-tv");      common(p)
+    p.add_argument("--alpha0", type=float, default=0.1)
+    p = sub.add_parser("patch-tv");       common(p)
+    p.add_argument("--patch", type=int, default=2)
+    p.add_argument("--alpha0", type=float, default=1e-4)
+    p = sub.add_parser("scalar-sumregs"); common(p)
+    p.add_argument("--alpha0", type=float, default=1e-3)
+    p = sub.add_parser("patch-sumregs");  common(p)
+    p.add_argument("--patch", type=int, default=2)
+    p.add_argument("--alpha0", type=float, default=1e-3)
+
+    p = sub.add_parser("validate-tv")
+    p.add_argument("parameter", type=float)
+    p.add_argument("--dataset", default="cameraman_128_5")
+    p = sub.add_parser("validate-sumregs")
+    p.add_argument("parameter", type=float, nargs=3)
+    p.add_argument("--dataset", default="cameraman_128_5")
+
+    p = sub.add_parser("cost-sweep")
+    p.add_argument("--dataset", default="cameraman_128_5")
+    p.add_argument("--lo", type=float, default=1e-3)
+    p.add_argument("--hi", type=float, default=1.0)
+    p.add_argument("--points", type=int, default=50)
+    p.add_argument("--num-samples", type=int, default=1)
+    p.add_argument("--maxiter", type=int, default=10000)
+    p.add_argument("--plot", action="store_true")
+
+    args = ap.parse_args(argv)
+
+    if args.x64:
+        import jax
+        jax.config.update("jax_enable_x64", True)
+
+    from bpldenoising_tpu import experiments as ex
+
+    def kw():
+        d = dict(dataset_name=args.dataset, num_samples=args.num_samples,
+                 maxiter=args.maxiter, inner_maxiter=args.inner_maxiter,
+                 checkpoint=args.checkpoint, resume=args.resume)
+        if args.dtype:
+            d["dtype"] = args.dtype
+        return d
+
+    if args.cmd == "scalar-tv":
+        res = ex.scalar_bilevel_tv_learn(
+            visualise=args.visualise, alpha0=args.alpha0, **kw())
+    elif args.cmd == "patch-tv":
+        res = ex.patch_bilevel_tv_learn(
+            visualise=args.visualise,
+            alpha0=args.alpha0 * np.ones((args.patch, args.patch)),
+            delta0=args.alpha0, **kw())
+    elif args.cmd == "scalar-sumregs":
+        res = ex.scalar_bilevel_sumregs_learn(
+            visualise=args.visualise, alpha0=np.full(3, args.alpha0), **kw())
+    elif args.cmd == "patch-sumregs":
+        res = ex.patch_bilevel_sumregs_learn(
+            visualise=args.visualise,
+            alpha0=args.alpha0 * np.ones((args.patch, args.patch, 3)), **kw())
+    elif args.cmd == "validate-tv":
+        out = ex.validate_tv_parameter(args.parameter,
+                                       dataset_name=args.dataset)
+        print(out["cost"], out["mean_psnr"])
+        return
+    elif args.cmd == "validate-sumregs":
+        out = ex.validate_sumregs_parameter(np.asarray(args.parameter),
+                                            dataset_name=args.dataset)
+        print(out["cost"], out["mean_psnr"])
+        return
+    elif args.cmd == "cost-sweep":
+        costs = ex.generate_scalar_tv_cost(
+            args.dataset, np.logspace(np.log10(args.lo), np.log10(args.hi),
+                                      args.points),
+            num_samples=args.num_samples, maxiter=args.maxiter)
+        if args.plot:
+            print(ex.generate_cost_plot(args.dataset))
+        return
+
+    print(f"x = {np.asarray(res.x)!r}\ncost = {res.cost}\n"
+          f"iterations = {res.iterations}")
+
+
+if __name__ == "__main__":
+    main()

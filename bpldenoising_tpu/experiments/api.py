@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 from typing import Optional
 
 import jax
@@ -292,7 +293,7 @@ def save_results(params, b, b_data, x, opt_img, st):
     prefix = params.save_prefix
     perffile = os.path.join(out_path, prefix + ".txt")
     qualityfile = os.path.join(out_path, prefix + "_quality.txt")
-    print("Saving " + perffile)
+    print("Saving " + perffile, file=sys.stderr)
     write_log(perffile, st.log, f"# params = {dict(params)!r}, x = {x!r}")
     _write_quality_table(qualityfile, b, b_data, opt_img)
     _save_image_triplets(out_path, prefix, b, b_data, opt_img)
@@ -331,7 +332,7 @@ def _run_bilevel(params, learning_function, visualise):
             params = params | dict(alpha0=state["x"],
                                    delta0=float(state["delta"]))
             print(f"resuming from {ckpt_path} "
-                  f"(iteration {int(state['iteration'])})")
+                  f"(iteration {int(state['iteration'])})", file=sys.stderr)
     if params.get("checkpoint") or params.get("resume"):
         ckpt = CheckpointWriter(ckpt_path)
     save_iter_fn = None
@@ -437,7 +438,8 @@ def validate_tv_parameter(parameter, **kwargs):
     dt = _np_dtype(params)
     u = np.asarray(TVDenoise(jnp.asarray(noisy, dt), parameter))
     cost = L2CostFunction(u, img)
-    print(f"Denoising parameter {parameter}: cost = {cost}")
+    print(f"Denoising parameter {parameter}: cost = {cost}",
+          file=sys.stderr)
     mean_ssim, mean_psnr = _validate(params, u, img, noisy)
     return dict(cost=cost, mean_ssim=mean_ssim, mean_psnr=mean_psnr, u=u)
 
@@ -456,7 +458,8 @@ def validate_sumregs_parameter(parameter, **kwargs):
     u, cost, _ = sumregs_learning_function(
         jnp.asarray(parameter, dt), ds, 0.1)
     u = np.asarray(u)
-    print(f"Denoising parameter {parameter}: cost = {float(cost)}")
+    print(f"Denoising parameter {parameter}: cost = {float(cost)}",
+          file=sys.stderr)
     mean_ssim, mean_psnr = _validate(params, u, img, noisy)
     return dict(cost=float(cost), mean_ssim=mean_ssim, mean_psnr=mean_psnr,
                 u=u)

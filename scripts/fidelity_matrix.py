@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Fidelity matrix: run every experiment family on (a) CPU float64 — the
+reference-equivalent oracle — and (b) the requested backend/dtype (TPU
+float32 + fused Pallas kernel by default), and report learned parameters,
+final cost and PSNR side by side.
+
+Writes JSON to scripts/fidelity_<mode>.json; scripts/make_fidelity_report.py
+merges the two into FIDELITY.md.
+
+Usage:
+    JAX_PLATFORMS=cpu python scripts/fidelity_matrix.py --mode oracle
+    python scripts/fidelity_matrix.py --mode tpu
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def run_matrix(mode: str) -> dict:
+    import jax
+
+    if mode == "oracle":
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+        dtype = "float64"
+        backend = "jnp"
+    else:
+        dtype = "float32"
+        backend = "pallas"
+
+    import jax.numpy as jnp
+    import numpy as np
+    from bpldenoising_tpu.bilevel import bilevel_learn
+    from bpldenoising_tpu.data import testdataset
+    from bpldenoising_tpu.learning import (
+        make_sumregs_learning_function,
+        make_tv_learning_function,
+    )
+    from bpldenoising_tpu.metrics import psnr
+    from bpldenoising_tpu.utils.config import Params
+
+    float(jnp.zeros(()))  # warm the device↔host path
+
+    def tr_params(delta0, maxiter=20):
+        return Params(eta1=0.25, eta2=0.75, beta1=0.25, beta2=1.9,
+                      delta0=delta0, maxiter=maxiter, tol=1e-5,
+                      verbose_iter=0)
+
+    def load(name, n):
+        t, d = testdataset(name)
+        dt = jnp.dtype(dtype)
+        return jnp.asarray(t[:n], dt), jnp.asarray(d[:n], dt)
+
+    results = {}
+
+    def record(key, ds, res, wall):
+        results[key] = dict(
+            x=np.asarray(res.x).tolist(),
+            cost=float(res.cost),
+            g_norm=float(res.g_norm),
+            iterations=int(res.iterations),
+            mean_psnr=float(np.mean(np.asarray(
+                psnr(ds[0], jnp.asarray(res.u))))),
+            wall_s=round(wall, 3),
+        )
+        print(f"{key}: {results[key]}", file=sys.stderr)
+
+    # 1. scalar TV on faces (the flagship)
+    ds = load("faces_train_128_10", 10)
+    lf = make_tv_learning_function(maxiter=5000, backend=backend)
+    u, c, g = lf(0.1, ds, 0.1)
+    jax.block_until_ready(u)
+    t0 = time.perf_counter()
+    res = bilevel_learn(ds, lf, xinit=0.1, params=tr_params(0.1))
+    record("scalar_tv_faces10", ds, res, time.perf_counter() - t0)
+
+    # 2. patch 2x2 TV on cameraman (ref patch_bilevel_params: Δ₀=α₀=1e-4)
+    ds = load("cameraman_128_5", 1)
+    t0 = time.perf_counter()
+    res = bilevel_learn(ds, lf, xinit=1e-4 * np.ones((2, 2)),
+                        params=tr_params(1e-4))
+    record("patch2x2_tv_cameraman", ds, res, time.perf_counter() - t0)
+
+    # 3. sumregs vector on circle (ref sumregs params: Δ₀=0.01, α₀=1e-3)
+    ds = load("circle_128_10", 1)
+    lf3 = make_sumregs_learning_function(maxiter=5000, backend=backend)
+    t0 = time.perf_counter()
+    res = bilevel_learn(ds, lf3, xinit=np.full(3, 1e-3),
+                        params=tr_params(0.01))
+    record("sumregs_vec_circle", ds, res, time.perf_counter() - t0)
+
+    # 4. patch 2x2x3 sumregs on cameraman (ref: β₂=1.5, Δ₀=0.1, α₀=1e-3)
+    ds = load("cameraman_128_5", 1)
+    p = tr_params(0.1) | dict(beta2=1.5)
+    t0 = time.perf_counter()
+    res = bilevel_learn(ds, lf3, xinit=1e-3 * np.ones((2, 2, 3)), params=p)
+    record("patch_sumregs_cameraman", ds, res, time.perf_counter() - t0)
+
+    return results
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=["oracle", "tpu"], required=True)
+    args = ap.parse_args()
+    results = run_matrix(args.mode)
+    out = os.path.join(os.path.dirname(__file__),
+                       f"fidelity_{args.mode}.json")
+    with open(out, "w") as fh:
+        json.dump(results, fh, indent=2)
+    print(f"wrote {out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,35 @@
+"""CLI smoke tests."""
+
+import numpy as np
+import pytest
+
+from bpldenoising_tpu.__main__ import main
+
+
+@pytest.fixture(autouse=True)
+def in_tmp(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+
+
+def test_scalar_tv(capsys):
+    main(["scalar-tv", "--dataset", "circle", "--maxiter", "2",
+          "--inner-maxiter", "200"])
+    out = capsys.readouterr().out
+    assert "x =" in out and "cost =" in out
+
+
+def test_validate_tv(capsys):
+    main(["validate-tv", "0.1", "--dataset", "circle"])
+    assert len(capsys.readouterr().out.split()) == 2
+
+
+def test_cost_sweep(tmp_path):
+    import os
+    main(["cost-sweep", "--dataset", "circle", "--points", "3",
+          "--maxiter", "100", "--plot"])
+    assert os.path.exists("output/circle_128_10/circle_128_10_cost.npz")
+
+
+def test_bad_command_exits():
+    with pytest.raises(SystemExit):
+        main(["not-a-command"])
