@@ -71,7 +71,23 @@ default_params = Params(
     checkpoint=False,
     dtype="float64",   # reference is Float64 end-to-end; TPU runs use float32
     inner_maxiter=5000,
+    inner_tol=None,    # optional PDPS early stop (reference: fixed budget);
+    #                    set e.g. 1e-6 to stop on relative change per 500 its
+    backend="jnp",     # "pallas" for the fused TPU kernel
 )
+
+
+def _make_lf(params, factory):
+    """Build a learning function honoring inner_maxiter/inner_tol/backend.
+    Early stopping requires the jnp solver path (the fused kernel runs a
+    fixed budget)."""
+    tol = params.get("inner_tol")
+    backend = params.get("backend", "jnp")
+    kwargs = dict(maxiter=int(params.inner_maxiter), backend=backend)
+    if tol is not None:
+        kwargs["backend"] = "jnp"
+        kwargs["solver_kwargs"] = dict(tol=float(tol))
+    return factory(**kwargs)
 
 # ref src/BPLDenoising.jl:316-323 (η₁/η₂/β₁/β₂/Δ₀/α₀ → ASCII names)
 bilevel_params = Params(
@@ -359,7 +375,7 @@ def scalar_bilevel_tv_learn(visualise: bool = False, **kwargs):
     params = _canon(params)
     params = params | dict(save_prefix="tv_optimal_parameter_scalar_"
                            + params.dataset_name)
-    lf = make_tv_learning_function(maxiter=int(params.inner_maxiter))
+    lf = _make_lf(params, make_tv_learning_function)
     return _run_bilevel(params, lf, visualise)
 
 
@@ -370,7 +386,7 @@ def patch_bilevel_tv_learn(visualise: bool = False, **kwargs):
     shape = tuple(np.asarray(params.alpha0).shape)
     params = params | dict(
         save_prefix=f"tv_optimal_parameter_{shape}_" + params.dataset_name)
-    lf = make_tv_learning_function(maxiter=int(params.inner_maxiter))
+    lf = _make_lf(params, make_tv_learning_function)
     return _run_bilevel(params, lf, visualise)
 
 
@@ -380,7 +396,7 @@ def scalar_bilevel_sumregs_learn(visualise: bool = False, **kwargs):
     params = _canon(params)
     params = params | dict(save_prefix="sumregs_optimal_parameter_scalar_"
                            + params.dataset_name)
-    lf = make_sumregs_learning_function(maxiter=int(params.inner_maxiter))
+    lf = _make_lf(params, make_sumregs_learning_function)
     return _run_bilevel(params, lf, visualise)
 
 
@@ -396,7 +412,7 @@ def patch_bilevel_sumregs_learn(image_pair=None, dataset_name=None,
     params = params | dict(
         save_prefix=f"sumregs_optimal_parameter_patch_{shape}"
         + params.dataset_name)
-    lf = make_sumregs_learning_function(maxiter=int(params.inner_maxiter))
+    lf = _make_lf(params, make_sumregs_learning_function)
     if image_pair is not None:
         dt = _np_dtype(params)
         b = jnp.asarray(image_pair[0], dt)[None]
