@@ -20,7 +20,6 @@ off by default under pytest/CI.
 
 from __future__ import annotations
 
-import os
 import sys
 import time
 from dataclasses import dataclass, field

@@ -20,10 +20,8 @@ learning runs add optional npz checkpointing (absent in the reference).
 
 from __future__ import annotations
 
-import json
 import os
 import sys
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -40,8 +40,6 @@ Design notes (TPU-first):
 from __future__ import annotations
 
 import functools
-import math
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp

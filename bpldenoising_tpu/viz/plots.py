@@ -8,8 +8,6 @@ backend is usable) instead of .tex/.pdf via LaTeX.
 
 from __future__ import annotations
 
-import os
-
 import numpy as np
 
 __all__ = ["plot_cost_curve", "plot_cost_contour"]

@@ -60,6 +60,15 @@ def run_matrix(mode: str) -> dict:
 
     results = {}
 
+    def warm(lf, x0, ds):
+        """Compile both gradient branches for this parameter shape before
+        timing (the reference's harness likewise excludes JIT time,
+        src/BilevelVisualise.jl:192-196)."""
+        u, _, _ = lf(x0, ds, 0.1)
+        jax.block_until_ready(u)
+        u, _, _ = lf(x0, ds, 1e-12)
+        jax.block_until_ready(u)
+
     def record(key, ds, res, wall):
         results[key] = dict(
             x=np.asarray(res.x).tolist(),
@@ -75,14 +84,14 @@ def run_matrix(mode: str) -> dict:
     # 1. scalar TV on faces (the flagship)
     ds = load("faces_train_128_10", 10)
     lf = make_tv_learning_function(maxiter=5000, backend=backend)
-    u, c, g = lf(0.1, ds, 0.1)
-    jax.block_until_ready(u)
+    warm(lf, 0.1, ds)
     t0 = time.perf_counter()
     res = bilevel_learn(ds, lf, xinit=0.1, params=tr_params(0.1))
     record("scalar_tv_faces10", ds, res, time.perf_counter() - t0)
 
     # 2. patch 2x2 TV on cameraman (ref patch_bilevel_params: Δ₀=α₀=1e-4)
     ds = load("cameraman_128_5", 1)
+    warm(lf, 1e-4 * np.ones((2, 2)), ds)
     t0 = time.perf_counter()
     res = bilevel_learn(ds, lf, xinit=1e-4 * np.ones((2, 2)),
                         params=tr_params(1e-4))
@@ -91,6 +100,7 @@ def run_matrix(mode: str) -> dict:
     # 3. sumregs vector on circle (ref sumregs params: Δ₀=0.01, α₀=1e-3)
     ds = load("circle_128_10", 1)
     lf3 = make_sumregs_learning_function(maxiter=5000, backend=backend)
+    warm(lf3, np.full(3, 1e-3), ds)
     t0 = time.perf_counter()
     res = bilevel_learn(ds, lf3, xinit=np.full(3, 1e-3),
                         params=tr_params(0.01))
@@ -98,6 +108,7 @@ def run_matrix(mode: str) -> dict:
 
     # 4. patch 2x2x3 sumregs on cameraman (ref: β₂=1.5, Δ₀=0.1, α₀=1e-3)
     ds = load("cameraman_128_5", 1)
+    warm(lf3, 1e-3 * np.ones((2, 2, 3)), ds)
     p = tr_params(0.1) | dict(beta2=1.5)
     t0 = time.perf_counter()
     res = bilevel_learn(ds, lf3, xinit=1e-3 * np.ones((2, 2, 3)), params=p)
