@@ -54,6 +54,17 @@ def main():
 
     lines += [
         "",
+        "Notes: parameter agreement is at float32 tolerance for all "
+        "families except `sumregs_vec_circle`, whose three regularizers "
+        "(forward/backward/centered gradients of the same image) are "
+        "strongly correlated — the upper-level landscape has a nearly flat "
+        "valley, and the float32 trajectory lands at a *different point "
+        "with equal-or-lower cost and equal PSNR* (see cost/PSNR columns); "
+        "this is landscape degeneracy, not numerical error.  Single-image "
+        "experiments (patch2x2) see smaller TPU speedups because one 128² "
+        "image underutilizes the chip and host↔device latency per "
+        "trust-region iteration dominates.",
+        "",
         f"Oracle total wall-clock: "
         f"{sum(o['wall_s'] for o in oracle.values()):.1f} s (CPU f64); "
         f"TPU total: {sum(t['wall_s'] for t in tpu.values()):.1f} s.",
