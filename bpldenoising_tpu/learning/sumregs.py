@@ -2,9 +2,10 @@
 
 Equivalent of ``sumregs_learning_function`` (``src/SumRegsLearningFunction.jl:8-36``):
 vector α ∈ ℝ³ or patch α of shape (m, n, 3), with the forward/backward/
-centered operator triple.  Same L4 contract and TPU-first batching strategy
-as :mod:`bpldenoising_tpu.learning.tv`.  The reference uses Δt = 1e-3 for the
-exact/regularized switch here (``:14``) rather than TV's 1e-6.
+centered operator triple.  Same L4 contract, batching strategy and fused
+single-dispatch step as :mod:`bpldenoising_tpu.learning.tv`.  The reference
+uses Δt = 1e-3 for the exact/regularized switch here (``:14``) rather than
+TV's 1e-6.
 """
 
 from __future__ import annotations
@@ -18,12 +19,42 @@ import jax.numpy as jnp
 from ..models import sumregs_model
 from ..ops import PatchOp
 from ..solvers.hypergrad import HypergradConfig, exact_hypergrad, reg_hypergrad
-from ..solvers.pdps import denoise_pdps
-from ..solvers.pdps_pallas import denoise_pdps_pallas
+from .tv import _frozen, _solve
 
 __all__ = ["sumregs_learning_function", "make_sumregs_learning_function"]
 
 _MODEL = sumregs_model()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("method", "maxiter", "backend", "cfg", "pop",
+                     "solver_kwargs"))
+def _sumregs_step(x, utrue, f, *, method: str, maxiter: int, backend: str,
+                  cfg: HypergradConfig, pop: Optional[PatchOp],
+                  solver_kwargs: tuple):
+    kw = dict(solver_kwargs)
+    if pop is None:
+        alphas = tuple(x[k] for k in range(3))
+        want_maps = False
+    else:
+        alphas = tuple(pop.apply(x[..., k]) for k in range(3))
+        want_maps = True
+
+    u = _solve(f, alphas, _MODEL, maxiter, backend, kw)
+
+    fn = exact_hypergrad if method == "exact" else reg_hypergrad
+    per_image = jax.vmap(
+        lambda ui, ti: fn(ui, ti, alphas, _MODEL, cfg, want_maps)[0])
+    grads = per_image(u, utrue)   # K-tuple of (O,) scalars or (O, M, N) maps
+    if want_maps:
+        grad = jnp.stack(
+            [pop.apply_adjoint(jnp.sum(g, axis=0)) for g in grads], axis=-1)
+    else:
+        grad = jnp.stack([jnp.sum(g) for g in grads])
+
+    cost = 0.5 * jnp.sum((u - utrue) ** 2)
+    return u, cost, grad
 
 
 def sumregs_learning_function(x, ds, delta, *, delta_t: float = 1e-3,
@@ -40,35 +71,18 @@ def sumregs_learning_function(x, ds, delta, *, delta_t: float = 1e-3,
     f = jnp.asarray(ds[1], utrue.dtype)
     x = jnp.asarray(x, utrue.dtype)
     method = "exact" if float(delta) > delta_t else "reg"
-    fn = exact_hypergrad if method == "exact" else reg_hypergrad
-    kwargs = solver_kwargs or {}
 
     if x.ndim == 1 and x.shape[0] == 3:
-        alphas = tuple(x[k] for k in range(3))
-        want_maps = False
         pop = None
     elif x.ndim == 3 and x.shape[-1] == 3:
         pop = PatchOp.for_image(x[..., 0], f[0] if f.ndim == 3 else f)
-        alphas = tuple(pop.apply(x[..., k]) for k in range(3))
-        want_maps = True
     else:
         raise ValueError(
             f"sumregs parameter must be (3,) or (m, n, 3), got {x.shape}")
 
-    solve = denoise_pdps_pallas if backend == "pallas" else denoise_pdps
-    u = solve(f, alphas, _MODEL, maxiter=maxiter, **kwargs)
-
-    per_image = jax.vmap(
-        lambda ui, ti: fn(ui, ti, alphas, _MODEL, cfg, want_maps)[0])
-    grads = per_image(u, utrue)   # K-tuple of (O,)-scalars or (O, M, N) maps
-    if want_maps:
-        grad = jnp.stack(
-            [pop.apply_adjoint(jnp.sum(g, axis=0)) for g in grads], axis=-1)
-    else:
-        grad = jnp.stack([jnp.sum(g) for g in grads])
-
-    cost = 0.5 * jnp.sum((u - utrue) ** 2)
-    return u, cost, grad
+    return _sumregs_step(x, utrue, f, method=method, maxiter=int(maxiter),
+                         backend=backend, cfg=cfg, pop=pop,
+                         solver_kwargs=_frozen(solver_kwargs))
 
 
 def make_sumregs_learning_function(**defaults):

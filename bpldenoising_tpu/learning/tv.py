@@ -11,7 +11,10 @@ TPU-first differences from the reference:
 * per-image hypergradients are ``vmap``-ed and summed instead of the
   sequential Julia loop (``src/TVLearningFunctionVec.jl:72-83``);
 * the Δ > Δt exact/regularized gradient switch (``:21-25``, Δt = 1e-6) is a
-  host-side branch between two compiled paths.
+  host-side branch between two compiled paths;
+* the ENTIRE step (inner solve + cost + hypergradient + pullback) is one
+  jitted computation — one device dispatch per trust-region evaluation
+  (round-trip latency would otherwise rival the compute itself).
 """
 
 from __future__ import annotations
@@ -25,21 +28,56 @@ import jax.numpy as jnp
 from ..models import tv_model
 from ..ops import PatchOp
 from ..solvers.hypergrad import HypergradConfig, exact_hypergrad, reg_hypergrad
-from ..solvers.pdps import denoise_pdps
-from ..solvers.pdps_pallas import denoise_pdps_pallas
+from ..solvers.pdps import _denoise_pdps_impl
+from ..solvers.pdps_pallas import _pallas_impl
 
 __all__ = ["tv_learning_function", "make_tv_learning_function"]
 
 _MODEL = tv_model()
 
 
-def _batched_hypergrad(u, utrue, alpha_img, method: str,
-                       cfg: HypergradConfig, want_maps: bool):
+def _solve(f, alphas, model, maxiter, backend, solver_kwargs):
+    kw = dict(solver_kwargs or {})
+    if backend == "pallas":
+        return _pallas_impl(
+            f, alphas, model=model, tau0=kw.pop("tau0", 5.0),
+            sigma0=kw.pop("sigma0", 0.99 / 5.0), gamma=kw.pop("gamma", 1.0),
+            maxiter=maxiter, accel=kw.pop("accel", True),
+            interpret=kw.pop("interpret", False))
+    return _denoise_pdps_impl(
+        f, alphas, model=model, tau0=kw.pop("tau0", 5.0),
+        sigma0=kw.pop("sigma0", 0.99 / 5.0), gamma=kw.pop("gamma", 1.0),
+        maxiter=maxiter, accel=kw.pop("accel", True),
+        tol=kw.pop("tol", None), check_every=kw.pop("check_every", 500),
+        return_dual=False)
+
+
+def _frozen(d: Optional[dict]):
+    return tuple(sorted((d or {}).items()))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("method", "maxiter", "backend", "cfg", "pop",
+                     "solver_kwargs"))
+def _tv_step(x, utrue, f, *, method: str, maxiter: int, backend: str,
+             cfg: HypergradConfig, pop: Optional[PatchOp],
+             solver_kwargs: tuple):
+    """One fused learning-function evaluation (single device dispatch)."""
+    kw = dict(solver_kwargs)
+    alpha_img = pop.apply(x) if pop is not None else x
+    u = _solve(f, (alpha_img,), _MODEL, maxiter, backend, kw)
+
     fn = exact_hypergrad if method == "exact" else reg_hypergrad
+    want_maps = pop is not None
     per_image = jax.vmap(
         lambda ui, ti: fn(ui, ti, (alpha_img,), _MODEL, cfg, want_maps)[0][0])
-    g = per_image(u, utrue)          # (O,) scalars or (O, M, N) maps
-    return jnp.sum(g, axis=0)
+    g = jnp.sum(per_image(u, utrue), axis=0)
+    if pop is not None:
+        g = pop.apply_adjoint(g)   # ref calc_adjoint pullback (:214,253)
+
+    cost = 0.5 * jnp.sum((u - utrue) ** 2)
+    return u, cost, g
 
 
 def tv_learning_function(x, ds, delta, *, delta_t: float = 1e-6,
@@ -63,26 +101,17 @@ def tv_learning_function(x, ds, delta, *, delta_t: float = 1e-6,
     f = jnp.asarray(ds[1], utrue.dtype)
     x = jnp.asarray(x, utrue.dtype)
     method = "exact" if float(delta) > delta_t else "reg"
-    kwargs = solver_kwargs or {}
-    solve = denoise_pdps_pallas if backend == "pallas" else denoise_pdps
 
     if x.ndim == 0:
-        alpha_img = x
-        u = solve(f, (alpha_img,), _MODEL, maxiter=maxiter, **kwargs)
-        grad = _batched_hypergrad(u, utrue, alpha_img, method, cfg,
-                                  want_maps=False)
+        pop = None
     elif x.ndim == 2:
         pop = PatchOp.for_image(x, f[0] if f.ndim == 3 else f)
-        alpha_img = pop.apply(x)
-        u = solve(f, (alpha_img,), _MODEL, maxiter=maxiter, **kwargs)
-        gmap = _batched_hypergrad(u, utrue, alpha_img, method, cfg,
-                                  want_maps=True)
-        grad = pop.apply_adjoint(gmap)  # ref calc_adjoint pullback (:214,253)
     else:
         raise ValueError(f"TV parameter must be scalar or 2-D, got {x.shape}")
 
-    cost = 0.5 * jnp.sum((u - utrue) ** 2)
-    return u, cost, grad
+    return _tv_step(x, utrue, f, method=method, maxiter=int(maxiter),
+                    backend=backend, cfg=cfg, pop=pop,
+                    solver_kwargs=_frozen(solver_kwargs))
 
 
 def make_tv_learning_function(**defaults):
