@@ -63,3 +63,17 @@ def test_unaccelerated(rng):
                                 accel=False, interpret=True)
     np.testing.assert_allclose(np.asarray(u_pal), np.asarray(u_ref),
                                atol=1e-10)
+
+
+def test_multi_grid_steps(rng, monkeypatch):
+    """Batch larger than the VMEM chunk exercises grid>1 + padding."""
+    import bpldenoising_tpu.solvers.pdps_pallas as pp
+    monkeypatch.setattr(pp, "_vmem_chunk", lambda O, M, N, K, sz: 2)
+    model = tv_model()
+    f = jnp.stack([noisy(rng) for _ in range(5)])  # 5 images, chunk 2 → grid 3
+    u_ref = denoise_pdps(f, (0.1,), model, maxiter=ITERS)
+    u_pal = pp.denoise_pdps_pallas(f, (0.1,), model, maxiter=ITERS,
+                                   interpret=True)
+    assert u_pal.shape == f.shape
+    np.testing.assert_allclose(np.asarray(u_pal), np.asarray(u_ref),
+                               atol=1e-10)
