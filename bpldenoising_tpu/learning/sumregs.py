@@ -30,8 +30,8 @@ _MODEL = sumregs_model()
     jax.jit,
     static_argnames=("method", "maxiter", "backend", "cfg", "pop",
                      "solver_kwargs"))
-def _sumregs_step(x, utrue, f, *, method: str, maxiter: int, backend: str,
-                  cfg: HypergradConfig, pop: Optional[PatchOp],
+def _sumregs_step(x, utrue, f, p0, *, method: str, maxiter: int,
+                  backend: str, cfg: HypergradConfig, pop: Optional[PatchOp],
                   solver_kwargs: tuple):
     kw = dict(solver_kwargs)
     if pop is None:
@@ -44,9 +44,15 @@ def _sumregs_step(x, utrue, f, *, method: str, maxiter: int, backend: str,
     u = _solve(f, alphas, _MODEL, maxiter, backend, kw)
 
     fn = exact_hypergrad if method == "exact" else reg_hypergrad
-    per_image = jax.vmap(
-        lambda ui, ti: fn(ui, ti, alphas, _MODEL, cfg, want_maps)[0])
-    grads = per_image(u, utrue)   # K-tuple of (O,) scalars or (O, M, N) maps
+
+    def one(ui, ti, pi):
+        grads, padj, _ = fn(ui, ti, alphas, _MODEL, cfg, want_maps, p0=pi)
+        return grads, padj
+
+    if p0 is None:
+        grads, p = jax.vmap(lambda ui, ti: one(ui, ti, None))(u, utrue)
+    else:
+        grads, p = jax.vmap(one)(u, utrue, p0)
     if want_maps:
         grad = jnp.stack(
             [pop.apply_adjoint(jnp.sum(g, axis=0)) for g in grads], axis=-1)
@@ -54,14 +60,15 @@ def _sumregs_step(x, utrue, f, *, method: str, maxiter: int, backend: str,
         grad = jnp.stack([jnp.sum(g) for g in grads])
 
     cost = 0.5 * jnp.sum((u - utrue) ** 2)
-    return u, cost, grad
+    return u, cost, grad, p
 
 
 def sumregs_learning_function(x, ds, delta, *, delta_t: float = 1e-3,
                               maxiter: int = 5000,
                               cfg: HypergradConfig = HypergradConfig(),
                               backend: str = "jnp",
-                              solver_kwargs: Optional[dict] = None):
+                              solver_kwargs: Optional[dict] = None,
+                              p0=None, return_p: bool = False):
     """L4 learning function for the 3-regularizer model.
 
     ``x``: (3,) vector of weights, or (m, n, 3) stack of patch grids.
@@ -80,10 +87,28 @@ def sumregs_learning_function(x, ds, delta, *, delta_t: float = 1e-3,
         raise ValueError(
             f"sumregs parameter must be (3,) or (m, n, 3), got {x.shape}")
 
-    return _sumregs_step(x, utrue, f, method=method, maxiter=int(maxiter),
-                         backend=backend, cfg=cfg, pop=pop,
-                         solver_kwargs=_frozen(solver_kwargs))
+    u, cost, g, p = _sumregs_step(x, utrue, f, p0, method=method,
+                                  maxiter=int(maxiter), backend=backend,
+                                  cfg=cfg, pop=pop,
+                                  solver_kwargs=_frozen(solver_kwargs))
+    if return_p:
+        return u, cost, g, p
+    return u, cost, g
 
 
 def make_sumregs_learning_function(**defaults):
-    return functools.partial(sumregs_learning_function, **defaults)
+    """Bind configuration; warm-starts adjoint CG like the TV factory."""
+    state: dict = {}
+
+    def lf(x, ds, delta, **overrides):
+        kw = dict(defaults)
+        kw.update(overrides)
+        method = "exact" if float(delta) > kw.get("delta_t", 1e-3) else "reg"
+        key = (method, jnp.shape(jnp.asarray(x)),
+               jnp.shape(jnp.asarray(ds[0])))
+        u, cost, g, p = sumregs_learning_function(
+            x, ds, delta, p0=state.get(key), return_p=True, **kw)
+        state[key] = p
+        return u, cost, g
+
+    return lf

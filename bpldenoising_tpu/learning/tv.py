@@ -60,31 +60,43 @@ def _frozen(d: Optional[dict]):
     jax.jit,
     static_argnames=("method", "maxiter", "backend", "cfg", "pop",
                      "solver_kwargs"))
-def _tv_step(x, utrue, f, *, method: str, maxiter: int, backend: str,
+def _tv_step(x, utrue, f, p0, *, method: str, maxiter: int, backend: str,
              cfg: HypergradConfig, pop: Optional[PatchOp],
              solver_kwargs: tuple):
-    """One fused learning-function evaluation (single device dispatch)."""
+    """One fused learning-function evaluation (single device dispatch).
+
+    ``p0``: optional (O, M, N) warm start for the per-image adjoint CG
+    solves; the adjoint state ``p`` is returned for the next call."""
     kw = dict(solver_kwargs)
     alpha_img = pop.apply(x) if pop is not None else x
     u = _solve(f, (alpha_img,), _MODEL, maxiter, backend, kw)
 
     fn = exact_hypergrad if method == "exact" else reg_hypergrad
     want_maps = pop is not None
-    per_image = jax.vmap(
-        lambda ui, ti: fn(ui, ti, (alpha_img,), _MODEL, cfg, want_maps)[0][0])
-    g = jnp.sum(per_image(u, utrue), axis=0)
+
+    def one(ui, ti, pi):
+        grads, padj, _ = fn(ui, ti, (alpha_img,), _MODEL, cfg, want_maps,
+                            p0=pi)
+        return grads[0], padj
+
+    if p0 is None:
+        g_per, p = jax.vmap(lambda ui, ti: one(ui, ti, None))(u, utrue)
+    else:
+        g_per, p = jax.vmap(one)(u, utrue, p0)
+    g = jnp.sum(g_per, axis=0)
     if pop is not None:
         g = pop.apply_adjoint(g)   # ref calc_adjoint pullback (:214,253)
 
     cost = 0.5 * jnp.sum((u - utrue) ** 2)
-    return u, cost, g
+    return u, cost, g, p
 
 
 def tv_learning_function(x, ds, delta, *, delta_t: float = 1e-6,
                          maxiter: int = 5000,
                          cfg: HypergradConfig = HypergradConfig(),
                          backend: str = "jnp",
-                         solver_kwargs: Optional[dict] = None):
+                         solver_kwargs: Optional[dict] = None,
+                         p0=None, return_p: bool = False):
     """L4 learning function for TV denoising.
 
     Args:
@@ -109,11 +121,33 @@ def tv_learning_function(x, ds, delta, *, delta_t: float = 1e-6,
     else:
         raise ValueError(f"TV parameter must be scalar or 2-D, got {x.shape}")
 
-    return _tv_step(x, utrue, f, method=method, maxiter=int(maxiter),
-                    backend=backend, cfg=cfg, pop=pop,
-                    solver_kwargs=_frozen(solver_kwargs))
+    u, cost, g, p = _tv_step(x, utrue, f, p0, method=method,
+                             maxiter=int(maxiter), backend=backend, cfg=cfg,
+                             pop=pop, solver_kwargs=_frozen(solver_kwargs))
+    if return_p:
+        return u, cost, g, p
+    return u, cost, g
 
 
 def make_tv_learning_function(**defaults):
-    """Bind configuration, returning the bare L4 contract ``f(x, ds, Δ)``."""
-    return functools.partial(tv_learning_function, **defaults)
+    """Bind configuration, returning the bare L4 contract ``f(x, ds, Δ)``.
+
+    The returned closure warm-starts each hypergradient CG solve from the
+    adjoint state of the previous call with the same gradient branch —
+    successive trust-region evaluations solve nearby systems, cutting CG
+    iterations substantially (capability absent in the reference, which
+    re-factorizes from scratch every call)."""
+    state: dict = {}
+
+    def lf(x, ds, delta, **overrides):
+        kw = dict(defaults)
+        kw.update(overrides)
+        method = "exact" if float(delta) > kw.get("delta_t", 1e-6) else "reg"
+        key = (method, jnp.shape(jnp.asarray(x)),
+               jnp.shape(jnp.asarray(ds[0])))
+        u, cost, g, p = tv_learning_function(
+            x, ds, delta, p0=state.get(key), return_p=True, **kw)
+        state[key] = p
+        return u, cost, g
+
+    return lf

@@ -117,7 +117,7 @@ def _as_dual_alpha(alpha, dtype):
 @functools.partial(jax.jit, static_argnames=("model", "cfg", "want_maps"))
 def exact_hypergrad(u, utrue, alphas, model: DenoiseModel,
                     cfg: HypergradConfig = HypergradConfig(),
-                    want_maps: bool = False):
+                    want_maps: bool = False, p0=None):
     """Active-set adjoint hypergradient for one image.
 
     Mirrors `src/TVLearningFunctionVec.jl:98-135` (K=1) and
@@ -131,9 +131,13 @@ def exact_hypergrad(u, utrue, alphas, model: DenoiseModel,
         (patch parameters are upsampled by the caller).
       want_maps: if True return per-pixel gradient maps (M, N) per k
         (for patch parameters, reference `:219-254`); else scalars per k.
+      p0: optional warm start for the CG solve — successive trust-region
+        iterations solve nearby systems, so the previous adjoint state cuts
+        CG iterations substantially.
 
     Returns:
-      (grads, info) — grads is a K-tuple of scalars or (M, N) maps.
+      (grads, p, info) — grads is a K-tuple of scalars or (M, N) maps;
+      ``p`` is the adjoint solution (pass back as ``p0`` next call).
     """
     dtype = u.dtype
     act_tol, mu, cg_tol = _defaults(dtype, cfg)
@@ -166,7 +170,7 @@ def exact_hypergrad(u, utrue, alphas, model: DenoiseModel,
     inv_diag = 1.0 / diag
 
     rhs = u - utrue
-    p, info = cg(M_apply, rhs, tol=cg_tol, maxiter=cfg.cg_maxiter,
+    p, info = cg(M_apply, rhs, x0=p0, tol=cg_tol, maxiter=cfg.cg_maxiter,
                  M=lambda r: inv_diag * r)
 
     grads = []
@@ -182,7 +186,7 @@ def exact_hypergrad(u, utrue, alphas, model: DenoiseModel,
         # confirm the dual form, so it is used for every parameterization.
         gmap = -scalarprod(op.apply(p), field)
         grads.append(gmap if want_maps else jnp.sum(gmap))
-    return tuple(grads), info
+    return tuple(grads), p, info
 
 
 # ---------------------------------------------------------------------------
@@ -192,7 +196,7 @@ def exact_hypergrad(u, utrue, alphas, model: DenoiseModel,
 @functools.partial(jax.jit, static_argnames=("model", "cfg", "want_maps"))
 def reg_hypergrad(u, utrue, alphas, model: DenoiseModel,
                   cfg: HypergradConfig = HypergradConfig(),
-                  want_maps: bool = False):
+                  want_maps: bool = False, p0=None):
     """γ-smoothed hypergradient for one image
     (`src/TVLearningFunctionVec.jl:137-161`, `src/SumRegsLearningFunction.jl:112-262`).
 
@@ -231,7 +235,7 @@ def reg_hypergrad(u, utrue, alphas, model: DenoiseModel,
     inv_diag = 1.0 / diag
 
     rhs = utrue - u
-    p, info = cg(M_apply, rhs, tol=cg_tol, maxiter=cfg.cg_maxiter,
+    p, info = cg(M_apply, rhs, x0=p0, tol=cg_tol, maxiter=cfg.cg_maxiter,
                  M=lambda r: inv_diag * r)
 
     grads = []
@@ -240,4 +244,4 @@ def reg_hypergrad(u, utrue, alphas, model: DenoiseModel,
         # dual-space per-pixel attribution (see exact_hypergrad)
         gmap = scalarprod(op.apply(p), field)
         grads.append(gmap if want_maps else jnp.sum(gmap))
-    return tuple(grads), info
+    return tuple(grads), p, info

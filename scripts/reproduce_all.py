@@ -1,0 +1,110 @@
+#!/usr/bin/env python
+"""Run the complete reference experiment suite end-to-end.
+
+Executes every user-facing capability of the reference (SURVEY.md §2a #1)
+with reference-default parameters and collects all artifacts under
+``output/``: the four bilevel learns, both validations, and the 1-D/2-D
+cost-landscape sweeps with plots.  A summary lands in
+``output/REPRODUCTION.md``.
+
+    python scripts/reproduce_all.py            # full budgets
+    python scripts/reproduce_all.py --quick    # smoke budgets
+    python scripts/reproduce_all.py --backend pallas --dtype float32  # TPU
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--backend", default="jnp", choices=["jnp", "pallas"])
+    ap.add_argument("--dtype", default="float64")
+    args = ap.parse_args()
+
+    if args.dtype == "float64":
+        import jax
+        jax.config.update("jax_enable_x64", True)
+
+    import bpldenoising_tpu.experiments.api as api
+
+    inner = 300 if args.quick else 5000
+    sweep_iters = 200 if args.quick else 10000
+    outer = 3 if args.quick else 20
+    points = 5 if args.quick else 30
+    common = dict(inner_maxiter=inner, maxiter=outer, dtype=args.dtype,
+                  backend=args.backend, checkpoint=True)
+
+    report = [f"# Reproduction run ({'quick' if args.quick else 'full'}, "
+              f"backend={args.backend}, dtype={args.dtype})", ""]
+
+    def step(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        dt = time.perf_counter() - t0
+        line = f"- **{name}** — {dt:.1f}s"
+        if out is not None and hasattr(out, "x"):
+            line += (f"; x = {np.asarray(out.x).ravel().round(6).tolist()}, "
+                     f"cost = {out.cost:.4f}, iters = {out.iterations}")
+        report.append(line)
+        print(line, file=sys.stderr)
+        return out
+
+    # the four bilevel learns, each on its reference-default dataset
+    step("scalar_bilevel_tv_learn (cameraman_128_5)",
+         lambda: api.scalar_bilevel_tv_learn(**common))
+    step("scalar_bilevel_tv_learn (faces_train, 10 samples)",
+         lambda: api.scalar_bilevel_tv_learn(
+             dataset_name="faces_train", num_samples=10, **common))
+    step("patch_bilevel_tv_learn (2x2)",
+         lambda: api.patch_bilevel_tv_learn(**common))
+    step("scalar_bilevel_sumregs_learn",
+         lambda: api.scalar_bilevel_sumregs_learn(**common))
+    step("patch_bilevel_sumregs_learn (2x2x3)",
+         lambda: api.patch_bilevel_sumregs_learn(**common))
+
+    # validations at plausible learned parameters
+    step("validate_tv_parameter (0.07 on faces_val)",
+         lambda: api.validate_tv_parameter(
+             0.07, dataset_name="faces_val", dtype=args.dtype))
+    step("validate_sumregs_parameter",
+         lambda: api.validate_sumregs_parameter(
+             np.array([0.02, 0.02, 0.01]), dataset_name="circle",
+             dtype=args.dtype))
+
+    # cost landscapes + plots
+    step("generate_scalar_tv_cost + plot (cameraman_128_5)",
+         lambda: (api.generate_scalar_tv_cost(
+             "cameraman_128_5", np.logspace(-3, 0, points),
+             maxiter=sweep_iters, dtype=args.dtype),
+             api.generate_cost_plot("cameraman_128_5"))[-1])
+    step("generate_2d_tv_cost + plot (circle)",
+         lambda: (api.generate_2d_tv_cost(
+             "circle", np.logspace(-3, -1, max(3, points // 2)),
+             np.logspace(-3, -1, max(3, points // 2)),
+             maxiter=sweep_iters, dtype=args.dtype),
+             api.generate_2d_cost_plot("circle"))[-1])
+
+    # artifact inventory
+    report += ["", "## Artifacts"]
+    for root, _, files in sorted(os.walk("output")):
+        for f in sorted(files):
+            report.append(f"- `{os.path.join(root, f)}`")
+
+    os.makedirs("output", exist_ok=True)
+    with open("output/REPRODUCTION.md", "w") as fh:
+        fh.write("\n".join(report) + "\n")
+    print("wrote output/REPRODUCTION.md", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -48,7 +48,7 @@ class TestTVScalar:
         utrue, f = problem(rng)
         model = tv_model()
         u = denoise_pdps(f, (self.alpha,), model, maxiter=MAXITER)
-        (g,), info = exact_hypergrad(u, utrue, (jnp.asarray(self.alpha),), model)
+        (g,), _, info = exact_hypergrad(u, utrue, (jnp.asarray(self.alpha),), model)
         g_fd = fd_grad(model, f, utrue, (self.alpha,), 0)
         assert bool(info.converged), f"CG did not converge: {info}"
         np.testing.assert_allclose(float(g), g_fd, rtol=2e-3)
@@ -57,7 +57,7 @@ class TestTVScalar:
         utrue, f = problem(rng)
         model = tv_model()
         u = denoise_pdps(f, (self.alpha,), model, maxiter=MAXITER)
-        (g,), info = reg_hypergrad(u, utrue, (jnp.asarray(self.alpha),), model)
+        (g,), _, info = reg_hypergrad(u, utrue, (jnp.asarray(self.alpha),), model)
         g_fd = fd_grad(model, f, utrue, (self.alpha,), 0)
         np.testing.assert_allclose(float(g), g_fd, rtol=5e-3)
 
@@ -66,8 +66,8 @@ class TestTVScalar:
         model = tv_model()
         u = denoise_pdps(f, (self.alpha,), model, maxiter=MAXITER)
         a = (jnp.asarray(self.alpha),)
-        (ge,), _ = exact_hypergrad(u, utrue, a, model)
-        (gr,), _ = reg_hypergrad(u, utrue, a, model)
+        (ge,), _, _ = exact_hypergrad(u, utrue, a, model)
+        (gr,), _, _ = reg_hypergrad(u, utrue, a, model)
         np.testing.assert_allclose(float(ge), float(gr), rtol=5e-3)
 
 
@@ -79,7 +79,7 @@ class TestSumRegsVector:
         model = sumregs_model()
         u = denoise_pdps(f, self.alphas, model, maxiter=MAXITER)
         a = tuple(jnp.asarray(a) for a in self.alphas)
-        grads, info = exact_hypergrad(u, utrue, a, model)
+        grads, _, info = exact_hypergrad(u, utrue, a, model)
         assert bool(info.converged)
         for k in range(3):
             g_fd = fd_grad(model, f, utrue, self.alphas, k)
@@ -92,7 +92,7 @@ class TestSumRegsVector:
         u = denoise_pdps(f, self.alphas, model, maxiter=MAXITER)
         a = tuple(jnp.asarray(a) for a in self.alphas)
         cfg = HypergradConfig(gamma=1e8)
-        grads, _ = reg_hypergrad(u, utrue, a, model, cfg)
+        grads, _, _ = reg_hypergrad(u, utrue, a, model, cfg)
         for k in range(3):
             g_fd = fd_grad(model, f, utrue, self.alphas, k)
             np.testing.assert_allclose(float(grads[k]), g_fd, rtol=1e-2,
@@ -109,8 +109,8 @@ class TestTVPatch:
         x = jnp.full((2, 2), 0.08)
         amap = pop.apply(x)
         u = denoise_pdps(f, (amap,), model, maxiter=MAXITER)
-        (gmap,), info = exact_hypergrad(u, utrue, (amap,), model,
-                                        want_maps=True)
+        (gmap,), _, info = exact_hypergrad(u, utrue, (amap,), model,
+                                           want_maps=True)
         g = pop.apply_adjoint(gmap)
         assert bool(info.converged)
         h = 1e-5
@@ -131,8 +131,8 @@ class TestTVPatch:
         pop = PatchOp((2, 2), (16, 16))
         amap = pop.apply(jnp.full((2, 2), 0.08))
         u = denoise_pdps(f, (amap,), model, maxiter=MAXITER)
-        (ge,), _ = exact_hypergrad(u, utrue, (amap,), model, want_maps=True)
-        (gr,), _ = reg_hypergrad(u, utrue, (amap,), model, want_maps=True)
+        (ge,), _, _ = exact_hypergrad(u, utrue, (amap,), model, want_maps=True)
+        (gr,), _, _ = reg_hypergrad(u, utrue, (amap,), model, want_maps=True)
         np.testing.assert_allclose(
             np.asarray(pop.apply_adjoint(ge)),
             np.asarray(pop.apply_adjoint(gr)), rtol=2e-2)
