@@ -70,13 +70,13 @@ def run(quick: bool = False, backend: str = "pallas",
 
     # Warm up the device↔host path and compile the learning function once
     # (the reference's harness likewise excludes first-iteration JIT time,
-    # src/BilevelVisualise.jl:192-196).
+    # src/BilevelVisualise.jl:192-196).  Each branch is called twice: the
+    # second call compiles the warm-started (p0 != None) jit variant.
     float(jnp.zeros(()))
-    u, c, g = lf(0.1, ds, 0.1)
-    jax.block_until_ready(u)
+    for delta in (0.1, 0.1, 1e-9, 1e-9):
+        u, c, g = lf(0.1, ds, delta)
+        jax.block_until_ready(u)
     _ = float(c), float(g)
-    u, c, g = lf(0.1, ds, 1e-9)  # compile the reg-gradient branch too
-    jax.block_until_ready(u)
 
     t0 = time.perf_counter()
     res = bilevel_learn(ds, lf, xinit=0.1, params=params)

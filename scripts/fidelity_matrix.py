@@ -61,13 +61,12 @@ def run_matrix(mode: str) -> dict:
     results = {}
 
     def warm(lf, x0, ds):
-        """Compile both gradient branches for this parameter shape before
-        timing (the reference's harness likewise excludes JIT time,
-        src/BilevelVisualise.jl:192-196)."""
-        u, _, _ = lf(x0, ds, 0.1)
-        jax.block_until_ready(u)
-        u, _, _ = lf(x0, ds, 1e-12)
-        jax.block_until_ready(u)
+        """Compile both gradient branches (cold and warm-started CG jit
+        variants) for this parameter shape before timing (the reference's
+        harness likewise excludes JIT time, src/BilevelVisualise.jl:192-196)."""
+        for delta in (0.1, 0.1, 1e-12, 1e-12):
+            u, _, _ = lf(x0, ds, delta)
+            jax.block_until_ready(u)
 
     def record(key, ds, res, wall):
         results[key] = dict(
