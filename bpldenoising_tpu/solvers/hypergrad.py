@@ -89,7 +89,10 @@ def _defaults(dtype, cfg: HypergradConfig):
     act_tol = cfg.act_tol if cfg.act_tol is not None else (
         1e-9 if f64 else 1e-6)
     mu = cfg.mu if cfg.mu is not None else (1e6 if f64 else 1e4)
-    cg_tol = cfg.cg_tol if cfg.cg_tol is not None else (1e-8 if f64 else 1e-5)
+    # f32 CG stalls near rel-residual ~3e-5 (rounding floor of the
+    # penalty-weighted system); asking for less just burns iterations at the
+    # floor.  Gradient rel-error ~1e-3 at this setting — ample for the TR.
+    cg_tol = cfg.cg_tol if cfg.cg_tol is not None else (1e-8 if f64 else 3e-5)
     return act_tol, mu, cg_tol
 
 
