@@ -36,7 +36,7 @@ def _shard_specs(mesh):
 
 
 def _build(mesh: Mesh, model, alphas_of_x, grads_of_maps, want_maps: bool,
-           maxiter: int, cfg: HypergradConfig):
+           maxiter: int, cfg: HypergradConfig, backend: str = "jnp"):
     """Common scaffolding for sharded learning functions.
 
     ``alphas_of_x(x, image_shape)``: parameter → K-tuple of per-image α
@@ -48,7 +48,11 @@ def _build(mesh: Mesh, model, alphas_of_x, grads_of_maps, want_maps: bool,
     n_shards = mesh.shape[BATCH_AXIS]
 
     def _local(utrue, f, w, alphas, method):
-        u = denoise_pdps(f, alphas, model, maxiter=maxiter)
+        if backend == "pallas":
+            from ..solvers.pdps_pallas import denoise_pdps_pallas
+            u = denoise_pdps_pallas(f, alphas, model, maxiter=maxiter)
+        else:
+            u = denoise_pdps(f, alphas, model, maxiter=maxiter)
         wb = w[:, None, None]
         cost_local = 0.5 * jnp.sum(wb * (u - utrue) ** 2)
         cost = jax.lax.psum(cost_local, BATCH_AXIS)
@@ -88,7 +92,7 @@ def _build(mesh: Mesh, model, alphas_of_x, grads_of_maps, want_maps: bool,
 
 def make_sharded_tv_learning_function(
         mesh: Mesh, *, maxiter: int = 5000, delta_t: float = 1e-6,
-        cfg: HypergradConfig = HypergradConfig()):
+        cfg: HypergradConfig = HypergradConfig(), backend: str = "jnp"):
     """Sharded equivalent of
     :func:`bpldenoising_tpu.learning.tv_learning_function` (same L4 contract,
     scalar or patch parameter)."""
@@ -118,7 +122,7 @@ def make_sharded_tv_learning_function(
         if key not in cache:
             cache[key] = _build(mesh, model, alphas_of_x, grads_of_maps,
                                 want_maps=bool(x.ndim > 0), maxiter=maxiter,
-                                cfg=cfg)
+                                cfg=cfg, backend=backend)
         return cache[key](x, ds, delta, delta_t=delta_t)
 
     return cached
@@ -126,7 +130,7 @@ def make_sharded_tv_learning_function(
 
 def make_sharded_sumregs_learning_function(
         mesh: Mesh, *, maxiter: int = 5000, delta_t: float = 1e-3,
-        cfg: HypergradConfig = HypergradConfig()):
+        cfg: HypergradConfig = HypergradConfig(), backend: str = "jnp"):
     """Sharded equivalent of
     :func:`bpldenoising_tpu.learning.sumregs_learning_function`."""
     model = sumregs_model()
@@ -154,7 +158,7 @@ def make_sharded_sumregs_learning_function(
         if key not in cache:
             cache[key] = _build(mesh, model, alphas_of_x, grads_of_maps,
                                 want_maps=bool(x.ndim > 1), maxiter=maxiter,
-                                cfg=cfg)
+                                cfg=cfg, backend=backend)
         return cache[key](x, ds, delta, delta_t=delta_t)
 
     return cached

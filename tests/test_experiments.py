@@ -109,3 +109,10 @@ class TestTVDenoiseAPI:
         u = np.asarray(api.TVDenoise(noisy, 0.1 * np.ones((2, 2)),
                                      maxiter=300))
         assert u.shape == noisy.shape
+
+
+class TestSaveIterations:
+    def test_per_iteration_pngs(self):
+        api.scalar_bilevel_tv_learn(save_iterations=True, **FAST)
+        files = artifacts()
+        assert any("_iter_" in f and f.endswith(".png") for f in files)
