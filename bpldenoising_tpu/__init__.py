@@ -22,7 +22,8 @@ from .experiments import (
 from .bilevel import bilevel_learn
 from .learning import sumregs_learning_function, tv_learning_function
 from .models import sumregs_model, tv_model
-from .solvers import denoise_pdps, sumregs_denoise, tv_denoise
+from .solvers import (denoise_pdps, sumregs_denoise, tv_denoise,
+                      diff_tv_denoise, diff_denoise)
 
 __version__ = "0.1.0"
 
@@ -36,4 +37,5 @@ __all__ = [
     "tv_learning_function", "sumregs_learning_function",
     "tv_model", "sumregs_model",
     "denoise_pdps", "tv_denoise", "sumregs_denoise",
+    "diff_tv_denoise", "diff_denoise",
 ]
