@@ -1,0 +1,237 @@
+"""Spatial-domain decomposition: row-sharded stencils with halo exchange.
+
+SURVEY.md §2c identifies spatial decomposition with halo exchange on the
+∇/div stencils as the sequence-parallel analogue for this workload — needed
+when images outgrow a single chip's VMEM/HBM (the bundled 128² data does
+not, so this is a forward-looking scaling capability, exercised on the
+virtual CPU mesh in tests).
+
+An (M, N) image is sharded into row blocks over a 1-D mesh axis.  Each
+finite-difference application exchanges exactly one boundary row with each
+neighbor via ``jax.lax.ppermute`` (nearest-neighbor ICI traffic); everything
+else is local.  :func:`denoise_pdps_row_sharded` runs the full accelerated
+PDPS iteration inside ``shard_map`` with the per-iteration halo exchanges
+riding the interconnect — the distributed analogue of the fused single-chip
+kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..models import DenoiseModel
+from ..ops.grad import (
+    BwdGradientOp,
+    CenteredGradientOp,
+    FwdGradientOp,
+    dcent,
+    dcent_T,
+    dminus,
+    dminus_T,
+    dplus,
+    dplus_T,
+)
+
+__all__ = ["denoise_pdps_row_sharded", "ROWS_AXIS"]
+
+ROWS_AXIS = "rows"
+
+
+# ---------------------------------------------------------------------------
+# halo primitives (axis 0 of a local (m, N) block)
+# ---------------------------------------------------------------------------
+
+def _shard_index():
+    return lax.axis_index(ROWS_AXIS)
+
+
+def _n_shards():
+    return lax.axis_size(ROWS_AXIS)
+
+
+def _from_next(row):
+    """Receive ``row`` from the next shard (s+1 → s); last shard gets junk
+    (always masked by the caller)."""
+    n = _n_shards()
+    perm = [(s, (s - 1) % n) for s in range(n)]
+    return lax.ppermute(row, ROWS_AXIS, perm)
+
+
+def _from_prev(row):
+    """Receive ``row`` from the previous shard (s−1 → s); shard 0 gets junk."""
+    n = _n_shards()
+    perm = [(s, (s + 1) % n) for s in range(n)]
+    return lax.ppermute(row, ROWS_AXIS, perm)
+
+
+def _is_first():
+    return _shard_index() == 0
+
+
+def _is_last():
+    return _shard_index() == _n_shards() - 1
+
+
+def _dplus_rows(u):
+    """Forward diff along global rows on a local (m, N) block."""
+    inner = u[1:] - u[:-1]                       # rows 0..m-2
+    nxt = _from_next(u[0])                       # next shard's first row
+    last = jnp.where(_is_last(), 0.0, nxt - u[-1])
+    return jnp.concatenate([inner, last[None]], axis=0)
+
+
+def _dplus_T_rows(p):
+    """Adjoint of :func:`_dplus_rows` (global dplus_T semantics)."""
+    prev = _from_prev(p[-1])                     # previous shard's last row
+    prev = jnp.where(_is_first(), 0.0, prev)
+    shifted = jnp.concatenate([prev[None], p[:-1]], axis=0)   # p[i-1]
+    keep = jnp.where(_is_last(),
+                     jnp.concatenate([p[:-1],
+                                      jnp.zeros_like(p[-1])[None]], axis=0),
+                     p)                           # p masked at global last row
+    return shifted - keep
+
+
+def _dminus_rows(u):
+    prev = _from_prev(u[-1])
+    prev = jnp.where(_is_first(), u[0], prev)    # ⇒ first global row diff = 0
+    shifted = jnp.concatenate([prev[None], u[:-1]], axis=0)
+    return u - shifted
+
+
+def _dminus_T_rows(p):
+    # global: out[i] = p[i]·(i≥1) − p[i+1]·(i≤M−2)
+    a = jnp.where(_is_first(),
+                  jnp.concatenate([jnp.zeros_like(p[0])[None], p[1:]], axis=0),
+                  p)
+    nxt = _from_next(p[0])
+    nxt = jnp.where(_is_last(), 0.0, nxt)
+    b = jnp.concatenate([p[1:], nxt[None]], axis=0)
+    return a - b
+
+
+def _dcent_rows(u):
+    prev = _from_prev(u[-1])
+    nxt = _from_next(u[0])
+    up = jnp.concatenate([prev[None], u[:-1]], axis=0)    # u[i-1]
+    down = jnp.concatenate([u[1:], nxt[None]], axis=0)    # u[i+1]
+    d = 0.5 * (down - up)
+    m = u.shape[0]
+    idx = lax.broadcasted_iota(jnp.int32, u.shape, 0)
+    first_mask = jnp.logical_and(_is_first(), idx == 0)
+    last_mask = jnp.logical_and(_is_last(), idx == m - 1)
+    return jnp.where(jnp.logical_or(first_mask, last_mask), 0.0, d)
+
+
+def _dcent_T_rows(p):
+    # q = p masked to global interior rows; out = (q[i-1] − q[i+1]) / 2
+    m = p.shape[0]
+    idx = lax.broadcasted_iota(jnp.int32, p.shape, 0)
+    first_mask = jnp.logical_and(_is_first(), idx == 0)
+    last_mask = jnp.logical_and(_is_last(), idx == m - 1)
+    q = jnp.where(jnp.logical_or(first_mask, last_mask), 0.0, p)
+    prev = _from_prev(q[-1])
+    prev = jnp.where(_is_first(), 0.0, prev)
+    nxt = _from_next(q[0])
+    nxt = jnp.where(_is_last(), 0.0, nxt)
+    up = jnp.concatenate([prev[None], q[:-1]], axis=0)
+    down = jnp.concatenate([q[1:], nxt[None]], axis=0)
+    return 0.5 * (up - down)
+
+
+_ROW_STENCILS = {
+    FwdGradientOp: (_dplus_rows, _dplus_T_rows),
+    BwdGradientOp: (_dminus_rows, _dminus_T_rows),
+    CenteredGradientOp: (_dcent_rows, _dcent_T_rows),
+}
+_COL_STENCILS = {
+    FwdGradientOp: (dplus, dplus_T),
+    BwdGradientOp: (dminus, dminus_T),
+    CenteredGradientOp: (dcent, dcent_T),
+}
+
+
+def _grad(op, u):
+    row_fwd, _ = _ROW_STENCILS[type(op)]
+    col_fwd, _ = _COL_STENCILS[type(op)]
+    return jnp.stack([row_fwd(u), col_fwd(u, -1)], axis=0)
+
+
+def _div_adj(op, y):
+    _, row_adj = _ROW_STENCILS[type(op)]
+    _, col_adj = _COL_STENCILS[type(op)]
+    return row_adj(y[0]) + col_adj(y[1], -1)
+
+
+# ---------------------------------------------------------------------------
+# Row-sharded PDPS
+# ---------------------------------------------------------------------------
+
+def denoise_pdps_row_sharded(f, alphas, model: DenoiseModel, mesh: Mesh, *,
+                             tau0=5.0, sigma0=0.99 / 5.0, gamma=1.0,
+                             maxiter=5000, accel=True):
+    """Accelerated PDPS on a single (M, N) image row-sharded over ``mesh``.
+
+    Same fixed point as :func:`bpldenoising_tpu.solvers.denoise_pdps`; each
+    iteration performs 2 nearest-neighbor halo exchanges per operator
+    application over the mesh axis.  M must be divisible by the mesh size.
+    """
+    f = jnp.asarray(f)
+    if f.ndim != 2:
+        raise ValueError("row-sharded solver expects a single (M, N) image")
+    alphas = tuple(jnp.asarray(a, f.dtype)
+                   for a in model.canonical_alphas(alphas))
+    n_shards = mesh.shape[ROWS_AXIS]
+    if f.shape[0] % n_shards:
+        raise ValueError(
+            f"rows {f.shape[0]} not divisible by mesh size {n_shards}")
+
+    L = jnp.sqrt(jnp.asarray(model.opnorm_sq(), f.dtype))
+    tau0_v = jnp.asarray(tau0, f.dtype) / L
+    sigma0_v = jnp.asarray(sigma0, f.dtype) / L
+
+    a_specs = tuple(P(ROWS_AXIS, None) if a.ndim >= 2 else P()
+                    for a in alphas)
+
+    def local(f_blk, *alpha_blks):
+        u = f_blk
+        ys = tuple(jnp.zeros((2,) + f_blk.shape, f_blk.dtype)
+                   for _ in range(model.K))
+        tiny = jnp.asarray(jnp.finfo(f_blk.dtype).tiny, f_blk.dtype)
+
+        def body(_, carry):
+            u, ys, tau, sigma = carry
+            div = None
+            for op, y in zip(model.ops, ys):
+                d = _div_adj(op, y)
+                div = d if div is None else div + d
+            u_new = (u - tau * (div - f_blk)) / (1.0 + tau)
+            if accel:
+                omega = lax.rsqrt(1.0 + 2.0 * gamma * tau)
+                tau, sigma = tau * omega, sigma / omega
+            else:
+                omega = jnp.asarray(1.0, f_blk.dtype)
+            ubar = (1.0 + omega) * u_new - omega * u
+            ys_new = []
+            for op, y, a in zip(model.ops, ys, alpha_blks):
+                q = y + sigma * _grad(op, ubar)
+                n = jnp.sqrt(q[0] ** 2 + q[1] ** 2)
+                r = a
+                scale = jnp.where(n <= r, 1.0, r / jnp.maximum(n, tiny))
+                ys_new.append(q * scale[None])
+            return (u_new, tuple(ys_new), tau, sigma)
+
+        u, _, _, _ = lax.fori_loop(
+            0, maxiter, body, (u, ys, tau0_v, sigma0_v))
+        return u
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(ROWS_AXIS, None),) + a_specs,
+                   out_specs=P(ROWS_AXIS, None), check_rep=False)
+    return jax.jit(fn)(f, *alphas)

@@ -179,12 +179,21 @@ def _make_kernel(model: DenoiseModel, maxiter: int, accel: bool,
     return kernel
 
 
+_VMEM_BUDGET = 8 * 1024 * 1024  # leave headroom in ~16MB VMEM
+
+
 def _vmem_chunk(O: int, M: int, N: int, K: int, itemsize: int) -> int:
-    """Batch-chunk size keeping kernel state within a VMEM budget."""
+    """Batch-chunk size keeping kernel state within a VMEM budget.
+
+    Returns 0 when even a single image's solver state exceeds the budget
+    (≈ ≥640² float32 for K=1) — callers fall back to the jnp path, whose
+    state is HBM-resident.  Spatial tiling of the kernel (halo exchange per
+    iteration) is the eventual fix; see bpldenoising_tpu.parallel.halo for
+    the multi-chip analogue.
+    """
     # live planes per image: u, f, ubar, div, 2K duals (+2K temps)
     planes = 4 + 4 * K
-    budget = 8 * 1024 * 1024  # leave headroom in ~16MB VMEM
-    chunk = max(1, budget // (planes * M * N * itemsize))
+    chunk = _VMEM_BUDGET // (planes * M * N * itemsize)
     return min(O, chunk)
 
 
@@ -203,6 +212,13 @@ def _pallas_impl(f, alphas, *, model, tau0, sigma0, gamma, maxiter, accel,
 
     alpha_is_map = tuple(a.ndim >= 2 for a in alphas)
     chunk = _vmem_chunk(O, M, N, K, dtype.itemsize)
+    if chunk < 1:
+        # image too large for VMEM-resident state — jnp/HBM path instead
+        from .pdps import _denoise_pdps_impl
+        return _denoise_pdps_impl(
+            f, alphas, model=model, tau0=tau0, sigma0=sigma0, gamma=gamma,
+            maxiter=maxiter, accel=accel, tol=None, check_every=500,
+            return_dual=False)
     grid = (O + chunk - 1) // chunk
 
     # pad O to a multiple of the chunk
