@@ -201,7 +201,9 @@ def denoise_pdps_row_sharded(f, alphas, model: DenoiseModel, mesh: Mesh, *,
 
     def local(f_blk, *alpha_blks):
         u = f_blk
+        # 0·f keeps the duals' varying-across-mesh type aligned with the data
         ys = tuple(jnp.zeros((2,) + f_blk.shape, f_blk.dtype)
+                   + 0.0 * f_blk[None]
                    for _ in range(model.K))
         tiny = jnp.asarray(jnp.finfo(f_blk.dtype).tiny, f_blk.dtype)
 
@@ -233,5 +235,5 @@ def denoise_pdps_row_sharded(f, alphas, model: DenoiseModel, mesh: Mesh, *,
 
     fn = shard_map(local, mesh=mesh,
                    in_specs=(P(ROWS_AXIS, None),) + a_specs,
-                   out_specs=P(ROWS_AXIS, None), check_rep=False)
+                   out_specs=P(ROWS_AXIS, None))
     return jax.jit(fn)(f, *alphas)

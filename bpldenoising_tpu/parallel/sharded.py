@@ -71,8 +71,7 @@ def _build(mesh: Mesh, model, alphas_of_x, grads_of_maps, want_maps: bool,
     for method in ("exact", "reg"):
         shard_fns[method] = jax.jit(shard_map(
             functools.partial(_local, method=method), mesh=mesh,
-            in_specs=(b, b, b, r), out_specs=(b, r, r),
-            check_rep=False))
+            in_specs=(b, b, b, r), out_specs=(b, r, r)))
 
     def learning_function(x, ds, delta, *, delta_t=1e-6):
         utrue = jnp.asarray(ds[0])

@@ -91,8 +91,12 @@ def _denoise_pdps_impl(f, alphas, *, model: DenoiseModel, tau0, sigma0,
     sigma = jnp.asarray(sigma0, dtype) / L
 
     u0 = f
+    # 0·f (not a zeros constant) so the duals carry the same
+    # varying-across-mesh type as the data when traced inside shard_map
+    # (the new shard_map's vma tracking rejects replicated→varying carries).
+    zero_like_data = 0.0 * f[..., None, :, :]
     ys0 = tuple(
-        jnp.zeros(f.shape[:-2] + (2,) + f.shape[-2:], dtype)
+        jnp.zeros(f.shape[:-2] + (2,) + f.shape[-2:], dtype) + zero_like_data
         for _ in range(model.K))
     state = (u0, ys0, tau, sigma)
 

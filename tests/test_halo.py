@@ -38,9 +38,9 @@ def test_halo_stencils_match_global(op, mesh, rng):
     row_fwd, row_adj = _ROW_STENCILS[type(op)]
 
     fwd = shard_map(row_fwd, mesh=mesh, in_specs=P(ROWS_AXIS, None),
-                    out_specs=P(ROWS_AXIS, None), check_rep=False)
+                    out_specs=P(ROWS_AXIS, None))
     adj = shard_map(row_adj, mesh=mesh, in_specs=P(ROWS_AXIS, None),
-                    out_specs=P(ROWS_AXIS, None), check_rep=False)
+                    out_specs=P(ROWS_AXIS, None))
 
     # oracle: the ops layer's 1-D stencils along axis 0
     expected_fwd = op.apply(u)[0]      # row component
