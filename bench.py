@@ -85,6 +85,18 @@ def run(quick: bool = False, backend: str = "pallas",
     mean_psnr = float(np.mean(np.asarray(psnr(ds[0],
                                               jnp.asarray(res.u)))))
 
+    # Secondary metric: the single-loop first-order method (one on-device
+    # lax.scan; beyond-reference capability) on the same workload.
+    from bpldenoising_tpu.bilevel.first_order import single_loop_tv_learn
+    r = single_loop_tv_learn(ds[0], ds[1], alpha0=0.1, outer=300,
+                             n_inner=40, n_adj=10, lr=0.05)
+    jax.block_until_ready(r.u)
+    t0 = time.perf_counter()
+    r = single_loop_tv_learn(ds[0], ds[1], alpha0=0.1, outer=300,
+                             n_inner=40, n_adj=10, lr=0.05)
+    jax.block_until_ready(r.u)
+    single_loop_wall = time.perf_counter() - t0
+
     # Secondary metric: raw fused-kernel PD iteration throughput on the
     # batch-10 128² stack (iterations/sec of the full primal-dual update).
     model = tv_model()
@@ -102,6 +114,10 @@ def run(quick: bool = False, backend: str = "pallas",
         "unit": "s",
         "vs_baseline": round(CPU_BASELINE_SECONDS / (wall * scale), 2),
         "pd_iters_per_sec_batch10_128": round(pd_rate, 1),
+        "single_loop_walltime_s": round(single_loop_wall, 4),
+        "single_loop_alpha": round(float(r.alpha), 6),
+        "single_loop_mean_psnr_db": round(float(np.mean(np.asarray(
+            psnr(ds[0], r.u)))), 3),
         "learned_alpha": round(float(res.x), 6),
         "final_cost": round(res.cost, 4),
         "mean_psnr_db": round(mean_psnr, 3),

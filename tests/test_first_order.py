@@ -1,0 +1,48 @@
+"""Single-loop first-order bilevel learning tests (vs the TR oracle)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bpldenoising_tpu.bilevel import bilevel_learn
+from bpldenoising_tpu.bilevel.first_order import single_loop_tv_learn
+from bpldenoising_tpu.learning import make_tv_learning_function
+from bpldenoising_tpu.utils.config import Params
+
+
+def small_ds(rng, n=24, O=2, sigma=0.1):
+    x, y = np.meshgrid(np.arange(n), np.arange(n))
+    clean = ((x - n / 2) ** 2 + (y - n / 2) ** 2 < (n / 3) ** 2).astype(float)
+    true_ = np.stack([clean] * O)
+    noisy = true_ + sigma * rng.standard_normal((O, n, n))
+    return jnp.asarray(true_), jnp.asarray(noisy)
+
+
+def test_converges_to_tr_solution(rng):
+    utrue, f = small_ds(rng)
+    res = single_loop_tv_learn(utrue, f, alpha0=0.01, outer=250,
+                               n_inner=40, n_adj=10, lr=0.05)
+    # TR oracle at full budgets
+    lf = make_tv_learning_function(maxiter=4000)
+    params = Params(eta1=0.25, eta2=0.75, beta1=0.25, beta2=1.9, delta0=0.1,
+                    maxiter=15, tol=1e-6, verbose_iter=0)
+    tr = bilevel_learn((utrue, f), lf, xinit=0.1, params=params)
+    assert float(res.alpha) == pytest.approx(float(tr.x), rel=0.05)
+    assert float(res.cost) == pytest.approx(tr.cost, rel=0.02)
+
+
+def test_cost_trajectory_decreases(rng):
+    utrue, f = small_ds(rng, O=1)
+    res = single_loop_tv_learn(utrue, f, alpha0=0.005, outer=150,
+                               n_inner=30, n_adj=8, lr=0.05)
+    costs = np.asarray(res.cost_trajectory)
+    # the tail is much better than the start (noisy per-step, so compare means)
+    assert costs[-20:].mean() < costs[:20].mean()
+    assert np.all(np.isfinite(costs))
+
+
+def test_positivity_by_construction(rng):
+    utrue, f = small_ds(rng, n=16, O=1)
+    res = single_loop_tv_learn(utrue, f, alpha0=1e-4, outer=60,
+                               n_inner=20, n_adj=5, lr=0.2)
+    assert np.all(np.asarray(res.alpha_trajectory) > 0)
