@@ -1,9 +1,11 @@
-from .first_order import SingleLoopResult, single_loop_tv_learn
+from .first_order import (SingleLoopResult, single_loop_learn,
+                          single_loop_sumregs_learn, single_loop_tv_learn)
 from .harness import BilevelState, LiveView, bilevel_iterate
 from .trust_region import BilevelResult, TRModel, bilevel_learn, dogleg_box
 
 __all__ = [
     "bilevel_learn", "dogleg_box", "TRModel", "BilevelResult",
     "bilevel_iterate", "BilevelState", "LiveView",
-    "single_loop_tv_learn", "SingleLoopResult",
+    "single_loop_tv_learn", "single_loop_learn", "single_loop_sumregs_learn",
+    "SingleLoopResult",
 ]

@@ -17,36 +17,36 @@ are advanced *together*:
 The whole loop is one ``lax.scan`` under one ``jit`` — no data-dependent
 host control flow, zero host↔device round-trips until the final result.
 This is a capability beyond the reference (which has only the double-loop
-trust region) and typically reaches the same learned α with an order of
-magnitude less total PD work; the trust region remains the reference-
-faithful default.
+trust region) and reaches the same learned parameters with an order of
+magnitude less total PD work; the trust region remains the
+reference-faithful default.
 
-Currently supports the scalar-α TV model (the flagship configuration).
+Supports every parameterization of the experiment suite: scalar α and
+(m, n) patch α for the TV model, (3,) vector and (m, n, 3) patch α for the
+sum-of-regularizers model (:func:`single_loop_learn`;
+:func:`single_loop_tv_learn` is the scalar-TV convenience wrapper).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..models import tv_model
-from ..ops import FwdGradientOp, scalarprod, xi
+from ..models import DenoiseModel, sumregs_model, tv_model
+from ..ops import PatchOp, scalarprod, xi
 
-__all__ = ["single_loop_tv_learn", "SingleLoopResult"]
-
-_OP = FwdGradientOp()
-_MODEL = tv_model()
+__all__ = ["single_loop_learn", "single_loop_tv_learn", "SingleLoopResult"]
 
 
 class SingleLoopResult(NamedTuple):
-    alpha: jnp.ndarray          # learned scalar α
+    alpha: jnp.ndarray          # learned parameter (original shape)
     u: jnp.ndarray              # final reconstruction stack (O, M, N)
     cost: jnp.ndarray           # final ½Σ‖u−ū‖²
-    alpha_trajectory: jnp.ndarray   # (outer,) α after every outer step
+    alpha_trajectory: jnp.ndarray   # (outer, *param_shape)
     cost_trajectory: jnp.ndarray    # (outer,)
 
 
@@ -54,64 +54,114 @@ def _bc(m):
     return m[..., None, :, :]
 
 
+def _param_layout(model: DenoiseModel, x0, image_shape):
+    """→ (pop, split) where split maps a parameter pytree to K per-image α
+    (scalar or map) and back-projects per-k gradient maps."""
+    x0 = jnp.asarray(x0)
+    K = model.K
+    if K == 1:
+        if x0.ndim == 0:
+            return None, x0.shape
+        if x0.ndim == 2:
+            return PatchOp(tuple(x0.shape), tuple(image_shape)), x0.shape
+    else:
+        if x0.ndim == 1 and x0.shape[0] == K:
+            return None, x0.shape
+        if x0.ndim == 3 and x0.shape[-1] == K:
+            return (PatchOp(tuple(x0.shape[:2]), tuple(image_shape)),
+                    x0.shape)
+    raise ValueError(f"unsupported parameter shape {x0.shape} for K={K}")
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("outer", "n_inner", "n_adj"))
-def single_loop_tv_learn(utrue, f, alpha0=0.1, *, outer: int = 300,
-                         n_inner: int = 40, n_adj: int = 10,
-                         lr: float = 0.05, gamma: float = 1e4,
-                         tau0: float = 5.0, sigma0: float = 0.99 / 5.0,
-                         beta1: float = 0.9, beta2: float = 0.999,
-                         eps: float = 1e-8) -> SingleLoopResult:
-    """Learn scalar TV α on the (O, M, N) stacks ``(utrue, f)``.
-
-    Total lower-level work is ``outer × n_inner`` PD iterations plus
-    ``outer × n_adj`` CG iterations — typically ~10× less than one
-    trust-region run at reference budgets for the same learned α.
-    """
-    utrue = jnp.asarray(utrue)
-    f = jnp.asarray(f, utrue.dtype)
+    static_argnames=("model", "outer", "n_inner", "n_adj", "pop",
+                     "param_shape"))
+def _single_loop_impl(utrue, f, x0, *, model: DenoiseModel, outer: int,
+                      n_inner: int, n_adj: int, pop: Optional[PatchOp],
+                      param_shape: tuple, lr, gamma, tau0, sigma0,
+                      beta1, beta2, eps):
     dtype = f.dtype
-    L = jnp.sqrt(jnp.asarray(_MODEL.opnorm_sq(), dtype))
+    K = model.K
+    L = jnp.sqrt(jnp.asarray(model.opnorm_sq(), dtype))
     tau = jnp.asarray(tau0, dtype) / L
     sigma = jnp.asarray(sigma0, dtype) / L
     gamma = jnp.asarray(gamma, dtype)
     tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
 
-    def pd_step(alpha, carry):
-        u, y = carry
-        div = _OP.apply_adjoint(y)
-        u_new = (u - tau * (div - f)) / (1.0 + tau)
-        ubar = 2.0 * u_new - u           # fixed-step (unaccelerated) CP
-        q = y + sigma * _OP.apply(ubar)
-        n = xi(q)
-        scale = jnp.where(n <= alpha, 1.0,
-                          alpha / jnp.maximum(n, tiny))[..., None, :, :]
-        return u_new, q * scale
+    def alphas_of(x):
+        """Parameter → K-tuple of per-image α (scalar or (M, N) map)."""
+        if K == 1:
+            return (pop.apply(x) if pop is not None else x,)
+        if pop is None:
+            return tuple(x[k] for k in range(K))
+        return tuple(pop.apply(x[..., k]) for k in range(K))
 
-    def adjoint_pieces(u, alpha):
-        Gu = _OP.apply(u)
-        nGu = xi(Gu)
-        act = (nGu > 1.0 / gamma).astype(dtype)
-        inact = 1.0 - act
-        den = jnp.where(act > 0, nGu, 1.0)
-        inv_den = 1.0 / den
+    def pullback(gmaps):
+        """K per-pixel gradient maps (summed over batch) → parameter shape."""
+        if K == 1:
+            g = gmaps[0]
+            return pop.apply_adjoint(g) if pop is not None else jnp.sum(g)
+        if pop is None:
+            return jnp.stack([jnp.sum(g) for g in gmaps])
+        return jnp.stack([pop.apply_adjoint(g) for g in gmaps], axis=-1)
+
+    def pd_step(alphas, carry):
+        u, ys = carry
+        div = None
+        for op, y in zip(model.ops, ys):
+            d = op.apply_adjoint(y)
+            div = d if div is None else div + d
+        u_new = (u - tau * (div - f)) / (1.0 + tau)
+        ubar = 2.0 * u_new - u            # fixed-step (unaccelerated) CP
+        ys_new = []
+        for op, y, a in zip(model.ops, ys, alphas):
+            q = y + sigma * op.apply(ubar)
+            n = xi(q)
+            r = jnp.asarray(a, dtype)
+            if r.ndim >= 2:
+                r = r[None] if u.ndim == 3 else r
+            scale = jnp.where(n <= r, 1.0,
+                              r / jnp.maximum(n, tiny))[..., None, :, :]
+            ys_new.append(q * scale)
+        return u_new, tuple(ys_new)
+
+    def adjoint_pieces(u, alphas):
+        pieces = []
+        for op, a in zip(model.ops, alphas):
+            Gu = op.apply(u)
+            nGu = xi(Gu)
+            act = (nGu > 1.0 / gamma).astype(dtype)
+            inact = 1.0 - act
+            den = jnp.where(act > 0, nGu, 1.0)
+            inv_den = 1.0 / den
+            a = jnp.asarray(a, dtype)
+            a_dual = _bc(a) if a.ndim >= 2 else a
+            pieces.append((op, Gu, act, inact, inv_den, a_dual))
 
         def M_apply(p):
-            Gp = _OP.apply(p)
-            hv = Gp * _bc(inv_den) - Gu * _bc(
-                scalarprod(Gu, Gp) * inv_den ** 3)
-            w = alpha * ((gamma * _bc(inact)) * Gp + _bc(act) * hv)
-            return p + _OP.apply_adjoint(w)
+            out = p
+            for op, Gu, act, inact, inv_den, a_dual in pieces:
+                Gp = op.apply(p)
+                hv = Gp * _bc(inv_den) - Gu * _bc(
+                    scalarprod(Gu, Gp) * inv_den ** 3)
+                w = a_dual * ((gamma * _bc(inact)) * Gp + _bc(act) * hv)
+                out = out + op.apply_adjoint(w)
+            return out
 
-        h_diag = _bc(inv_den) - Gu ** 2 * _bc(inv_den ** 3)
-        w_diag = alpha * (gamma * _bc(inact) + _bc(act) * h_diag)
-        inv_diag = 1.0 / (1.0 + _OP.gram_diag(w_diag))
-        field = _bc(act * inv_den) * Gu + gamma * _bc(inact) * Gu
-        return M_apply, inv_diag, field
+        diag = jnp.ones_like(u)
+        for op, Gu, act, inact, inv_den, a_dual in pieces:
+            h_diag = _bc(inv_den) - Gu ** 2 * _bc(inv_den ** 3)
+            w_diag = a_dual * (gamma * _bc(inact) + _bc(act) * h_diag)
+            diag = diag + op.gram_diag(w_diag)
+        inv_diag = 1.0 / diag
+
+        fields = tuple(
+            _bc(act * inv_den) * Gu + gamma * _bc(inact) * Gu
+            for op, Gu, act, inact, inv_den, a_dual in pieces)
+        return M_apply, inv_diag, fields
 
     def cg_steps(M_apply, inv_diag, b, p):
-        """n_adj fixed preconditioned-CG iterations from warm start p."""
         r = b - M_apply(p)
         z = inv_diag * r
         d = z
@@ -134,15 +184,18 @@ def single_loop_tv_learn(utrue, f, alpha0=0.1, *, outer: int = 300,
         return p
 
     def outer_step(carry, _):
-        u, y, p, z, m, v, t = carry
-        alpha = jnp.exp(z)
-        u, y = lax.fori_loop(0, n_inner,
-                             lambda k, c: pd_step(alpha, c), (u, y))
-        M_apply, inv_diag, field = adjoint_pieces(u, alpha)
+        u, ys, p, z, m, v, t = carry
+        x = jnp.exp(z)
+        alphas = alphas_of(x)
+        u, ys = lax.fori_loop(0, n_inner,
+                              lambda k, c: pd_step(alphas, c), (u, ys))
+        M_apply, inv_diag, fields = adjoint_pieces(u, alphas)
         p = cg_steps(M_apply, inv_diag, utrue - u, p)
-        g_alpha = jnp.sum(scalarprod(_OP.apply(p), field))
-        g_z = g_alpha * alpha            # chain rule through α = exp(z)
-        # Adam on z
+        gmaps = tuple(
+            jnp.sum(scalarprod(op.apply(p), field), axis=0)
+            for op, field in zip(model.ops, fields))
+        g_x = pullback(gmaps)
+        g_z = g_x * x                    # chain rule through x = exp(z)
         t = t + 1
         m = beta1 * m + (1 - beta1) * g_z
         v = beta2 * v + (1 - beta2) * g_z ** 2
@@ -150,19 +203,57 @@ def single_loop_tv_learn(utrue, f, alpha0=0.1, *, outer: int = 300,
         vhat = v / (1 - beta2 ** t)
         z = z - lr * mhat / (jnp.sqrt(vhat) + eps)
         cost = 0.5 * jnp.sum((u - utrue) ** 2)
-        return (u, y, p, z, m, v, t), (jnp.exp(z), cost)
+        return (u, ys, p, z, m, v, t), (jnp.exp(z), cost)
 
     u0 = f
-    y0 = jnp.zeros(f.shape[:-2] + (2,) + f.shape[-2:], dtype) \
-        + 0.0 * f[..., None, :, :]
+    zero_like = 0.0 * f[..., None, :, :]
+    ys0 = tuple(
+        jnp.zeros(f.shape[:-2] + (2,) + f.shape[-2:], dtype) + zero_like
+        for _ in range(K))
     p0 = jnp.zeros_like(f)
-    z0 = jnp.log(jnp.asarray(alpha0, dtype))
-    m0 = jnp.zeros((), dtype)
-    v0 = jnp.zeros((), dtype)
-    carry0 = (u0, y0, p0, z0, m0, v0, jnp.zeros((), dtype))
+    z0 = jnp.log(jnp.asarray(x0, dtype))
+    m0 = jnp.zeros(param_shape, dtype)
+    v0 = jnp.zeros(param_shape, dtype)
+    carry0 = (u0, ys0, p0, z0, m0, v0, jnp.zeros((), dtype))
 
-    carry, (alphas, costs) = lax.scan(outer_step, carry0, None, length=outer)
+    carry, (alphas_traj, costs) = lax.scan(outer_step, carry0, None,
+                                           length=outer)
     u, _, _, z, _, _, _ = carry
     return SingleLoopResult(alpha=jnp.exp(z), u=u,
                             cost=0.5 * jnp.sum((u - utrue) ** 2),
-                            alpha_trajectory=alphas, cost_trajectory=costs)
+                            alpha_trajectory=alphas_traj,
+                            cost_trajectory=costs)
+
+
+def single_loop_learn(utrue, f, x0, model: DenoiseModel, *,
+                      outer: int = 300, n_inner: int = 40, n_adj: int = 10,
+                      lr: float = 0.05, gamma: float = 1e4,
+                      tau0: float = 5.0, sigma0: float = 0.99 / 5.0,
+                      beta1: float = 0.9, beta2: float = 0.999,
+                      eps: float = 1e-8) -> SingleLoopResult:
+    """Single-loop bilevel learning for any model/parameterization.
+
+    ``x0`` must be strictly positive (the parameter lives in log space).
+    """
+    utrue = jnp.asarray(utrue)
+    f = jnp.asarray(f, utrue.dtype)
+    x0 = jnp.asarray(x0, utrue.dtype)
+    pop, param_shape = _param_layout(model, x0, f.shape[-2:])
+    return _single_loop_impl(
+        utrue, f, x0, model=model, outer=int(outer), n_inner=int(n_inner),
+        n_adj=int(n_adj), pop=pop, param_shape=param_shape, lr=lr,
+        gamma=gamma, tau0=tau0, sigma0=sigma0, beta1=beta1, beta2=beta2,
+        eps=eps)
+
+
+_TV = tv_model()
+
+
+def single_loop_tv_learn(utrue, f, alpha0=0.1, **kwargs) -> SingleLoopResult:
+    """Scalar/patch TV convenience wrapper."""
+    return single_loop_learn(utrue, f, alpha0, _TV, **kwargs)
+
+
+def single_loop_sumregs_learn(utrue, f, alpha0, **kwargs) -> SingleLoopResult:
+    """Sum-of-regularizers convenience wrapper ((3,) or (m, n, 3) α)."""
+    return single_loop_learn(utrue, f, alpha0, sumregs_model(), **kwargs)

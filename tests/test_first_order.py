@@ -46,3 +46,38 @@ def test_positivity_by_construction(rng):
     res = single_loop_tv_learn(utrue, f, alpha0=1e-4, outer=60,
                                n_inner=20, n_adj=5, lr=0.2)
     assert np.all(np.asarray(res.alpha_trajectory) > 0)
+
+
+class TestGeneralizedSingleLoop:
+    def test_patch_tv(self, rng):
+        from bpldenoising_tpu.bilevel.first_order import single_loop_learn
+        from bpldenoising_tpu.models import tv_model
+        utrue, f = small_ds(rng, n=16, O=1)
+        x0 = jnp.full((2, 2), 0.01)
+        res = single_loop_learn(utrue, f, x0, tv_model(), outer=120,
+                                n_inner=25, n_adj=6, lr=0.1)
+        assert res.alpha.shape == (2, 2)
+        assert np.all(np.asarray(res.alpha) > 0)
+        costs = np.asarray(res.cost_trajectory)
+        assert costs[-15:].mean() < costs[:15].mean()
+
+    def test_sumregs_vector(self, rng):
+        from bpldenoising_tpu.bilevel.first_order import (
+            single_loop_sumregs_learn)
+        utrue, f = small_ds(rng, n=16, O=1)
+        res = single_loop_sumregs_learn(utrue, f, jnp.full(3, 0.005),
+                                        outer=120, n_inner=25, n_adj=6,
+                                        lr=0.1)
+        assert res.alpha.shape == (3,)
+        costs = np.asarray(res.cost_trajectory)
+        assert costs[-15:].mean() < costs[:15].mean()
+
+    def test_sumregs_patch(self, rng):
+        from bpldenoising_tpu.bilevel.first_order import (
+            single_loop_sumregs_learn)
+        utrue, f = small_ds(rng, n=16, O=2)
+        res = single_loop_sumregs_learn(utrue, f, jnp.full((2, 2, 3), 0.005),
+                                        outer=80, n_inner=20, n_adj=5,
+                                        lr=0.1)
+        assert res.alpha.shape == (2, 2, 3)
+        assert np.all(np.isfinite(np.asarray(res.cost_trajectory)))
