@@ -77,3 +77,13 @@ def test_multi_grid_steps(rng, monkeypatch):
     assert u_pal.shape == f.shape
     np.testing.assert_allclose(np.asarray(u_pal), np.asarray(u_ref),
                                atol=1e-10)
+
+
+def test_non_square_image(rng):
+    model = tv_model()
+    f = noisy(rng, shape=(24, 16))
+    u_ref = denoise_pdps(f, (0.1,), model, maxiter=ITERS)
+    u_pal = denoise_pdps_pallas(f, (0.1,), model, maxiter=ITERS,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(u_pal), np.asarray(u_ref),
+                               atol=1e-10)
