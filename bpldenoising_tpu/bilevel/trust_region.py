@@ -203,7 +203,10 @@ def bilevel_learn(ds, learning_function: Callable, *, xinit, params,
 
         predf = model.pred(p, gx)
         if predf == 0:
-            print("warning: degenerate trust-region step (pred == 0)")
+            # ref @error at src/TRBox.jl:231-233; non-fatal here
+            import sys
+            print("warning: degenerate trust-region step (pred == 0)",
+                  file=sys.stderr)
             rho = -np.inf
         else:
             rho = (fx - fx_new) / predf
