@@ -116,3 +116,25 @@ class TestSaveIterations:
         api.scalar_bilevel_tv_learn(save_iterations=True, **FAST)
         files = artifacts()
         assert any("_iter_" in f and f.endswith(".png") for f in files)
+
+
+class TestPaperWorkflow:
+    def test_learn_then_validate_cross_dataset(self):
+        """The reference's end-to-end research workflow: learn α on a train
+        set, validate on the held-out set, denoising must beat the noisy
+        input on both (SURVEY.md §4 oracle #2)."""
+        res = api.scalar_bilevel_tv_learn(
+            dataset_name="faces_train", num_samples=3, maxiter=6,
+            inner_maxiter=800)
+        alpha = float(res.x)
+        out = api.validate_tv_parameter(alpha, dataset_name="faces_val")
+        # quality table row means: denoised beats noisy on the val set
+        import re
+        files = artifacts("faces_val_128_10")
+        qfile = [f for f in files if f.startswith("val_tv")
+                 and f.endswith("_quality.txt")][0]
+        with open(os.path.join("output", "faces_val_128_10", qfile)) as fh:
+            rows = [l.split() for l in fh.readlines()[1:-1]]
+        noisy_psnr = np.mean([float(r[2]) for r in rows])
+        out_psnr = np.mean([float(r[4]) for r in rows])
+        assert out_psnr > noisy_psnr
