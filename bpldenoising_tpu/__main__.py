@@ -35,6 +35,8 @@ def main(argv=None):
         p.add_argument("--visualise", action="store_true")
         p.add_argument("--dtype", default=None,
                        help="float32|float64 (default: float64)")
+        p.add_argument("--backend", default="auto",
+                       choices=["auto", "jnp", "pallas"])
 
     p = sub.add_parser("scalar-tv");      common(p)
     p.add_argument("--alpha0", type=float, default=0.1)
@@ -74,7 +76,8 @@ def main(argv=None):
     def kw():
         d = dict(dataset_name=args.dataset, num_samples=args.num_samples,
                  maxiter=args.maxiter, inner_maxiter=args.inner_maxiter,
-                 checkpoint=args.checkpoint, resume=args.resume)
+                 checkpoint=args.checkpoint, resume=args.resume,
+                 backend=args.backend)
         if args.dtype:
             d["dtype"] = args.dtype
         return d

@@ -71,7 +71,7 @@ default_params = Params(
     inner_maxiter=5000,
     inner_tol=None,    # optional PDPS early stop (reference: fixed budget);
     #                    set e.g. 1e-6 to stop on relative change per 500 its
-    backend="jnp",     # "pallas" for the fused TPU kernel
+    backend="auto",    # "pallas" | "jnp" | "auto" (pallas on accelerators)
 )
 
 
@@ -80,7 +80,10 @@ def _make_lf(params, factory):
     Early stopping requires the jnp solver path (the fused kernel runs a
     fixed budget)."""
     tol = params.get("inner_tol")
-    backend = params.get("backend", "jnp")
+    backend = params.get("backend", "auto")
+    if backend == "auto":
+        import jax
+        backend = "pallas" if jax.default_backend() != "cpu" else "jnp"
     kwargs = dict(maxiter=int(params.inner_maxiter), backend=backend)
     if tol is not None:
         kwargs["backend"] = "jnp"
