@@ -34,9 +34,21 @@ remotedatasets = [
     "circle_128_10",
 ]
 
-_REPO_ROOT = os.path.abspath(
-    os.path.join(os.path.dirname(__file__), "..", ".."))
-dataset_dir = os.path.join(_REPO_ROOT, "datasets")
+def _resolve_dataset_dir() -> str:
+    """Package-relative repo checkout first, then $BPL_DATASETS, then CWD
+    (the reference is CWD-only, src/Datasets.jl:9)."""
+    env = os.environ.get("BPL_DATASETS")
+    if env:
+        return env
+    repo_root = os.path.abspath(
+        os.path.join(os.path.dirname(__file__), "..", ".."))
+    candidate = os.path.join(repo_root, "datasets")
+    if os.path.isdir(candidate):
+        return candidate
+    return os.path.join(os.getcwd(), "datasets")
+
+
+dataset_dir = _resolve_dataset_dir()
 
 
 def jaro_winkler(s1: str, s2: str, prefix_weight: float = 0.1) -> float:

@@ -34,7 +34,7 @@ from ..learning import (
     make_tv_learning_function,
     sumregs_learning_function,
 )
-from ..metrics import l2_cost, psnr, ssim
+from ..metrics import l2_cost, psnr, psnr_np, ssim, ssim_np
 from ..models import tv_model
 from ..ops import PatchOp
 from ..solvers import denoise_pdps
@@ -277,11 +277,13 @@ def _write_quality_table(path: str, b, b_data, opt_img):
     with open(path, "w") as io:
         io.write("img_num \t orig_ssim \t orig_psnr \t out_ssim \t out_psnr\n")
         mean_ssim = mean_psnr = 0.0
+        # host-side float64 metrics: device jnp runs are float32 unless
+        # x64 is enabled, and report tables should not inherit that
         for i in range(O):
-            noisy_ssim = float(ssim(b[i], b_data[i]))
-            noisy_psnr = float(psnr(b[i], b_data[i]))
-            out_ssim = float(ssim(b[i], opt_img[i]))
-            out_psnr = float(psnr(b[i], opt_img[i]))
+            noisy_ssim = ssim_np(b[i], b_data[i])
+            noisy_psnr = psnr_np(b[i], b_data[i])
+            out_ssim = ssim_np(b[i], opt_img[i])
+            out_psnr = psnr_np(b[i], opt_img[i])
             io.write(f"{i + 1}\t {noisy_ssim} \t {noisy_psnr} \t "
                      f"{out_ssim} \t {out_psnr}\n")
             mean_ssim += out_ssim

@@ -16,7 +16,38 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["psnr", "ssim", "l2_cost"]
+__all__ = ["psnr", "ssim", "l2_cost", "ssim_np", "psnr_np"]
+
+
+def psnr_np(ref, img, peak: float = 1.0) -> float:
+    """Host-side float64 PSNR for report tables (immune to the device
+    backend's precision — jnp without x64 silently computes in float32)."""
+    ref = np.asarray(ref, dtype=np.float64)
+    img = np.asarray(img, dtype=np.float64)
+    mse = np.mean((ref - img) ** 2)
+    return float(10.0 * np.log10(peak ** 2 / mse))
+
+
+def ssim_np(ref, img, peak: float = 1.0, window_size: int = 11,
+            sigma: float = 1.5, k1: float = 0.01, k2: float = 0.03) -> float:
+    """Host-side float64 SSIM (scipy valid-window correlation); matches the
+    jnp implementation to ~1e-12 in float64."""
+    from scipy.signal import correlate2d
+    ref = np.asarray(ref, dtype=np.float64)
+    img = np.asarray(img, dtype=np.float64)
+    w = np.asarray(_gaussian_kernel(window_size, sigma), dtype=np.float64)
+    c1 = (k1 * peak) ** 2
+    c2 = (k2 * peak) ** 2
+    filt = lambda a: correlate2d(a, w, mode="valid")
+    mu1, mu2 = filt(ref), filt(img)
+    s1 = np.maximum(filt(ref * ref) - mu1 ** 2, 0.0)
+    s2 = np.maximum(filt(img * img) - mu2 ** 2, 0.0)
+    s12 = filt(ref * img) - mu1 * mu2
+    bound = np.sqrt(s1 * s2)
+    s12 = np.clip(s12, -bound, bound)
+    m = ((2 * mu1 * mu2 + c1) * (2 * s12 + c2)) / (
+        (mu1 ** 2 + mu2 ** 2 + c1) * (s1 + s2 + c2))
+    return float(m.mean())
 
 
 def l2_cost(u, utrue):
@@ -69,6 +100,14 @@ def ssim(ref, img, peak: float = 1.0, window_size: int = 11,
     sigma1_sq = _filter2_valid(ref * ref, w) - mu1_sq
     sigma2_sq = _filter2_valid(img * img, w) - mu2_sq
     sigma12 = _filter2_valid(ref * img, w) - mu12
+
+    # E[x²]−μ² cancels catastrophically in float32 on near-flat windows,
+    # producing negative variances and SSIM > 1; clamp to the feasible set
+    # (σ² ≥ 0, |σ₁₂| ≤ σ₁σ₂) so the index stays in [−1, 1].
+    sigma1_sq = jnp.maximum(sigma1_sq, 0.0)
+    sigma2_sq = jnp.maximum(sigma2_sq, 0.0)
+    bound = jnp.sqrt(sigma1_sq * sigma2_sq)
+    sigma12 = jnp.clip(sigma12, -bound, bound)
 
     ssim_map = ((2 * mu12 + c1) * (2 * sigma12 + c2)) / (
         (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2))

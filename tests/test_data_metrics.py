@@ -76,3 +76,28 @@ class TestMetrics:
         t = rng.uniform(0, 1, (2, 8, 8))
         assert float(l2_cost(u, t)) == pytest.approx(
             0.5 * np.sum((u - t) ** 2))
+
+
+class TestMetricPrecision:
+    def test_ssim_np_matches_jnp_f64(self, rng):
+        from bpldenoising_tpu.metrics import ssim_np
+        a = rng.uniform(0, 1, (48, 48))
+        b = np.clip(a + 0.05 * rng.standard_normal((48, 48)), 0, 1)
+        assert ssim_np(a, b) == pytest.approx(float(ssim(a, b)), abs=1e-10)
+
+    def test_ssim_bounded_on_flat_f32(self):
+        """Regression: float32 variance cancellation must not push SSIM
+        above 1 (observed 1.119 on a stretched binary circle pair)."""
+        import jax.numpy as jnp
+        x = np.zeros((64, 64)); x[16:48, 16:48] = 1.0
+        y = x + 1e-4 * np.sin(np.arange(64))[None, :]
+        val = float(ssim(jnp.asarray(x, jnp.float32),
+                         jnp.asarray(y, jnp.float32)))
+        assert val <= 1.0 + 1e-6
+        from bpldenoising_tpu.metrics import ssim_np
+        assert ssim_np(x, y) <= 1.0
+
+    def test_psnr_np(self):
+        from bpldenoising_tpu.metrics import psnr_np
+        assert psnr_np(np.zeros((8, 8)), np.full((8, 8), 0.1)) == \
+            pytest.approx(20.0, abs=1e-9)
