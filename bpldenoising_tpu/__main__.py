@@ -67,6 +67,15 @@ def main(argv=None):
 
     args = ap.parse_args(argv)
 
+    import sys as _sys
+    try:
+        return _dispatch(args)
+    except (ValueError, FileNotFoundError) as e:
+        print(f"error: {e}", file=_sys.stderr)
+        raise SystemExit(2)
+
+
+def _dispatch(args):
     if args.x64:
         import jax
         jax.config.update("jax_enable_x64", True)
