@@ -72,18 +72,31 @@ default_params = Params(
     inner_tol=None,    # optional PDPS early stop (reference: fixed budget);
     #                    set e.g. 1e-6 to stop on relative change per 500 its
     backend="auto",    # "pallas" | "jnp" | "auto" (pallas on accelerators)
+    data_parallel=False,   # shard the image batch over all local devices
 )
 
 
 def _make_lf(params, factory):
-    """Build a learning function honoring inner_maxiter/inner_tol/backend.
-    Early stopping requires the jnp solver path (the fused kernel runs a
-    fixed budget)."""
+    """Build a learning function honoring inner_maxiter/inner_tol/backend/
+    data_parallel.  Early stopping requires the jnp solver path (the fused
+    kernel runs a fixed budget); ``data_parallel=True`` shards the image
+    batch over all local devices (shard_map + psum)."""
     tol = params.get("inner_tol")
     backend = params.get("backend", "auto")
     if backend == "auto":
         import jax
         backend = "pallas" if jax.default_backend() != "cpu" else "jnp"
+    if params.get("data_parallel"):
+        from ..learning import (make_sumregs_learning_function,
+                                make_tv_learning_function)
+        from ..parallel import (make_batch_mesh,
+                                make_sharded_sumregs_learning_function,
+                                make_sharded_tv_learning_function)
+        sharded = (make_sharded_tv_learning_function
+                   if factory is make_tv_learning_function
+                   else make_sharded_sumregs_learning_function)
+        return sharded(make_batch_mesh(),
+                       maxiter=int(params.inner_maxiter), backend=backend)
     kwargs = dict(maxiter=int(params.inner_maxiter), backend=backend)
     if tol is not None:
         kwargs["backend"] = "jnp"

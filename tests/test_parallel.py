@@ -106,3 +106,18 @@ class TestShardedBilevel:
         res = bilevel_learn(ds, lf, xinit=0.1, params=params)
         assert np.isfinite(res.cost)
         assert float(res.x) > 0
+
+
+class TestExperimentDataParallel:
+    def test_scalar_tv_learn_data_parallel(self, tmp_path, monkeypatch):
+        """The user-facing experiment runs sharded over all 8 virtual
+        devices and matches the single-device result."""
+        import bpldenoising_tpu.experiments.api as api
+        monkeypatch.chdir(tmp_path)
+        fast = dict(dataset_name="faces_train", num_samples=8,
+                    inner_maxiter=200, maxiter=2, backend="jnp")
+        res_dp = api.scalar_bilevel_tv_learn(data_parallel=True, **fast)
+        res_sd = api.scalar_bilevel_tv_learn(**fast)
+        np.testing.assert_allclose(float(res_dp.x), float(res_sd.x),
+                                   rtol=1e-8)
+        np.testing.assert_allclose(res_dp.cost, res_sd.cost, rtol=1e-10)
