@@ -38,6 +38,7 @@ from jax import lax
 
 from ..models import DenoiseModel, sumregs_model, tv_model
 from ..ops import PatchOp, scalarprod, xi
+from ..solvers.hypergrad import build_reg_system
 
 __all__ = ["single_loop_learn", "single_loop_tv_learn", "SingleLoopResult"]
 
@@ -120,46 +121,15 @@ def _single_loop_impl(utrue, f, x0, *, model: DenoiseModel, outer: int,
             n = xi(q)
             r = jnp.asarray(a, dtype)
             if r.ndim >= 2:
-                r = r[None] if u.ndim == 3 else r
+                r = r[None]           # broadcast the α map over the batch
             scale = jnp.where(n <= r, 1.0,
                               r / jnp.maximum(n, tiny))[..., None, :, :]
             ys_new.append(q * scale)
         return u_new, tuple(ys_new)
 
     def adjoint_pieces(u, alphas):
-        pieces = []
-        for op, a in zip(model.ops, alphas):
-            Gu = op.apply(u)
-            nGu = xi(Gu)
-            act = (nGu > 1.0 / gamma).astype(dtype)
-            inact = 1.0 - act
-            den = jnp.where(act > 0, nGu, 1.0)
-            inv_den = 1.0 / den
-            a = jnp.asarray(a, dtype)
-            a_dual = _bc(a) if a.ndim >= 2 else a
-            pieces.append((op, Gu, act, inact, inv_den, a_dual))
-
-        def M_apply(p):
-            out = p
-            for op, Gu, act, inact, inv_den, a_dual in pieces:
-                Gp = op.apply(p)
-                hv = Gp * _bc(inv_den) - Gu * _bc(
-                    scalarprod(Gu, Gp) * inv_den ** 3)
-                w = a_dual * ((gamma * _bc(inact)) * Gp + _bc(act) * hv)
-                out = out + op.apply_adjoint(w)
-            return out
-
-        diag = jnp.ones_like(u)
-        for op, Gu, act, inact, inv_den, a_dual in pieces:
-            h_diag = _bc(inv_den) - Gu ** 2 * _bc(inv_den ** 3)
-            w_diag = a_dual * (gamma * _bc(inact) + _bc(act) * h_diag)
-            diag = diag + op.gram_diag(w_diag)
-        inv_diag = 1.0 / diag
-
-        fields = tuple(
-            _bc(act * inv_den) * Gu + gamma * _bc(inact) * Gu
-            for op, Gu, act, inact, inv_den, a_dual in pieces)
-        return M_apply, inv_diag, fields
+        # shared γ-smoothed system assembly (batched over O)
+        return build_reg_system(u, alphas, model, gamma)
 
     def cg_steps(M_apply, inv_diag, b, p):
         r = b - M_apply(p)
@@ -237,13 +207,21 @@ def single_loop_learn(utrue, f, x0, model: DenoiseModel, *,
     """
     utrue = jnp.asarray(utrue)
     f = jnp.asarray(f, utrue.dtype)
+    # normalize to a batched (O, M, N) stack — per-k gradient maps are
+    # reduced over axis 0, which must be the batch axis
+    squeeze = f.ndim == 2
+    if squeeze:
+        utrue, f = utrue[None], f[None]
     x0 = jnp.asarray(x0, utrue.dtype)
     pop, param_shape = _param_layout(model, x0, f.shape[-2:])
-    return _single_loop_impl(
+    res = _single_loop_impl(
         utrue, f, x0, model=model, outer=int(outer), n_inner=int(n_inner),
         n_adj=int(n_adj), pop=pop, param_shape=param_shape, lr=lr,
         gamma=gamma, tau0=tau0, sigma0=sigma0, beta1=beta1, beta2=beta2,
         eps=eps)
+    if squeeze:
+        res = res._replace(u=res.u[0])
+    return res
 
 
 _TV = tv_model()

@@ -87,18 +87,19 @@ class BilevelState:
 
 
 def _should_log(iteration: int, verbose_iter: int) -> bool:
-    # ref src/BilevelVisualise.jl:200; verbose_iter <= 0 disables logging
+    # ref src/BilevelVisualise.jl:200 — OR of three conditions, so
+    # verbose_iter=1 logs every iteration; verbose_iter <= 0 disables
+    # logging entirely (extension; the reference cannot disable it)
     if verbose_iter <= 0:
         return False
-    if iteration <= 20:
-        return True
-    if iteration <= 200:
-        return iteration % 10 == 0
-    return iteration % verbose_iter == 0
+    return (iteration <= 20
+            or (iteration <= 200 and iteration % 10 == 0)
+            or iteration % verbose_iter == 0)
 
 
 def bilevel_iterate(step: Callable, params, visualise: bool = False,
-                    save_iteration_fn: Optional[Callable] = None) -> BilevelState:
+                    save_iteration_fn: Optional[Callable] = None,
+                    state: Optional[BilevelState] = None) -> BilevelState:
     """Run ``step(verbose)`` for up to ``params.maxiter`` iterations.
 
     ``step`` receives a ``verbose() -> (x, image, fx, gnorm, delta, step_norm)``
@@ -109,7 +110,7 @@ def bilevel_iterate(step: Callable, params, visualise: bool = False,
     Returns the harness state; iteration stops at ``maxiter``, when
     Δ < ``params.tol``, or on KeyboardInterrupt.
     """
-    st = BilevelState()
+    st = state if state is not None else BilevelState()
     if visualise:
         st.view = LiveView()
     maxiter = int(params.maxiter)
@@ -119,8 +120,11 @@ def bilevel_iterate(step: Callable, params, visualise: bool = False,
     try:
         for iteration in range(1, maxiter + 1):
             if st.start_time is None and iteration > 1:
-                # exclude first-iteration JIT compile (ref :192-196)
+                # exclude first-iteration JIT compile (ref :192-196); waste
+                # accrued before the clock started must not be subtracted
+                # from post-clock elapsed time
                 st.start_time = time.perf_counter()
+                st.wasted_time = 0.0
 
             stop = False
 

@@ -149,7 +149,8 @@ class BilevelResult:
 
 def bilevel_learn(ds, learning_function: Callable, *, xinit, params,
                   visualise: bool = False, save_iteration_fn=None,
-                  checkpoint: Optional[Callable] = None) -> BilevelResult:
+                  checkpoint: Optional[Callable] = None,
+                  init_B=None) -> BilevelResult:
     """Trust-region bilevel learning (ref ``src/TRBox.jl:192-273``).
 
     Args:
@@ -160,9 +161,11 @@ def bilevel_learn(ds, learning_function: Callable, *, xinit, params,
       xinit: initial parameter (scalar, (3,), (m,n) or (m,n,3)).
       params: Params with eta1, eta2, beta1, beta2 (the reference's
         η₁/η₂/β₁/β₂), delta0 (Δ₀), maxiter, tol, verbose_iter.
-      checkpoint: optional callback ``checkpoint(iter, x, delta, log)`` run
-        after every accepted iteration (capability the reference lacks;
+      checkpoint: optional callback ``checkpoint(iter, x, delta, log, B)``
+        run after every accepted iteration (capability the reference lacks;
         SURVEY.md §5 checkpoint/resume).
+      init_B: optional dense BFGS matrix to restore on resume (ignored for
+        the L-BFGS path).
     """
     eta1, eta2 = float(params.eta1), float(params.eta2)
     beta1, beta2 = float(params.beta1), float(params.beta2)
@@ -191,8 +194,11 @@ def bilevel_learn(ds, learning_function: Callable, *, xinit, params,
                            init_scale=0.1)
     else:
         model = TRModel(n, init_scale=0.1)
+        if init_B is not None and np.asarray(init_B).shape == (n, n):
+            model.B = np.asarray(init_B, dtype=np.float64).copy()
     residual = np.zeros_like(x)
     it_count = 0
+    st = BilevelState()
 
     def step(verbose):
         nonlocal x, u, fx, gx, delta, residual, it_count
@@ -224,15 +230,16 @@ def bilevel_learn(ds, learning_function: Callable, *, xinit, params,
             residual = x - x_new
             x, u, fx, gx = x_new, u_new, fx_new, gx_new
             if checkpoint is not None:
-                checkpoint(it_count, x.reshape(shape), delta, None)
+                checkpoint(it_count, x.reshape(shape), delta, st.log,
+                           B=getattr(model, "B", None))
 
         verbose(lambda: (x.reshape(shape), u[0], fx,
                          np.linalg.norm(gx), delta,
                          np.linalg.norm(residual)))
         return delta < float(params.get("tol", 0.0))
 
-    st = bilevel_iterate(step, params, visualise=visualise,
-                         save_iteration_fn=save_iteration_fn)
+    bilevel_iterate(step, params, visualise=visualise,
+                    save_iteration_fn=save_iteration_fn, state=st)
     return BilevelResult(x=x.reshape(shape), u=u, state=st, cost=fx,
                          g_norm=float(np.linalg.norm(gx)),
                          iterations=it_count)

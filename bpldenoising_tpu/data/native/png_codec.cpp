@@ -83,6 +83,10 @@ int png_read_gray(const char* path, double** out, int* rows, int* cols) {
   fseek(f, 0, SEEK_END);
   long sz = ftell(f);
   fseek(f, 0, SEEK_SET);
+  if (sz < 8) {  // unseekable stream (ftell = -1) or impossibly small file
+    fclose(f);
+    return -2;
+  }
   std::vector<uint8_t> data(sz);
   if (fread(data.data(), 1, sz, f) != static_cast<size_t>(sz)) {
     fclose(f);

@@ -32,7 +32,6 @@ from ..data import full_datasetname, testdataset, write_png_gray
 from ..learning import (
     make_sumregs_learning_function,
     make_tv_learning_function,
-    sumregs_learning_function,
 )
 from ..metrics import l2_cost, psnr, psnr_np, ssim, ssim_np
 from ..models import tv_model
@@ -87,6 +86,10 @@ def _make_lf(params, factory):
         import jax
         backend = "pallas" if jax.default_backend() != "cpu" else "jnp"
     if params.get("data_parallel"):
+        if tol is not None:
+            raise ValueError(
+                "inner_tol is not supported with data_parallel=True "
+                "(the sharded learning functions run the fixed budget)")
         from ..learning import (make_sumregs_learning_function,
                                 make_tv_learning_function)
         from ..parallel import (make_batch_mesh,
@@ -355,6 +358,7 @@ def _run_bilevel(params, learning_function, visualise):
     ckpt = None
     ckpt_path = os.path.join(_out_dir(params),
                              params.save_prefix + "_ckpt.npz")
+    init_B = None
     if params.get("resume"):
         # resume from the last accepted iterate (capability the reference
         # lacks; SURVEY.md §5 checkpoint/resume)
@@ -363,6 +367,8 @@ def _run_bilevel(params, learning_function, visualise):
         if state is not None:
             params = params | dict(alpha0=state["x"],
                                    delta0=float(state["delta"]))
+            if state.get("B") is not None and np.asarray(state["B"]).ndim == 2:
+                init_B = state["B"]
             print(f"resuming from {ckpt_path} "
                   f"(iteration {int(state['iteration'])})", file=sys.stderr)
     if params.get("checkpoint") or params.get("resume"):
@@ -378,7 +384,8 @@ def _run_bilevel(params, learning_function, visualise):
 
     res = bilevel_learn(ds, learning_function, xinit=params.alpha0,
                         params=params, visualise=visualise,
-                        save_iteration_fn=save_iter_fn, checkpoint=ckpt)
+                        save_iteration_fn=save_iter_fn, checkpoint=ckpt,
+                        init_B=init_B)
     b, b_noisy = (linear_stretch(np.asarray(d)) for d in ds)
     u = linear_stretch(np.asarray(res.u))
     save_results(params, b, b_noisy, res.x, u, res.state)
@@ -486,10 +493,14 @@ def validate_sumregs_parameter(parameter, **kwargs):
         + params.dataset_name)
     img, noisy = testdataset(params.dataset_name)
     dt = _np_dtype(params)
-    ds = (jnp.asarray(img, dt), jnp.asarray(noisy, dt))
-    u, cost, _ = sumregs_learning_function(
-        jnp.asarray(parameter, dt), ds, 0.1)
-    u = np.asarray(u)
+    # denoise only (the reference calls the full learning function here,
+    # src/BPLDenoising.jl:517, computing and discarding a hypergradient —
+    # same u, half the work)
+    from ..models import sumregs_model
+    u = np.asarray(denoise_pdps(jnp.asarray(noisy, dt),
+                                jnp.asarray(parameter, dt),
+                                sumregs_model(), maxiter=5000))
+    cost = l2_cost(u, img)
     print(f"Denoising parameter {parameter}: cost = {float(cost)}",
           file=sys.stderr)
     mean_ssim, mean_psnr = _validate(params, u, img, noisy)

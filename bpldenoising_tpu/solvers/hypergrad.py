@@ -196,20 +196,19 @@ def exact_hypergrad(u, utrue, alphas, model: DenoiseModel,
 # γ-regularized (Huber/implicit-differentiation) hypergradient
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("model", "cfg", "want_maps"))
-def reg_hypergrad(u, utrue, alphas, model: DenoiseModel,
-                  cfg: HypergradConfig = HypergradConfig(),
-                  want_maps: bool = False, p0=None):
-    """γ-smoothed hypergradient for one image
-    (`src/TVLearningFunctionVec.jl:137-161`, `src/SumRegsLearningFunction.jl:112-262`).
+def build_reg_system(u, alphas, model: DenoiseModel, gamma):
+    """Assemble the γ-smoothed adjoint system at ``u``.
 
-    This is implicit differentiation through the γ-Huber-smoothed lower-level
-    problem; used by the learning functions when the trust region has shrunk
-    below Δt (`src/TVLearningFunctionVec.jl:21-25`).
+    Returns ``(M_apply, inv_diag, fields)``: the SPD system operator
+    M = I + Σₖ Gₖᵀ αₖ Wₖ Gₖ, its Jacobi preconditioner diagonal inverse, and
+    the per-k dual direction fields actₖ·Guₖ/denₖ + γ·inactₖ·Guₖ used for
+    the α-derivative contraction.  Shape-polymorphic over leading (batch)
+    axes; shared by :func:`reg_hypergrad`, the implicit-diff layers
+    (:mod:`.implicit`) and the single-loop optimizer
+    (:mod:`bpldenoising_tpu.bilevel.first_order`).
     """
     dtype = u.dtype
-    _, _, cg_tol = _defaults(dtype, cfg)
-    gamma = jnp.asarray(cfg.gamma, dtype)
+    gamma = jnp.asarray(gamma, dtype)
 
     pieces = []
     for op, alpha in zip(model.ops, alphas):
@@ -237,13 +236,33 @@ def reg_hypergrad(u, utrue, alphas, model: DenoiseModel,
         diag = diag + op.gram_diag(w_diag)
     inv_diag = 1.0 / diag
 
+    fields = tuple(
+        _bcast(act / den) * Gu + gamma * _bcast(inact) * Gu
+        for op, Gu, act, inact, den, a_dual in pieces)
+    return M_apply, inv_diag, fields
+
+
+@functools.partial(jax.jit, static_argnames=("model", "cfg", "want_maps"))
+def reg_hypergrad(u, utrue, alphas, model: DenoiseModel,
+                  cfg: HypergradConfig = HypergradConfig(),
+                  want_maps: bool = False, p0=None):
+    """γ-smoothed hypergradient for one image
+    (`src/TVLearningFunctionVec.jl:137-161`, `src/SumRegsLearningFunction.jl:112-262`).
+
+    This is implicit differentiation through the γ-Huber-smoothed lower-level
+    problem; used by the learning functions when the trust region has shrunk
+    below Δt (`src/TVLearningFunctionVec.jl:21-25`).
+    """
+    dtype = u.dtype
+    _, _, cg_tol = _defaults(dtype, cfg)
+    M_apply, inv_diag, fields = build_reg_system(u, alphas, model, cfg.gamma)
+
     rhs = utrue - u
     p, info = cg(M_apply, rhs, x0=p0, tol=cg_tol, maxiter=cfg.cg_maxiter,
                  M=lambda r: inv_diag * r)
 
     grads = []
-    for op, Gu, act, inact, den, a_dual in pieces:
-        field = _bcast(act / den) * Gu + gamma * _bcast(inact) * Gu
+    for op, field in zip(model.ops, fields):
         # dual-space per-pixel attribution (see exact_hypergrad)
         gmap = scalarprod(op.apply(p), field)
         grads.append(gmap if want_maps else jnp.sum(gmap))

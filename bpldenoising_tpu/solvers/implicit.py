@@ -28,13 +28,8 @@ import jax
 import jax.numpy as jnp
 
 from ..models import DenoiseModel, tv_model
-from ..ops import scalarprod, xi
-from .hypergrad import (
-    HypergradConfig,
-    _bcast,
-    _curvature_apply,
-    _defaults,
-)
+from ..ops import scalarprod
+from .hypergrad import HypergradConfig, _defaults, build_reg_system
 from .krylov import cg
 from .pdps import denoise_pdps
 
@@ -42,48 +37,19 @@ __all__ = ["diff_denoise", "diff_tv_denoise"]
 
 
 def _vjp_solve(u, v, alphas, model: DenoiseModel, cfg: HypergradConfig):
-    """p = M⁻¹v for the γ-smoothed system at u; also returns per-k pieces."""
-    dtype = u.dtype
-    _, _, cg_tol = _defaults(dtype, cfg)
-    gamma = jnp.asarray(cfg.gamma, dtype)
-
-    pieces = []
-    for op, alpha in zip(model.ops, alphas):
-        Gu = op.apply(u)
-        nGu = xi(Gu)
-        act = (nGu > 1.0 / gamma).astype(dtype)
-        inact = 1.0 - act
-        den = jnp.where(act > 0, nGu, 1.0)
-        a = jnp.asarray(alpha, dtype)
-        a_dual = _bcast(a) if a.ndim >= 2 else a
-        pieces.append((op, Gu, act, inact, den, a_dual))
-
-    def M_apply(p):
-        out = p
-        for op, Gu, act, inact, den, a_dual in pieces:
-            Gp = op.apply(p)
-            w = a_dual * ((gamma * _bcast(inact)) * Gp
-                          + _bcast(act) * _curvature_apply(Gu, den, Gp))
-            out = out + op.apply_adjoint(w)
-        return out
-
-    diag = jnp.ones_like(u)
-    for op, Gu, act, inact, den, a_dual in pieces:
-        h_diag = _bcast(1.0 / den) - Gu ** 2 * _bcast(1.0 / den ** 3)
-        w_diag = a_dual * (gamma * _bcast(inact) + _bcast(act) * h_diag)
-        diag = diag + op.gram_diag(w_diag)
-    inv_diag = 1.0 / diag
-
+    """p = M⁻¹v for the γ-smoothed system at u (shared assembly from
+    :func:`bpldenoising_tpu.solvers.hypergrad.build_reg_system`)."""
+    _, _, cg_tol = _defaults(u.dtype, cfg)
+    M_apply, inv_diag, fields = build_reg_system(u, alphas, model, cfg.gamma)
     p, _ = cg(M_apply, v, tol=cg_tol, maxiter=cfg.cg_maxiter,
               M=lambda r: inv_diag * r)
-    return p, pieces
+    return p, fields
 
 
-def _alpha_cotangent(p, pieces, alphas, gamma):
+def _alpha_cotangent(p, fields, alphas, model):
     """Per-k cotangent in the shape of αₖ (scalar or map)."""
     outs = []
-    for (op, Gu, act, inact, den, _), alpha in zip(pieces, alphas):
-        field = _bcast(act / den) * Gu + gamma * _bcast(inact) * Gu
+    for op, field, alpha in zip(model.ops, fields, alphas):
         gmap = -scalarprod(op.apply(p), field)
         a = jnp.asarray(alpha)
         outs.append(gmap if a.ndim >= 2 else jnp.sum(gmap))
@@ -104,10 +70,9 @@ def make_diff_denoise(model: DenoiseModel, maxiter: int = 5000,
 
     def bwd(res, v):
         u, alphas = res
-        gamma = jnp.asarray(cfg.gamma, u.dtype)
-        p, pieces = _vjp_solve(u, v, alphas, model, cfg)
+        p, fields = _vjp_solve(u, v, alphas, model, cfg)
         df = p                                      # ∂F/∂f = −I ⇒ vjp = M⁻¹v
-        dalphas = _alpha_cotangent(p, pieces, alphas, gamma)
+        dalphas = _alpha_cotangent(p, fields, alphas, model)
         return df, dalphas
 
     solve.defvjp(fwd, bwd)

@@ -111,7 +111,9 @@ def _denoise_pdps_impl(f, alphas, *, model: DenoiseModel, tau0, sigma0,
         def chunk(carry):
             state, it, _ = carry
             u_prev = state[0]
-            state = lax.fori_loop(0, check_every, lambda k, s: step(s), state)
+            # clamp the chunk so the total never exceeds maxiter
+            n_steps = jnp.minimum(check_every, maxiter - it)
+            state = lax.fori_loop(0, n_steps, lambda k, s: step(s), state)
             delta = jnp.max(
                 jnp.linalg.norm(
                     (state[0] - u_prev).reshape(u_prev.shape[:-2] + (-1,)),
@@ -120,7 +122,7 @@ def _denoise_pdps_impl(f, alphas, *, model: DenoiseModel, tau0, sigma0,
                     jnp.linalg.norm(
                         state[0].reshape(u_prev.shape[:-2] + (-1,)), axis=-1),
                     1e-12))
-            return (state, it + check_every, delta)
+            return (state, it + n_steps, delta)
 
         def cond(carry):
             _, it, delta = carry

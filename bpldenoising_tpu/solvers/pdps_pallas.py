@@ -182,7 +182,8 @@ def _make_kernel(model: DenoiseModel, maxiter: int, accel: bool,
 _VMEM_BUDGET = 8 * 1024 * 1024  # leave headroom in ~16MB VMEM
 
 
-def _vmem_chunk(O: int, M: int, N: int, K: int, itemsize: int) -> int:
+def _vmem_chunk(O: int, M: int, N: int, K: int, itemsize: int,
+                n_alpha_maps: int = 0) -> int:
     """Batch-chunk size keeping kernel state within a VMEM budget.
 
     Returns 0 when even a single image's solver state exceeds the budget
@@ -191,9 +192,12 @@ def _vmem_chunk(O: int, M: int, N: int, K: int, itemsize: int) -> int:
     iteration) is the eventual fix; see bpldenoising_tpu.parallel.halo for
     the multi-chip analogue.
     """
-    # live planes per image: u, f, ubar, div, 2K duals (+2K temps)
+    # live planes per image: u, f, ubar, div, 2K duals (+2K temps);
+    # spatially-varying α maps add 2 shared planes each (α and α², not
+    # per-image, but budgeted conservatively against the same pool)
     planes = 4 + 4 * K
-    chunk = _VMEM_BUDGET // (planes * M * N * itemsize)
+    shared = 2 * n_alpha_maps * M * N * itemsize
+    chunk = max(_VMEM_BUDGET - shared, 0) // (planes * M * N * itemsize)
     return min(O, chunk)
 
 
@@ -211,7 +215,8 @@ def _pallas_impl(f, alphas, *, model, tau0, sigma0, gamma, maxiter, accel,
     sigma_init = float(sigma0) / L
 
     alpha_is_map = tuple(a.ndim >= 2 for a in alphas)
-    chunk = _vmem_chunk(O, M, N, K, dtype.itemsize)
+    chunk = _vmem_chunk(O, M, N, K, dtype.itemsize,
+                        n_alpha_maps=sum(alpha_is_map))
     if chunk < 1:
         # image too large for VMEM-resident state — jnp/HBM path instead
         from .pdps import _denoise_pdps_impl

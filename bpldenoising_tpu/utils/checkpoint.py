@@ -49,11 +49,11 @@ class CheckpointWriter:
         self.path = path
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
 
-    def __call__(self, iteration, x, delta, log):
+    def __call__(self, iteration, x, delta, log, B=None):
         rows = None
         if log:
             rows = np.asarray([
                 [e.iter, e.time, e.function_value, e.g_norm, e.delta,
                  e.step_norm] for e in log])
-        save_checkpoint(self.path, x=x, delta=delta, log_rows=rows,
+        save_checkpoint(self.path, x=x, delta=delta, B=B, log_rows=rows,
                         iteration=iteration)

@@ -68,7 +68,8 @@ def test_unaccelerated(rng):
 def test_multi_grid_steps(rng, monkeypatch):
     """Batch larger than the VMEM chunk exercises grid>1 + padding."""
     import bpldenoising_tpu.solvers.pdps_pallas as pp
-    monkeypatch.setattr(pp, "_vmem_chunk", lambda O, M, N, K, sz: 2)
+    monkeypatch.setattr(pp, "_vmem_chunk",
+                        lambda O, M, N, K, sz, **kw: 2)
     model = tv_model()
     f = jnp.stack([noisy(rng) for _ in range(5)])  # 5 images, chunk 2 → grid 3
     u_ref = denoise_pdps(f, (0.1,), model, maxiter=ITERS)

@@ -153,14 +153,16 @@ class TestLBFGS:
 
 class TestHarness:
     def test_cadence(self):
+        # ref src/BilevelVisualise.jl:200 — OR of the three conditions
         assert _should_log(5, 1)
         assert _should_log(20, 1)
-        assert not _should_log(21, 1)
-        assert _should_log(30, 1)
-        assert _should_log(201, 1)        # verbose_iter=1 → every iteration
+        assert _should_log(21, 1)         # verbose_iter=1 → every iteration
+        assert not _should_log(21, 100)   # 21..200: only every 10th
+        assert _should_log(30, 100)
+        assert _should_log(201, 1)
         assert not _should_log(201, 100)
         assert _should_log(400, 100)
-        assert not _should_log(5, 0)  # disabled
+        assert not _should_log(5, 0)  # disabled (extension)
 
     def test_step_stop_request(self):
         count = [0]
@@ -197,3 +199,47 @@ class TestProfiling:
         from bpldenoising_tpu.utils import trace
         with trace(None):
             pass
+
+
+class TestCheckpointModelState:
+    def test_checkpoint_includes_B_and_log(self, tmp_path):
+        """Regression: checkpoints must carry the BFGS model and log rows
+        so resume does not restart with a fresh B (review finding)."""
+        from bpldenoising_tpu.bilevel import bilevel_learn
+        from bpldenoising_tpu.utils import CheckpointWriter, load_checkpoint
+
+        path = str(tmp_path / "ck.npz")
+        ckpt = CheckpointWriter(path)
+
+        def lf(x, ds, delta):
+            g = 2 * (x - 0.3)
+            return np.zeros((1, 2, 2)), float(np.sum((x - 0.3) ** 2)), g
+
+        params = Params(eta1=0.25, eta2=0.75, beta1=0.25, beta2=1.9,
+                        delta0=0.1, maxiter=10, tol=1e-10, verbose_iter=1)
+        bilevel_learn((None, None), lf, xinit=np.array([0.1, 0.2]),
+                      params=params, checkpoint=ckpt)
+        state = load_checkpoint(path)
+        assert state["B"] is not None and state["B"].shape == (2, 2)
+        assert state["log"].shape[0] > 0
+
+    def test_resume_restores_B(self, tmp_path):
+        from bpldenoising_tpu.bilevel import bilevel_learn
+        from bpldenoising_tpu.bilevel.trust_region import TRModel
+
+        captured = {}
+
+        def lf(x, ds, delta):
+            g = 2 * (x - 0.3)
+            return np.zeros((1, 2, 2)), float(np.sum((x - 0.3) ** 2)), g
+
+        params = Params(eta1=0.25, eta2=0.75, beta1=0.25, beta2=1.9,
+                        delta0=0.1, maxiter=1, tol=1e-10, verbose_iter=0)
+        B0 = np.diag([3.0, 5.0])
+        res = bilevel_learn((None, None), lf, xinit=np.array([0.1, 0.2]),
+                            params=params, init_B=B0,
+                            checkpoint=lambda it, x, d, log, B=None:
+                                captured.update(B=B))
+        # after one iteration the captured B evolved FROM B0, not from 0.1*I
+        assert captured["B"] is not None
+        assert not np.allclose(captured["B"], np.eye(2) * 0.1)
