@@ -37,6 +37,8 @@ def main(argv=None):
                        help="float32|float64 (default: float64)")
         p.add_argument("--backend", default="auto",
                        choices=["auto", "jnp", "pallas"])
+        p.add_argument("--method", default="tr",
+                       choices=["tr", "single_loop"])
 
     p = sub.add_parser("scalar-tv");      common(p)
     p.add_argument("--alpha0", type=float, default=0.1)
@@ -86,7 +88,7 @@ def _dispatch(args):
         d = dict(dataset_name=args.dataset, num_samples=args.num_samples,
                  maxiter=args.maxiter, inner_maxiter=args.inner_maxiter,
                  checkpoint=args.checkpoint, resume=args.resume,
-                 backend=args.backend)
+                 backend=args.backend, method=args.method)
         if args.dtype:
             d["dtype"] = args.dtype
         return d

@@ -72,6 +72,8 @@ default_params = Params(
     #                    set e.g. 1e-6 to stop on relative change per 500 its
     backend="auto",    # "pallas" | "jnp" | "auto" (pallas on accelerators)
     data_parallel=False,   # shard the image batch over all local devices
+    method="tr",       # "tr" (reference trust region) | "single_loop"
+    sl_outer=300, sl_inner=40, sl_adj=10, sl_lr=0.05,   # single-loop knobs
 )
 
 
@@ -353,6 +355,35 @@ def save_results(params, b, b_data, x, opt_img, st):
 # Bilevel learning experiments
 # ---------------------------------------------------------------------------
 
+def _run_single_loop(params, model_kind):
+    """Single-loop first-order path behind the same experiment surface
+    (beyond-reference capability; artifacts match the TR path's)."""
+    from ..bilevel.first_order import single_loop_learn
+    from ..bilevel.harness import BilevelState
+    from ..bilevel.trust_region import BilevelResult
+    from ..models import sumregs_model, tv_model
+    from ..viz.log import BilevelLogEntry
+
+    ds = _load(params)
+    model = tv_model() if model_kind == "tv" else sumregs_model()
+    res = single_loop_learn(
+        ds[0], ds[1], params.alpha0, model,
+        outer=int(params.sl_outer), n_inner=int(params.sl_inner),
+        n_adj=int(params.sl_adj), lr=float(params.sl_lr))
+    st = BilevelState()
+    costs = np.asarray(res.cost_trajectory)
+    for i, c in enumerate(costs):
+        if (i + 1) % max(1, len(costs) // 20) == 0:
+            st.log.append(BilevelLogEntry(i + 1, 0.0, float(c), 0.0, 0.0,
+                                          0.0))
+    out = BilevelResult(x=np.asarray(res.alpha), u=np.asarray(res.u),
+                        state=st, cost=float(res.cost), g_norm=float("nan"),
+                        iterations=int(params.sl_outer))
+    b, b_noisy = (linear_stretch(np.asarray(d)) for d in ds)
+    save_results(params, b, b_noisy, out.x, linear_stretch(out.u), st)
+    return out
+
+
 def _run_bilevel(params, learning_function, visualise):
     ds = _load(params)
     ckpt = None
@@ -398,6 +429,8 @@ def scalar_bilevel_tv_learn(visualise: bool = False, **kwargs):
     params = _canon(params)
     params = params | dict(save_prefix="tv_optimal_parameter_scalar_"
                            + params.dataset_name)
+    if params.get("method") == "single_loop":
+        return _run_single_loop(params, "tv")
     lf = _make_lf(params, make_tv_learning_function)
     return _run_bilevel(params, lf, visualise)
 
@@ -409,6 +442,8 @@ def patch_bilevel_tv_learn(visualise: bool = False, **kwargs):
     shape = tuple(np.asarray(params.alpha0).shape)
     params = params | dict(
         save_prefix=f"tv_optimal_parameter_{shape}_" + params.dataset_name)
+    if params.get("method") == "single_loop":
+        return _run_single_loop(params, "tv")
     lf = _make_lf(params, make_tv_learning_function)
     return _run_bilevel(params, lf, visualise)
 
@@ -419,6 +454,8 @@ def scalar_bilevel_sumregs_learn(visualise: bool = False, **kwargs):
     params = _canon(params)
     params = params | dict(save_prefix="sumregs_optimal_parameter_scalar_"
                            + params.dataset_name)
+    if params.get("method") == "single_loop":
+        return _run_single_loop(params, "sumregs")
     lf = _make_lf(params, make_sumregs_learning_function)
     return _run_bilevel(params, lf, visualise)
 
@@ -435,6 +472,8 @@ def patch_bilevel_sumregs_learn(image_pair=None, dataset_name=None,
     params = params | dict(
         save_prefix=f"sumregs_optimal_parameter_patch_{shape}"
         + params.dataset_name)
+    if params.get("method") == "single_loop" and image_pair is None:
+        return _run_single_loop(params, "sumregs")
     lf = _make_lf(params, make_sumregs_learning_function)
     if image_pair is not None:
         dt = _np_dtype(params)

@@ -138,3 +138,19 @@ class TestPaperWorkflow:
         noisy_psnr = np.mean([float(r[2]) for r in rows])
         out_psnr = np.mean([float(r[4]) for r in rows])
         assert out_psnr > noisy_psnr
+
+
+class TestSingleLoopMethod:
+    def test_scalar_tv_single_loop(self):
+        res = api.scalar_bilevel_tv_learn(
+            method="single_loop", sl_outer=40, sl_inner=20, sl_adj=5,
+            dataset_name="circle", num_samples=1)
+        assert float(np.asarray(res.x)) > 0
+        files = artifacts()
+        assert any(f.endswith("_quality.txt") for f in files)
+
+    def test_sumregs_single_loop(self):
+        res = api.scalar_bilevel_sumregs_learn(
+            method="single_loop", sl_outer=30, sl_inner=15, sl_adj=4,
+            dataset_name="circle", num_samples=1)
+        assert np.asarray(res.x).shape == (3,)
