@@ -171,9 +171,11 @@ def _single_loop_impl(utrue, f, x0, *, model: DenoiseModel, outer: int,
         v = beta2 * v + (1 - beta2) * g_z ** 2
         mhat = m / (1 - beta1 ** t)
         vhat = v / (1 - beta2 ** t)
-        z = z - lr * mhat / (jnp.sqrt(vhat) + eps)
+        z_new = z - lr * mhat / (jnp.sqrt(vhat) + eps)
         cost = 0.5 * jnp.sum((u - utrue) ** 2)
-        return (u, ys, p, z, m, v, t), (jnp.exp(z), cost)
+        # trajectory pairs each cost with the α that PRODUCED it (x, not the
+        # freshly updated parameter)
+        return (u, ys, p, z_new, m, v, t), (x, cost)
 
     u0 = f
     zero_like = 0.0 * f[..., None, :, :]

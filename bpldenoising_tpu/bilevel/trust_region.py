@@ -150,7 +150,7 @@ class BilevelResult:
 def bilevel_learn(ds, learning_function: Callable, *, xinit, params,
                   visualise: bool = False, save_iteration_fn=None,
                   checkpoint: Optional[Callable] = None,
-                  init_B=None) -> BilevelResult:
+                  init_B=None, init_log=None) -> BilevelResult:
     """Trust-region bilevel learning (ref ``src/TRBox.jl:192-273``).
 
     Args:
@@ -166,6 +166,8 @@ def bilevel_learn(ds, learning_function: Callable, *, xinit, params,
         SURVEY.md §5 checkpoint/resume).
       init_B: optional dense BFGS matrix to restore on resume (ignored for
         the L-BFGS path).
+      init_log: optional list of BilevelLogEntry to seed the harness log
+        with (resume: pre-crash history is preserved in the perf file).
     """
     eta1, eta2 = float(params.eta1), float(params.eta2)
     beta1, beta2 = float(params.beta1), float(params.beta2)
@@ -199,6 +201,8 @@ def bilevel_learn(ds, learning_function: Callable, *, xinit, params,
     residual = np.zeros_like(x)
     it_count = 0
     st = BilevelState()
+    if init_log:
+        st.log.extend(init_log)
 
     def step(verbose):
         nonlocal x, u, fx, gx, delta, residual, it_count
@@ -226,16 +230,18 @@ def bilevel_learn(ds, learning_function: Callable, *, xinit, params,
         if predf < 0:
             delta = beta1 * delta
 
-        if rho > 0:  # accept (ref :251-257)
+        accepted = rho > 0
+        if accepted:  # accept (ref :251-257)
             residual = x - x_new
             x, u, fx, gx = x_new, u_new, fx_new, gx_new
-            if checkpoint is not None:
-                checkpoint(it_count, x.reshape(shape), delta, st.log,
-                           B=getattr(model, "B", None))
 
         verbose(lambda: (x.reshape(shape), u[0], fx,
                          np.linalg.norm(gx), delta,
                          np.linalg.norm(residual)))
+        if accepted and checkpoint is not None:
+            # after verbose so the snapshot includes this iteration's entry
+            checkpoint(it_count, x.reshape(shape), delta, st.log,
+                       B=getattr(model, "B", None))
         return delta < float(params.get("tol", 0.0))
 
     bilevel_iterate(step, params, visualise=visualise,

@@ -229,7 +229,8 @@ int png_write_gray(const char* path, const double* img, int rows, int cols) {
     raw[y * (W + 1)] = 0;  // filter 0
     for (uint32_t x = 0; x < W; ++x) {
       double v = img[y * W + x];
-      v = v < 0 ? 0 : (v > 1 ? 1 : v);
+      if (!(v >= 0.0)) v = 0.0;  // also catches NaN (comparison false)
+      if (v > 1.0) v = 1.0;
       raw[y * (W + 1) + 1 + x] = static_cast<uint8_t>(v * 255.0 + 0.5);
     }
   }

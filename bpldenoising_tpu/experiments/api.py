@@ -358,6 +358,11 @@ def save_results(params, b, b_data, x, opt_img, st):
 def _run_single_loop(params, model_kind):
     """Single-loop first-order path behind the same experiment surface
     (beyond-reference capability; artifacts match the TR path's)."""
+    for flag in ("checkpoint", "resume", "save_iterations"):
+        if params.get(flag):
+            raise ValueError(
+                f"{flag} is not supported with method='single_loop' "
+                "(the loop runs as one on-device scan)")
     from ..bilevel.first_order import single_loop_learn
     from ..bilevel.harness import BilevelState
     from ..bilevel.trust_region import BilevelResult
@@ -384,22 +389,28 @@ def _run_single_loop(params, model_kind):
     return out
 
 
-def _run_bilevel(params, learning_function, visualise):
+def _run_bilevel(params, learning_function, visualise, stretch_all=False):
     ds = _load(params)
     ckpt = None
     ckpt_path = os.path.join(_out_dir(params),
                              params.save_prefix + "_ckpt.npz")
     init_B = None
+    init_log = None
     if params.get("resume"):
         # resume from the last accepted iterate (capability the reference
         # lacks; SURVEY.md §5 checkpoint/resume)
         from ..utils.checkpoint import load_checkpoint
+        from ..viz.log import BilevelLogEntry
         state = load_checkpoint(ckpt_path)
         if state is not None:
             params = params | dict(alpha0=state["x"],
                                    delta0=float(state["delta"]))
             if state.get("B") is not None and np.asarray(state["B"]).ndim == 2:
                 init_B = state["B"]
+            rows = state.get("log")
+            if rows is not None and np.asarray(rows).size:
+                init_log = [BilevelLogEntry(int(r[0]), *map(float, r[1:]))
+                            for r in np.asarray(rows)]
             print(f"resuming from {ckpt_path} "
                   f"(iteration {int(state['iteration'])})", file=sys.stderr)
     if params.get("checkpoint") or params.get("resume"):
@@ -416,8 +427,13 @@ def _run_bilevel(params, learning_function, visualise):
     res = bilevel_learn(ds, learning_function, xinit=params.alpha0,
                         params=params, visualise=visualise,
                         save_iteration_fn=save_iter_fn, checkpoint=ckpt,
-                        init_B=init_B)
-    b, b_noisy = (linear_stretch(np.asarray(d)) for d in ds)
+                        init_B=init_B, init_log=init_log)
+    # ref parity: scalar TV stretches u, b and b_noisy (src/BPLDenoising.jl
+    # :337-339); the patch/sumregs variants stretch only u (:370,:446,:478)
+    if stretch_all:
+        b, b_noisy = (linear_stretch(np.asarray(d)) for d in ds)
+    else:
+        b, b_noisy = (np.asarray(d) for d in ds)
     u = linear_stretch(np.asarray(res.u))
     save_results(params, b, b_noisy, res.x, u, res.state)
     return res
@@ -432,7 +448,7 @@ def scalar_bilevel_tv_learn(visualise: bool = False, **kwargs):
     if params.get("method") == "single_loop":
         return _run_single_loop(params, "tv")
     lf = _make_lf(params, make_tv_learning_function)
-    return _run_bilevel(params, lf, visualise)
+    return _run_bilevel(params, lf, visualise, stretch_all=True)
 
 
 def patch_bilevel_tv_learn(visualise: bool = False, **kwargs):
@@ -534,10 +550,16 @@ def validate_sumregs_parameter(parameter, **kwargs):
     dt = _np_dtype(params)
     # denoise only (the reference calls the full learning function here,
     # src/BPLDenoising.jl:517, computing and discarding a hypergradient —
-    # same u, half the work)
+    # same u, half the work); patch (m, n, 3) parameters upsample first
     from ..models import sumregs_model
-    u = np.asarray(denoise_pdps(jnp.asarray(noisy, dt),
-                                jnp.asarray(parameter, dt),
+    param = np.asarray(parameter)
+    if param.ndim == 3:
+        pop = PatchOp.for_image(param[..., 0], noisy[0])
+        alphas = tuple(pop.apply(jnp.asarray(param[..., k], dt))
+                       for k in range(param.shape[-1]))
+    else:
+        alphas = jnp.asarray(param, dt)
+    u = np.asarray(denoise_pdps(jnp.asarray(noisy, dt), alphas,
                                 sumregs_model(), maxiter=5000))
     cost = l2_cost(u, img)
     print(f"Denoising parameter {parameter}: cost = {float(cost)}",

@@ -76,13 +76,18 @@ def sumregs_learning_function(x, ds, delta, *, delta_t: float = 1e-3,
     """
     utrue = jnp.asarray(ds[0])
     f = jnp.asarray(ds[1], utrue.dtype)
+    # normalize to a batched (O, M, N) stack — the per-image hypergradient
+    # vmap maps over axis 0
+    squeeze = f.ndim == 2
+    if squeeze:
+        utrue, f = utrue[None], f[None]
     x = jnp.asarray(x, utrue.dtype)
     method = "exact" if float(delta) > delta_t else "reg"
 
     if x.ndim == 1 and x.shape[0] == 3:
         pop = None
     elif x.ndim == 3 and x.shape[-1] == 3:
-        pop = PatchOp.for_image(x[..., 0], f[0] if f.ndim == 3 else f)
+        pop = PatchOp.for_image(x[..., 0], f[0])
     else:
         raise ValueError(
             f"sumregs parameter must be (3,) or (m, n, 3), got {x.shape}")
@@ -91,6 +96,8 @@ def sumregs_learning_function(x, ds, delta, *, delta_t: float = 1e-3,
                                   maxiter=int(maxiter), backend=backend,
                                   cfg=cfg, pop=pop,
                                   solver_kwargs=_frozen(solver_kwargs))
+    if squeeze:
+        u = u[0]
     if return_p:
         return u, cost, g, p
     return u, cost, g

@@ -111,19 +111,26 @@ def tv_learning_function(x, ds, delta, *, delta_t: float = 1e-6,
     """
     utrue = jnp.asarray(ds[0])
     f = jnp.asarray(ds[1], utrue.dtype)
+    # normalize to a batched (O, M, N) stack — the per-image hypergradient
+    # vmap maps over axis 0
+    squeeze = f.ndim == 2
+    if squeeze:
+        utrue, f = utrue[None], f[None]
     x = jnp.asarray(x, utrue.dtype)
     method = "exact" if float(delta) > delta_t else "reg"
 
     if x.ndim == 0:
         pop = None
     elif x.ndim == 2:
-        pop = PatchOp.for_image(x, f[0] if f.ndim == 3 else f)
+        pop = PatchOp.for_image(x, f[0])
     else:
         raise ValueError(f"TV parameter must be scalar or 2-D, got {x.shape}")
 
     u, cost, g, p = _tv_step(x, utrue, f, p0, method=method,
                              maxiter=int(maxiter), backend=backend, cfg=cfg,
                              pop=pop, solver_kwargs=_frozen(solver_kwargs))
+    if squeeze:
+        u = u[0]
     if return_p:
         return u, cost, g, p
     return u, cost, g

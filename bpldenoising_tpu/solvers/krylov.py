@@ -64,9 +64,12 @@ def cg(A: Callable, b, x0=None, *, tol=1e-8, maxiter=500, M=None):
 
 
 def bicgstab(A: Callable, b, x0=None, *, tol=1e-8, maxiter=500):
-    """BiCGStab for general (nonsymmetric) ``A`` — used for the
-    patch-sumregs regularized hypergradient system, whose primal-space α
-    scaling breaks symmetry (reference ``src/SumRegsLearningFunction.jl:260``)."""
+    """BiCGStab for general (nonsymmetric) ``A``.
+
+    Library utility: the hypergradient systems are all solved with
+    :func:`cg` after the SPD dual-space reformulation (the reference's
+    primal-space α scaling, ``src/SumRegsLearningFunction.jl:260``, is the
+    nonsymmetric arrangement this solver would have been needed for)."""
     x = jnp.zeros_like(b) if x0 is None else x0
     r = b - A(x)
     rhat = r

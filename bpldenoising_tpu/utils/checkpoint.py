@@ -18,18 +18,16 @@ __all__ = ["save_checkpoint", "load_checkpoint", "CheckpointWriter"]
 
 def save_checkpoint(path: str, *, x, delta: float, B=None, log_rows=None,
                     iteration: int = 0) -> None:
-    tmp = path + ".tmp"
+    tmp = path + ".tmp"   # np.savez appends ".npz" to this name
     np.savez(
-        tmp if tmp.endswith(".npz") else tmp,
+        tmp,
         x=np.asarray(x),
         delta=np.asarray(delta),
         B=np.asarray(B) if B is not None else np.zeros(0),
         log=np.asarray(log_rows if log_rows is not None else np.zeros((0, 6))),
         iteration=np.asarray(iteration),
     )
-    # numpy appends .npz to the tmp name
-    actual_tmp = tmp if tmp.endswith(".npz") else tmp + ".npz"
-    os.replace(actual_tmp, path)
+    os.replace(tmp + ".npz", path)
 
 
 def load_checkpoint(path: str) -> Optional[dict]:

@@ -154,3 +154,30 @@ class TestSingleLoopMethod:
             method="single_loop", sl_outer=30, sl_inner=15, sl_adj=4,
             dataset_name="circle", num_samples=1)
         assert np.asarray(res.x).shape == (3,)
+
+
+class TestReviewRegressions:
+    def test_validate_sumregs_patch_parameter(self):
+        """Regression: patch (m,n,3) parameters must upsample before the
+        dual projection (previously crashed with a broadcast error)."""
+        out = api.validate_sumregs_parameter(
+            1e-2 * np.ones((2, 2, 3)), dataset_name="circle")
+        assert out["cost"] > 0
+
+    def test_learning_function_2d_dataset(self):
+        """Regression: unbatched 2-D datasets promote to a batch of one."""
+        from bpldenoising_tpu.learning import tv_learning_function
+        from bpldenoising_tpu.data import testdataset as load
+        true_, noisy = load("circle")
+        import jax.numpy as jnp
+        u, cost, g = tv_learning_function(
+            0.08, (jnp.asarray(true_[0]), jnp.asarray(noisy[0])), 0.1,
+            maxiter=200)
+        assert u.shape == (128, 128)
+        assert np.isfinite(float(g))
+
+    def test_single_loop_rejects_checkpoint(self):
+        with pytest.raises(ValueError):
+            api.scalar_bilevel_tv_learn(method="single_loop",
+                                        checkpoint=True,
+                                        dataset_name="circle")
