@@ -97,6 +97,25 @@ def run(quick: bool = False, backend: str = "pallas",
     jax.block_until_ready(r.u)
     single_loop_wall = time.perf_counter() - t0
 
+    # Secondary metric: the fully-fused one-kernel single-loop learner.
+    try:
+        from bpldenoising_tpu.bilevel.first_order_pallas import (
+            single_loop_tv_pallas)
+        a1, u1, _ = single_loop_tv_pallas(ds[0], ds[1], alpha0=0.1,
+                                          outer=300, n_inner=40, n_adj=10,
+                                          lr=0.05)
+        jax.block_until_ready(u1)
+        t0 = time.perf_counter()
+        a1, u1, _ = single_loop_tv_pallas(ds[0], ds[1], alpha0=0.1,
+                                          outer=300, n_inner=40, n_adj=10,
+                                          lr=0.05)
+        jax.block_until_ready(u1)
+        one_kernel_wall = time.perf_counter() - t0
+        one_kernel_alpha = float(a1)
+    except Exception:
+        one_kernel_wall = None
+        one_kernel_alpha = None
+
     # Secondary metric: raw fused-kernel PD iteration throughput on the
     # batch-10 128² stack (iterations/sec of the full primal-dual update).
     model = tv_model()
@@ -115,6 +134,9 @@ def run(quick: bool = False, backend: str = "pallas",
         "vs_baseline": round(CPU_BASELINE_SECONDS / (wall * scale), 2),
         "pd_iters_per_sec_batch10_128": round(pd_rate, 1),
         "single_loop_walltime_s": round(single_loop_wall, 4),
+        "one_kernel_walltime_s": (round(one_kernel_wall, 4)
+                                  if one_kernel_wall else None),
+        "one_kernel_alpha": one_kernel_alpha,
         "single_loop_alpha": round(float(r.alpha), 6),
         "single_loop_mean_psnr_db": round(float(np.mean(np.asarray(
             psnr(ds[0], r.u)))), 3),
