@@ -170,7 +170,8 @@ def linear_stretch(x: np.ndarray) -> np.ndarray:
 
 def TVDenoise(data, parameter, visualize: bool = False, maxiter: int = 10000):
     """TV denoising of an (O, M, N) stack with scalar or patch parameter
-    (ref ``TVDenoise``, src/BPLDenoising.jl:41-82; maxiter = 10000)."""
+    (ref ``TVDenoise``, src/BPLDenoising.jl:41-82; maxiter = 10000).
+    ``visualize`` shows the result in the live view (headless-safe no-op)."""
     data = jnp.asarray(data)
     p = np.asarray(parameter)
     if p.ndim == 2:  # patch parameter → upsample (ref :62-64)
@@ -178,7 +179,13 @@ def TVDenoise(data, parameter, visualize: bool = False, maxiter: int = 10000):
         alpha = pop.apply(jnp.asarray(p, data.dtype))
     else:
         alpha = jnp.asarray(parameter, data.dtype)
-    return denoise_pdps(data, (alpha,), _TV, maxiter=maxiter)
+    u = denoise_pdps(data, (alpha,), _TV, maxiter=maxiter)
+    if visualize:
+        from ..bilevel.harness import LiveView
+        view = LiveView()
+        view.show(np.asarray(u[0] if u.ndim == 3 else u), None)
+        view.close()
+    return u
 
 
 def L2CostFunction(u, true_):
@@ -187,7 +194,7 @@ def L2CostFunction(u, true_):
 
 
 def generate_cost(dataset_name, parameter_range, *, num_samples=1,
-                  maxiter=10000, dtype="float64"):
+                  maxiter=10000, dtype="float64", freq=10):
     """Cost landscape over scalar α (ref ``generate_cost``,
     src/BPLDenoising.jl:92-111) — one vmapped batched solve over the whole
     α range instead of a serial loop.  Caches to ``<ds>_cost.npz``."""
@@ -200,6 +207,9 @@ def generate_cost(dataset_name, parameter_range, *, num_samples=1,
         lambda a: 0.5 * jnp.sum(
             (denoise_pdps(data, (a,), _TV, maxiter=maxiter) - true_) ** 2)))
     costs = np.asarray(sweep(alphas))
+    for i in range(freq - 1, len(costs), freq):   # ref @info cadence (:103)
+        print(f"Denoising parameter {np.asarray(parameter_range)[i]}: "
+              f"cost = {costs[i]}", file=sys.stderr)
 
     out = _out_dir(params)
     np.savez(os.path.join(out, f"{params.dataset_name}_cost.npz"),
