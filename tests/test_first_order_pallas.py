@@ -34,3 +34,10 @@ def test_single_image(rng):
         interpret=True)
     assert np.isfinite(float(alpha)) and float(alpha) > 0
     assert u.shape == (1, 16, 16)
+
+
+def test_vmem_guard_raises_for_large_problems(rng):
+    big_true = jnp.zeros((64, 256, 256))
+    big_noisy = jnp.zeros((64, 256, 256))
+    with pytest.raises(ValueError, match="too large"):
+        single_loop_tv_pallas(big_true, big_noisy, interpret=True)
