@@ -78,14 +78,18 @@ def run(quick: bool = False, backend: str = "pallas",
         jax.block_until_ready(u)
     _ = float(c), float(g)
 
-    # best-of-2: the tunneled device shows large run-to-run contention
-    # variance; the minimum measures capability, not interference
-    t0 = time.perf_counter()
-    res = bilevel_learn(ds, lf, xinit=0.1, params=params)
-    wall = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    res = bilevel_learn(ds, lf, xinit=0.1, params=params)
-    wall = min(wall, time.perf_counter() - t0)
+    def best_of2(fn):
+        """The tunneled device shows large run-to-run contention variance;
+        the min over two timed runs measures capability, not interference."""
+        t0 = time.perf_counter()
+        out = fn()
+        w = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out = fn()
+        return out, min(w, time.perf_counter() - t0)
+
+    res, wall = best_of2(
+        lambda: bilevel_learn(ds, lf, xinit=0.1, params=params))
 
     mean_psnr = float(np.mean(np.asarray(psnr(ds[0],
                                               jnp.asarray(res.u)))))
@@ -93,36 +97,32 @@ def run(quick: bool = False, backend: str = "pallas",
     # Secondary metric: the single-loop first-order method (one on-device
     # lax.scan; beyond-reference capability) on the same workload.
     from bpldenoising_tpu.bilevel.first_order import single_loop_tv_learn
-    r = single_loop_tv_learn(ds[0], ds[1], alpha0=0.1, outer=300,
-                             n_inner=40, n_adj=10, lr=0.05)
-    jax.block_until_ready(r.u)
-    t0 = time.perf_counter()
-    r = single_loop_tv_learn(ds[0], ds[1], alpha0=0.1, outer=300,
-                             n_inner=40, n_adj=10, lr=0.05)
-    jax.block_until_ready(r.u)
-    single_loop_wall = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    r = single_loop_tv_learn(ds[0], ds[1], alpha0=0.1, outer=300,
-                             n_inner=40, n_adj=10, lr=0.05)
-    jax.block_until_ready(r.u)
-    single_loop_wall = min(single_loop_wall, time.perf_counter() - t0)
+    def run_sl():
+        r = single_loop_tv_learn(ds[0], ds[1], alpha0=0.1, outer=300,
+                                 n_inner=40, n_adj=10, lr=0.05)
+        jax.block_until_ready(r.u)
+        return r
+
+    run_sl()  # compile
+    r, single_loop_wall = best_of2(run_sl)
 
     # Secondary metric: the fully-fused one-kernel single-loop learner.
     try:
         from bpldenoising_tpu.bilevel.first_order_pallas import (
             single_loop_tv_pallas)
-        a1, u1, _ = single_loop_tv_pallas(ds[0], ds[1], alpha0=0.1,
-                                          outer=300, n_inner=40, n_adj=10,
-                                          lr=0.05)
-        jax.block_until_ready(u1)
-        t0 = time.perf_counter()
-        a1, u1, _ = single_loop_tv_pallas(ds[0], ds[1], alpha0=0.1,
-                                          outer=300, n_inner=40, n_adj=10,
-                                          lr=0.05)
-        jax.block_until_ready(u1)
-        one_kernel_wall = time.perf_counter() - t0
+
+        def run_ok():
+            a1, u1, _ = single_loop_tv_pallas(
+                ds[0], ds[1], alpha0=0.1, outer=300, n_inner=40, n_adj=10,
+                lr=0.05)
+            jax.block_until_ready(u1)
+            return a1
+
+        run_ok()  # compile
+        a1, one_kernel_wall = best_of2(run_ok)
         one_kernel_alpha = float(a1)
-    except Exception:
+    except Exception as e:   # e.g. VMEM guard on larger configs
+        print(f"one-kernel learner unavailable: {e}", file=sys.stderr)
         one_kernel_wall = None
         one_kernel_alpha = None
 

@@ -170,18 +170,22 @@ def single_loop_tv_pallas(utrue, f, alpha0=0.1, *, outer: int = 300,
                           eps: float = 1e-8, interpret: bool = False):
     """One-kernel single-loop scalar-TV learning.
 
-    Returns ``(alpha, u, alpha_trajectory)``.  Batch + state must fit VMEM
-    (≈ ≤24 images at 128² f32); larger runs use the jnp scan path.
+    Returns ``(alpha, u, alpha_trajectory)``.  The ~24 live state planes
+    per image must fit VMEM — ≈10 images at 128² float32; larger problems
+    raise and should use :func:`..first_order.single_loop_learn` (jnp scan).
     """
     utrue = jnp.asarray(utrue)
     f = jnp.asarray(f, utrue.dtype)
-    if f.ndim == 2:
+    squeeze = f.ndim == 2
+    if squeeze:
         utrue, f = utrue[None], f[None]
     dtype = f.dtype
-    # peak live set ≈ 24 state planes (measured at the VMEM limit for
-    # batch-10 128² f32); route larger problems to the jnp scan path
+    # peak live set ≈ 24 state planes (the batch-10 128² f32 flagship sits
+    # right at the 16 MiB scoped-VMEM limit); clearly-too-large problems get
+    # a friendly error instead of a Mosaic stack-OOM, marginal ones are left
+    # to the compiler's exact accounting
     peak = 24 * f.size * dtype.itemsize
-    if peak > 15 * 1024 * 1024:
+    if peak > 16 * 1024 * 1024:
         raise ValueError(
             f"problem too large for the one-kernel learner (~{peak>>20} MiB "
             "of VMEM state); use bilevel.single_loop_learn (jnp scan)")
@@ -209,4 +213,6 @@ def single_loop_tv_pallas(utrue, f, alpha0=0.1, *, outer: int = 300,
         ),
         interpret=bool(interpret),
     )(scalars, f, utrue)
+    if squeeze:
+        u = u[0]
     return alpha[0], u, traj

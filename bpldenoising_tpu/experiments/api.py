@@ -181,10 +181,10 @@ def TVDenoise(data, parameter, visualize: bool = False, maxiter: int = 10000):
         alpha = jnp.asarray(parameter, data.dtype)
     u = denoise_pdps(data, (alpha,), _TV, maxiter=maxiter)
     if visualize:
+        # leave the window open (non-blocking) for interactive sessions;
+        # headless backends make this a no-op
         from ..bilevel.harness import LiveView
-        view = LiveView()
-        view.show(np.asarray(u[0] if u.ndim == 3 else u), None)
-        view.close()
+        LiveView().show(np.asarray(u[0] if u.ndim == 3 else u), None)
     return u
 
 
@@ -207,9 +207,10 @@ def generate_cost(dataset_name, parameter_range, *, num_samples=1,
         lambda a: 0.5 * jnp.sum(
             (denoise_pdps(data, (a,), _TV, maxiter=maxiter) - true_) ** 2)))
     costs = np.asarray(sweep(alphas))
+    pr = np.asarray(parameter_range)
     for i in range(freq - 1, len(costs), freq):   # ref @info cadence (:103)
-        print(f"Denoising parameter {np.asarray(parameter_range)[i]}: "
-              f"cost = {costs[i]}", file=sys.stderr)
+        print(f"Denoising parameter {pr[i]}: cost = {costs[i]}",
+              file=sys.stderr)
 
     out = _out_dir(params)
     np.savez(os.path.join(out, f"{params.dataset_name}_cost.npz"),

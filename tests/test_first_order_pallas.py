@@ -33,7 +33,7 @@ def test_single_image(rng):
         utrue[0], f[0], alpha0=0.02, outer=20, n_inner=10, n_adj=4,
         interpret=True)
     assert np.isfinite(float(alpha)) and float(alpha) > 0
-    assert u.shape == (1, 16, 16)
+    assert u.shape == (16, 16)     # 2-D in → 2-D out (matches the jnp path)
 
 
 def test_vmem_guard_raises_for_large_problems(rng):
