@@ -82,22 +82,28 @@ def _pdps_step(model: DenoiseModel, f, alphas, accel: bool, gamma: float, state)
 @functools.partial(
     jax.jit,
     static_argnames=("model", "maxiter", "accel", "check_every", "return_dual"))
-def _denoise_pdps_impl(f, alphas, *, model: DenoiseModel, tau0, sigma0,
-                       gamma, maxiter: int, accel: bool, tol,
+def _denoise_pdps_impl(f, alphas, state0=None, *, model: DenoiseModel, tau0,
+                       sigma0, gamma, maxiter: int, accel: bool, tol,
                        check_every: int, return_dual: bool):
     dtype = f.dtype
     L = jnp.sqrt(jnp.asarray(model.opnorm_sq(), dtype=dtype))
     tau = jnp.asarray(tau0, dtype) / L
     sigma = jnp.asarray(sigma0, dtype) / L
 
-    u0 = f
-    # 0·f (not a zeros constant) so the duals carry the same
-    # varying-across-mesh type as the data when traced inside shard_map
-    # (the new shard_map's vma tracking rejects replicated→varying carries).
-    zero_like_data = 0.0 * f[..., None, :, :]
-    ys0 = tuple(
-        jnp.zeros(f.shape[:-2] + (2,) + f.shape[-2:], dtype) + zero_like_data
-        for _ in range(model.K))
+    if state0 is not None:
+        # warm start from a previous solve's (u, ys) — trust-region
+        # evaluations at nearby α converge in a fraction of the cold budget
+        u0, ys0 = state0
+    else:
+        u0 = f
+        # 0·f (not a zeros constant) so the duals carry the same
+        # varying-across-mesh type as the data when traced inside shard_map
+        # (the new shard_map's vma tracking rejects replicated→varying carries).
+        zero_like_data = 0.0 * f[..., None, :, :]
+        ys0 = tuple(
+            jnp.zeros(f.shape[:-2] + (2,) + f.shape[-2:], dtype)
+            + zero_like_data
+            for _ in range(model.K))
     state = (u0, ys0, tau, sigma)
 
     step = functools.partial(_pdps_step, model, f, alphas, accel, gamma)
@@ -139,7 +145,7 @@ def _denoise_pdps_impl(f, alphas, *, model: DenoiseModel, tau0, sigma0,
 
 def denoise_pdps(f, alphas, model: DenoiseModel, *, tau0=5.0,
                  sigma0=0.99 / 5.0, gamma=1.0, maxiter=5000, accel=True,
-                 tol=None, check_every=500, return_dual=False):
+                 tol=None, check_every=500, state0=None, return_dual=False):
     """Solve the K-block denoising problem for an image or batch ``f``.
 
     Args:
@@ -150,6 +156,8 @@ def denoise_pdps(f, alphas, model: DenoiseModel, *, tau0=5.0,
       tol: optional early-stop tolerance on relative change per
         ``check_every`` iterations; ``None`` reproduces the reference's fixed
         iteration budget.
+      state0: optional ``(u0, ys0)`` warm start (e.g. a previous solve's
+        ``return_dual`` output at nearby α).
     Returns:
       Denoised ``u`` (same shape as ``f``), or ``(u, ys, iters)`` if
       ``return_dual``.
@@ -158,7 +166,7 @@ def denoise_pdps(f, alphas, model: DenoiseModel, *, tau0=5.0,
     alphas = tuple(jnp.asarray(a, f.dtype)
                    for a in model.canonical_alphas(alphas))
     return _denoise_pdps_impl(
-        f, alphas, model=model, tau0=tau0, sigma0=sigma0, gamma=gamma,
+        f, alphas, state0, model=model, tau0=tau0, sigma0=sigma0, gamma=gamma,
         maxiter=int(maxiter), accel=bool(accel), tol=tol,
         check_every=int(check_every), return_dual=bool(return_dual))
 

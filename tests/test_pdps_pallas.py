@@ -88,3 +88,80 @@ def test_non_square_image(rng):
                                 interpret=True)
     np.testing.assert_allclose(np.asarray(u_pal), np.asarray(u_ref),
                                atol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# Early stopping + warm-start state chaining (round-2 kernel features)
+# ---------------------------------------------------------------------------
+
+def test_tol_early_stop_matches_converged(rng):
+    """In-kernel chunked early stop lands within tol of the fully-converged
+    fixed-point (jnp oracle at a large fixed budget)."""
+    model = tv_model()
+    f = jnp.stack([noisy(rng) for _ in range(3)])
+    u_star = denoise_pdps(f, (0.1,), model, maxiter=20000)
+    u_pal = denoise_pdps_pallas(f, (0.1,), model, maxiter=20000, tol=1e-9,
+                                check_every=100, interpret=True)
+    np.testing.assert_allclose(np.asarray(u_pal), np.asarray(u_star),
+                               atol=1e-6)
+
+
+def test_tol_respects_maxiter(rng):
+    """With an unreachable tol, the chunked loop must still cap at maxiter
+    (and clamp the final partial chunk) — matching the fixed-budget run."""
+    model = tv_model()
+    f = noisy(rng)
+    u_fixed = denoise_pdps_pallas(f, (0.1,), model, maxiter=250,
+                                  interpret=True)
+    u_tol = denoise_pdps_pallas(f, (0.1,), model, maxiter=250, tol=1e-30,
+                                check_every=100, interpret=True)
+    np.testing.assert_allclose(np.asarray(u_tol), np.asarray(u_fixed),
+                               atol=1e-12)
+
+
+@pytest.mark.parametrize("model_fn,alphas,alphas2", [
+    (tv_model, (0.1,), (0.12,)),
+    (sumregs_model, (0.05, 0.03, 0.02), (0.06, 0.03, 0.02)),
+], ids=["tv", "sumregs"])
+def test_state_chaining_matches_jnp(rng, model_fn, alphas, alphas2):
+    """return_state → state0 chaining reproduces the jnp path's warm start
+    exactly (same (u, ys) format at the interface)."""
+    model = model_fn()
+    f = jnp.stack([noisy(rng) for _ in range(2)])
+    u1p, st = denoise_pdps_pallas(f, alphas, model, maxiter=ITERS,
+                                  return_state=True, interpret=True)
+    u1j, ysj, _ = denoise_pdps(f, alphas, model, maxiter=ITERS,
+                               return_dual=True)
+    np.testing.assert_allclose(np.asarray(st[0]), np.asarray(u1j), atol=1e-10)
+    for a, b in zip(st[1], ysj):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-10)
+
+    u2p = denoise_pdps_pallas(f, alphas2, model, maxiter=100, state0=st,
+                              interpret=True)
+    u2j = denoise_pdps(f, alphas2, model, maxiter=100, state0=(u1j, ysj))
+    np.testing.assert_allclose(np.asarray(u2p), np.asarray(u2j), atol=1e-10)
+
+
+def test_warm_start_converges_faster(rng):
+    """A warm start at nearby α reaches the new fixed point within far
+    fewer iterations than the cold budget needs."""
+    model = tv_model()
+    f = noisy(rng)
+    u_star = denoise_pdps(f, (0.12,), model, maxiter=20000)
+    _, st = denoise_pdps_pallas(f, (0.1,), model, maxiter=2000,
+                                return_state=True, interpret=True)
+    u_warm = denoise_pdps_pallas(f, (0.12,), model, maxiter=300, state0=st,
+                                 interpret=True)
+    u_cold = denoise_pdps_pallas(f, (0.12,), model, maxiter=300,
+                                 interpret=True)
+    err_warm = float(jnp.max(jnp.abs(u_warm - u_star)))
+    err_cold = float(jnp.max(jnp.abs(u_cold - u_star)))
+    assert err_warm < 0.5 * err_cold
+
+    # warm start AT the fixed point stays at the fixed point
+    u_star1 = denoise_pdps(f, (0.1,), model, maxiter=20000)
+    _, st_star = denoise_pdps_pallas(f, (0.1,), model, maxiter=20000,
+                                     return_state=True, interpret=True)
+    u_stay = denoise_pdps_pallas(f, (0.1,), model, maxiter=100,
+                                 state0=st_star, interpret=True)
+    assert float(jnp.max(jnp.abs(u_stay - u_star1))) < 1e-7
