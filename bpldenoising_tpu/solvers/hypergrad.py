@@ -70,10 +70,14 @@ class HypergradConfig(NamedTuple):
     must rescale for float32 execution on TPU).
     """
     act_tol: float | None = None    # active-set threshold (ref: 1e-12 in f64)
-    mu: float | None = None         # penalty on active constraints (ref: 1/ε
-    #                                 via sparse LU; iterative solves want a
-    #                                 moderate value — grad error is O(1/μ)
-    #                                 and empirically invisible below 1e-7)
+    mu: float | None = None         # augmented-Lagrangian penalty on active
+    #                                 constraints (moderate: the multiplier
+    #                                 loop supplies exactness, so μ only sets
+    #                                 the per-solve conditioning / AL
+    #                                 contraction rate ~ c/μ)
+    al_iters: int = 4               # multiplier updates; 1 = pure penalty
+    #                                 (O(1/μ) gradient bias — the round-1
+    #                                 behavior)
     gamma: float = 1e8              # Huber smoothing (ref: 1e8; 1e3 sumregs-vec)
     cg_tol: float | None = None
     cg_maxiter: int = 2000
@@ -88,11 +92,12 @@ def _defaults(dtype, cfg: HypergradConfig):
     # iterations and matches the 1e-12 value in the converged limit.
     act_tol = cfg.act_tol if cfg.act_tol is not None else (
         1e-9 if f64 else 1e-6)
-    mu = cfg.mu if cfg.mu is not None else (1e6 if f64 else 1e4)
-    # f32 CG stalls near rel-residual ~3e-5 (rounding floor of the
-    # penalty-weighted system); asking for less just burns iterations at the
-    # floor.  Gradient rel-error ~1e-3 at this setting — ample for the TR.
-    cg_tol = cfg.cg_tol if cfg.cg_tol is not None else (1e-8 if f64 else 3e-5)
+    # Moderate penalty: exactness comes from the multiplier iteration, not
+    # from μ → ∞, so μ is chosen for conditioning (CG iterations scale
+    # ~ √μ through the Jacobi preconditioner).  See test_hypergrad.py's
+    # μ-invariance sweep.
+    mu = cfg.mu if cfg.mu is not None else (1e3 if f64 else 1e2)
+    cg_tol = cfg.cg_tol if cfg.cg_tol is not None else (1e-8 if f64 else 1e-5)
     return act_tol, mu, cg_tol
 
 
@@ -141,6 +146,15 @@ def exact_hypergrad(u, utrue, alphas, model: DenoiseModel,
     Returns:
       (grads, p, info) — grads is a K-tuple of scalars or (M, N) maps;
       ``p`` is the adjoint solution (pass back as ``p0`` next call).
+
+    Exactness: the active-set constraint (Gₖp)|ₐ꜀ₜ = 0 (the ε → 0 limit of
+    the reference's eps()-scaled dual block, `src/TVLearningFunctionVec.jl:128`)
+    is enforced by an **augmented-Lagrangian multiplier iteration** around
+    the SPD CG solve: λₖ ← λₖ + μ·actₖ·(Gₖp).  Each multiplier update
+    contracts the constraint violation by ~c/μ, so ``al_iters`` updates at
+    moderate μ reach the exact constrained solution — no O(1/μ) penalty
+    bias (round-1's single-solve penalty form is ``al_iters=1``), and every
+    CG solve stays well-conditioned.
     """
     dtype = u.dtype
     act_tol, mu, cg_tol = _defaults(dtype, cfg)
@@ -173,8 +187,17 @@ def exact_hypergrad(u, utrue, alphas, model: DenoiseModel,
     inv_diag = 1.0 / diag
 
     rhs = u - utrue
-    p, info = cg(M_apply, rhs, x0=p0, tol=cg_tol, maxiter=cfg.cg_maxiter,
-                 M=lambda r: inv_diag * r)
+    p = jnp.zeros_like(u) if p0 is None else p0
+    lams = tuple(jnp.zeros_like(Gu) for _, Gu, *_ in pieces)
+    info = None
+    for _ in range(max(1, int(cfg.al_iters))):   # static unroll
+        r = rhs
+        for (op, _, act, *_), lam in zip(pieces, lams):
+            r = r - op.apply_adjoint(_bcast(act) * lam)
+        p, info = cg(M_apply, r, x0=p, tol=cg_tol, maxiter=cfg.cg_maxiter,
+                     M=lambda r_: inv_diag * r_)
+        lams = tuple(lam + mu * _bcast(act) * op.apply(p)
+                     for (op, _, act, *_), lam in zip(pieces, lams))
 
     grads = []
     for op, Gu, act, inact, den, a_dual in pieces:

@@ -136,3 +136,127 @@ class TestTVPatch:
         np.testing.assert_allclose(
             np.asarray(pop.apply_adjoint(ge)),
             np.asarray(pop.apply_adjoint(gr)), rtol=2e-2)
+
+
+class TestAugmentedLagrangianExactness:
+    """Round-2: the AL multiplier iteration removes the penalty bias.
+
+    Oracle: the reference's exact KKT system (`src/TVLearningFunctionVec.jl
+    :127-131` — eps()-scaled active blocks, i.e. penalty μ → ∞) assembled
+    DENSELY after the SPD elimination M = I + Gᵀ[μ·act + inact·α·H]G and
+    solved directly at μ = 1e15 in float64 on a tiny image.  This pins
+    "exact" far tighter than finite differences can (FD error is bounded by
+    inner-solve convergence ÷ h ≈ 1e-4 here).
+    """
+
+    def _dense_exact(self, u, utrue, alpha, model):
+        """ε → 0 limit of the reference system, written as the
+        equality-constrained QP it converges to:
+
+            min_p ½pᵀM₀p − rhsᵀp   s.t.  (Gp)|_act = 0,
+            M₀ = I + Gᵀ(inact·α·H)G
+
+        solved via the well-conditioned dense KKT saddle system (a direct
+        penalty solve at μ=1e15 destroys all digits: κ(M_μ) ≈ μ)."""
+        import numpy as np
+        op = model.ops[0]
+        n = u.size
+        G = np.asarray(op.as_matrix(u.shape))          # (2n, n), x-rows first
+        Gu = G @ np.asarray(u).ravel()
+        gx, gy = Gu[:n], Gu[n:]
+        nGu = np.sqrt(gx ** 2 + gy ** 2)
+        act = nGu < 1e-9
+        den = np.where(act, 1.0, nGu)
+        # per-pixel inactive curvature block α·(I2 − ĝĝᵀ)/den
+        W = np.zeros((2 * n, 2 * n))
+        for i in range(n):
+            idx = np.array([i, n + i])
+            if not act[i]:
+                g = np.array([gx[i], gy[i]]) / nGu[i]
+                W[np.ix_(idx, idx)] = (alpha / den[i]) * (
+                    np.eye(2) - np.outer(g, g))
+        M0 = np.eye(n) + G.T @ W @ G
+        C = G[np.r_[np.flatnonzero(act), n + np.flatnonzero(act)], :]
+        m = C.shape[0]
+        KKT = np.block([[M0, C.T], [C, np.zeros((m, m))]])
+        rhs = np.concatenate([np.asarray(u - utrue).ravel(), np.zeros(m)])
+        # lstsq: active-set constraints can be linearly dependent (fwd-diff
+        # boundary rows are identically zero), making the multiplier block
+        # rank-deficient; p itself is unique (M0 is SPD on the nullspace)
+        p = np.linalg.lstsq(KKT, rhs, rcond=None)[0][:n]
+        field = np.where(act, 0.0, 1.0 / den)[np.r_[0:n, 0:n]] * Gu
+        return float(-(G @ p) @ field), p
+
+    def test_al_matches_dense_kkt_oracle(self, rng):
+        utrue, f = problem(rng, shape=(12, 12))
+        model = tv_model()
+        alpha = 0.08
+        u = denoise_pdps(f, (alpha,), model, maxiter=MAXITER)
+        g_dense, p_dense = self._dense_exact(u, utrue, alpha, model)
+        cfg = HypergradConfig(mu=1e2, al_iters=6, cg_tol=1e-12,
+                              cg_maxiter=20000)
+        (g,), p, _ = exact_hypergrad(u, utrue, (jnp.asarray(alpha),), model,
+                                     cfg)
+        np.testing.assert_allclose(float(g), g_dense, rtol=1e-7)
+        np.testing.assert_allclose(np.asarray(p).ravel(), p_dense, atol=1e-8)
+
+    def test_mu_invariance(self, rng):
+        """The converged AL gradient must not depend on the penalty choice
+        (round 1's single-solve penalty had O(1/μ) bias)."""
+        utrue, f = problem(rng)
+        model = tv_model()
+        alpha = 0.08
+        u = denoise_pdps(f, (alpha,), model, maxiter=MAXITER)
+        grads = []
+        for mu in (1e2, 1e3, 1e4, 1e6):
+            cfg = HypergradConfig(mu=mu, al_iters=6, cg_tol=1e-12,
+                                  cg_maxiter=20000)
+            (g,), _, _ = exact_hypergrad(u, utrue, (jnp.asarray(alpha),),
+                                         model, cfg)
+            grads.append(float(g))
+        # round-1's single-solve penalty differed by ~1e-3..1e-2 over this
+        # same μ range; the AL iteration is invariant to a few ×1e-6 (the
+        # residual contraction at the smallest μ)
+        for g in grads[1:]:
+            np.testing.assert_allclose(g, grads[0], rtol=1e-5)
+
+    def test_f32_defaults_match_f64_oracle(self, rng):
+        """VERDICT #9: constants hardening — the f32 default config stays
+        within 1% of the f64 oracle across inner budgets and μ choices."""
+        utrue, f = problem(rng)
+        model = tv_model()
+        alpha = 0.08
+        u64 = denoise_pdps(f, (alpha,), model, maxiter=MAXITER)
+        cfg64 = HypergradConfig(al_iters=6, cg_tol=1e-12, cg_maxiter=20000)
+        (g64,), _, _ = exact_hypergrad(u64, utrue, (jnp.asarray(alpha),),
+                                       model, cfg64)
+        for inner in (2000, 5000, 20000):
+            u32 = denoise_pdps(f.astype(jnp.float32), (alpha,), model,
+                               maxiter=inner)
+            for mu in (1e2, 1e3):
+                cfg = HypergradConfig(mu=mu, cg_maxiter=5000)
+                (g32,), _, _ = exact_hypergrad(
+                    u32, utrue.astype(jnp.float32),
+                    (jnp.asarray(alpha, jnp.float32),), model, cfg)
+                assert abs(float(g32) - float(g64)) < 0.01 * abs(float(g64)), (
+                    f"inner={inner} mu={mu}: {float(g32)} vs {float(g64)}")
+
+    def test_batched_joint_solve_matches_per_image(self, rng):
+        """exact_hypergrad on an (O, M, N) stack (one joint block-diagonal
+        CG) must match the per-image vmap form; the summed gradient is the
+        dataset hypergradient."""
+        model = tv_model()
+        alpha = 0.08
+        stacks = [problem(rng) for _ in range(3)]
+        utrue = jnp.stack([s[0] for s in stacks])
+        f = jnp.stack([s[1] for s in stacks])
+        u = denoise_pdps(f, (alpha,), model, maxiter=MAXITER)
+        cfg = HypergradConfig(cg_tol=1e-12, cg_maxiter=20000)
+        (g_joint,), p_joint, _ = exact_hypergrad(
+            u, utrue, (jnp.asarray(alpha),), model, cfg)
+        g_sum = 0.0
+        for i in range(3):
+            (gi,), _, _ = exact_hypergrad(u[i], utrue[i],
+                                          (jnp.asarray(alpha),), model, cfg)
+            g_sum += float(gi)
+        np.testing.assert_allclose(float(g_joint), g_sum, rtol=1e-8)
