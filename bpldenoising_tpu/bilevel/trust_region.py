@@ -104,10 +104,13 @@ def in_bounds(p: np.ndarray, lb: np.ndarray, ub: np.ndarray) -> bool:
 
 
 def step_to_bound(d: np.ndarray, lb: np.ndarray, ub: np.ndarray) -> float:
-    """Largest t ≥ 0 with t·d inside [lb, ub] (scalarized; see module note)."""
+    """Largest t ≥ 0 with t·d inside [lb, ub] (scalarized; see module note).
+    Returns 0 for d = 0 (every t works; 0 avoids the caller's d·∞ NaN)."""
     with np.errstate(divide="ignore", invalid="ignore"):
         ratios = np.where(d > 0, ub / d, np.where(d < 0, lb / d, np.inf))
     t = float(np.min(ratios))
+    if not np.isfinite(t):
+        return 0.0
     return max(t, 0.0)
 
 
