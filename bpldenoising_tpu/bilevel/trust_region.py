@@ -182,9 +182,13 @@ def bilevel_learn(ds, learning_function: Callable, *, xinit, params,
     n = x.size
 
     def call_lf(x_flat, d):
+        import jax
         u, cost, grad = learning_function(x_flat.reshape(shape), ds, d)
         # u stays on device (only small scalars/grads cross to the host;
-        # the reconstruction is materialized once by the caller at the end)
+        # the reconstruction is materialized once by the caller at the end).
+        # cost+grad come over in ONE transfer — on a tunneled device each
+        # device→host round trip costs as much as the compute itself
+        cost, grad = jax.device_get((cost, grad))
         return (u, float(cost),
                 np.asarray(grad, dtype=np.float64).reshape(-1))
 

@@ -72,16 +72,20 @@ default_params = Params(
     #                    set e.g. 1e-6 to stop on relative change per 500 its
     backend="auto",    # "pallas" | "jnp" | "auto" (pallas on accelerators)
     data_parallel=False,   # shard the image batch over all local devices
-    method="tr",       # "tr" (reference trust region) | "single_loop"
+    method="tr",       # "tr" (reference trust region, host-driven loop)
+    #                    | "tr_fused" (same TR semantics, whole loop on
+    #                      device — fastest on remote accelerators)
+    #                    | "single_loop" (first-order, beyond-reference)
     sl_outer=300, sl_inner=40, sl_adj=10, sl_lr=0.05,   # single-loop knobs
 )
 
 
 def _make_lf(params, factory):
     """Build a learning function honoring inner_maxiter/inner_tol/backend/
-    data_parallel.  Early stopping requires the jnp solver path (the fused
-    kernel runs a fixed budget); ``data_parallel=True`` shards the image
-    batch over all local devices (shard_map + psum)."""
+    data_parallel.  ``inner_tol`` enables early-stopped inner solves AND
+    PDPS-state warm starting across trust-region evaluations (both the
+    fused kernel and the jnp path support it); ``data_parallel=True``
+    shards the image batch over all local devices (shard_map + psum)."""
     tol = params.get("inner_tol")
     backend = params.get("backend", "auto")
     if backend == "auto":
@@ -104,7 +108,6 @@ def _make_lf(params, factory):
                        maxiter=int(params.inner_maxiter), backend=backend)
     kwargs = dict(maxiter=int(params.inner_maxiter), backend=backend)
     if tol is not None:
-        kwargs["backend"] = "jnp"
         kwargs["solver_kwargs"] = dict(tol=float(tol))
     return factory(**kwargs)
 
@@ -366,14 +369,32 @@ def save_results(params, b, b_data, x, opt_img, st):
 # Bilevel learning experiments
 # ---------------------------------------------------------------------------
 
-def _run_single_loop(params, model_kind):
-    """Single-loop first-order path behind the same experiment surface
-    (beyond-reference capability; artifacts match the TR path's)."""
-    for flag in ("checkpoint", "resume", "save_iterations"):
+def _reject_flags(params, method, flags):
+    for flag in flags:
         if params.get(flag):
             raise ValueError(
-                f"{flag} is not supported with method='single_loop' "
-                "(the loop runs as one on-device scan)")
+                f"{flag} is not supported with method='{method}' "
+                "(the loop runs as one on-device computation)")
+
+
+def _stretched_inputs(ds, stretch_all):
+    """ref parity: scalar TV stretches u, b and b_noisy
+    (src/BPLDenoising.jl:337-339); the patch/sumregs variants stretch only
+    u (:370,:446,:478) — applied uniformly across method= variants so
+    artifacts stay comparable."""
+    if stretch_all:
+        return tuple(linear_stretch(np.asarray(d)) for d in ds)
+    return tuple(np.asarray(d) for d in ds)
+
+
+def _run_single_loop(params, model_kind, stretch_all=False):
+    """Single-loop first-order path behind the same experiment surface
+    (beyond-reference capability; artifacts match the TR path's)."""
+    _reject_flags(params, "single_loop",
+                  ("checkpoint", "resume", "save_iterations", "inner_tol"))
+    if params.get("data_parallel"):
+        raise ValueError(
+            "data_parallel is not yet supported with method='single_loop'")
     from ..bilevel.first_order import single_loop_learn
     from ..bilevel.harness import BilevelState
     from ..bilevel.trust_region import BilevelResult
@@ -395,7 +416,45 @@ def _run_single_loop(params, model_kind):
     out = BilevelResult(x=np.asarray(res.alpha), u=np.asarray(res.u),
                         state=st, cost=float(res.cost), g_norm=float("nan"),
                         iterations=int(params.sl_outer))
-    b, b_noisy = (linear_stretch(np.asarray(d)) for d in ds)
+    b, b_noisy = _stretched_inputs(ds, stretch_all)
+    save_results(params, b, b_noisy, out.x, linear_stretch(out.u), st)
+    return out
+
+
+def _run_fused(params, model_kind, stretch_all=False):
+    """Fused on-device trust-region path (method='tr_fused'): identical TR
+    semantics to method='tr' but the whole outer loop is one device program
+    — no per-iteration host round trips.  Fastest path on remote/tunneled
+    accelerators; per-iteration wall times are unavailable (one total)."""
+    _reject_flags(params, "tr_fused",
+                  ("checkpoint", "resume", "save_iterations",
+                   "data_parallel"))
+    from ..bilevel.fused import bilevel_learn_fused
+    from ..bilevel.harness import BilevelState
+    from ..bilevel.trust_region import BilevelResult
+    from ..models import sumregs_model, tv_model
+    from ..viz.log import BilevelLogEntry
+
+    backend = params.get("backend", "auto")
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() != "cpu" else "jnp"
+    ds = _load(params)
+    model = tv_model() if model_kind == "tv" else sumregs_model()
+    res = bilevel_learn_fused(
+        ds, xinit=jnp.asarray(params.alpha0, ds[0].dtype), params=params,
+        model=model, inner_maxiter=int(params.inner_maxiter),
+        inner_tol=params.get("inner_tol"), backend=backend)
+    st = BilevelState()
+    k = int(res.iterations)
+    log = np.asarray(res.log)
+    for i in range(k):
+        st.log.append(BilevelLogEntry(i + 1, 0.0, float(log[i, 0]),
+                                      float(log[i, 1]), float(log[i, 2]),
+                                      float(log[i, 3])))
+    out = BilevelResult(x=np.asarray(res.x), u=np.asarray(res.u), state=st,
+                        cost=float(res.cost), g_norm=float(res.g_norm),
+                        iterations=k)
+    b, b_noisy = _stretched_inputs(ds, stretch_all)
     save_results(params, b, b_noisy, out.x, linear_stretch(out.u), st)
     return out
 
@@ -439,12 +498,7 @@ def _run_bilevel(params, learning_function, visualise, stretch_all=False):
                         params=params, visualise=visualise,
                         save_iteration_fn=save_iter_fn, checkpoint=ckpt,
                         init_B=init_B, init_log=init_log)
-    # ref parity: scalar TV stretches u, b and b_noisy (src/BPLDenoising.jl
-    # :337-339); the patch/sumregs variants stretch only u (:370,:446,:478)
-    if stretch_all:
-        b, b_noisy = (linear_stretch(np.asarray(d)) for d in ds)
-    else:
-        b, b_noisy = (np.asarray(d) for d in ds)
+    b, b_noisy = _stretched_inputs(ds, stretch_all)
     u = linear_stretch(np.asarray(res.u))
     save_results(params, b, b_noisy, res.x, u, res.state)
     return res
@@ -457,7 +511,9 @@ def scalar_bilevel_tv_learn(visualise: bool = False, **kwargs):
     params = params | dict(save_prefix="tv_optimal_parameter_scalar_"
                            + params.dataset_name)
     if params.get("method") == "single_loop":
-        return _run_single_loop(params, "tv")
+        return _run_single_loop(params, "tv", stretch_all=True)
+    if params.get("method") == "tr_fused":
+        return _run_fused(params, "tv", stretch_all=True)
     lf = _make_lf(params, make_tv_learning_function)
     return _run_bilevel(params, lf, visualise, stretch_all=True)
 
@@ -471,6 +527,8 @@ def patch_bilevel_tv_learn(visualise: bool = False, **kwargs):
         save_prefix=f"tv_optimal_parameter_{shape}_" + params.dataset_name)
     if params.get("method") == "single_loop":
         return _run_single_loop(params, "tv")
+    if params.get("method") == "tr_fused":
+        return _run_fused(params, "tv")
     lf = _make_lf(params, make_tv_learning_function)
     return _run_bilevel(params, lf, visualise)
 
@@ -483,6 +541,8 @@ def scalar_bilevel_sumregs_learn(visualise: bool = False, **kwargs):
                            + params.dataset_name)
     if params.get("method") == "single_loop":
         return _run_single_loop(params, "sumregs")
+    if params.get("method") == "tr_fused":
+        return _run_fused(params, "sumregs")
     lf = _make_lf(params, make_sumregs_learning_function)
     return _run_bilevel(params, lf, visualise)
 
@@ -501,6 +561,8 @@ def patch_bilevel_sumregs_learn(image_pair=None, dataset_name=None,
         + params.dataset_name)
     if params.get("method") == "single_loop" and image_pair is None:
         return _run_single_loop(params, "sumregs")
+    if params.get("method") == "tr_fused" and image_pair is None:
+        return _run_fused(params, "sumregs")
     lf = _make_lf(params, make_sumregs_learning_function)
     if image_pair is not None:
         dt = _np_dtype(params)

@@ -8,13 +8,20 @@ for scalar and patch parameters, satisfying the L4 contract
 TPU-first differences from the reference:
 * the inner PDPS solve runs on the whole (O, M, N) stack at once (batched,
   single compiled loop) instead of per-image;
-* per-image hypergradients are ``vmap``-ed and summed instead of the
-  sequential Julia loop (``src/TVLearningFunctionVec.jl:72-83``);
+* the hypergradient solves the whole batch as ONE joint block-diagonal SPD
+  system (global CG inner products) instead of the reference's sequential
+  per-image loop (``src/TVLearningFunctionVec.jl:72-83``) — same summed
+  gradient, no vmap-of-while_loop lane masking;
 * the Δ > Δt exact/regularized gradient switch (``:21-25``, Δt = 1e-6) is a
   host-side branch between two compiled paths;
 * the ENTIRE step (inner solve + cost + hypergradient + pullback) is one
   jitted computation — one device dispatch per trust-region evaluation
-  (round-trip latency would otherwise rival the compute itself).
+  (round-trip latency would otherwise rival the compute itself);
+* with ``solver_kwargs=dict(tol=...)`` the factory additionally carries the
+  PDPS (u, ys) state across trust-region evaluations, warm-starting every
+  inner solve after the first (the reference re-runs the cold 5000-iteration
+  budget every call).  Without a tol the fixed budget runs cold — exact
+  reference semantics.
 """
 
 from __future__ import annotations
@@ -36,59 +43,63 @@ __all__ = ["tv_learning_function", "make_tv_learning_function"]
 _MODEL = tv_model()
 
 
-def _solve(f, alphas, model, maxiter, backend, solver_kwargs):
+def _solve(f, alphas, model, maxiter, backend, solver_kwargs, state0=None):
+    """Batched inner solve → (u, (u, ys) state)."""
     kw = dict(solver_kwargs or {})
     if backend == "pallas":
         return _pallas_impl(
-            f, alphas, model=model, tau0=kw.pop("tau0", 5.0),
+            f, alphas, state0, model=model, tau0=kw.pop("tau0", 5.0),
             sigma0=kw.pop("sigma0", 0.99 / 5.0), gamma=kw.pop("gamma", 1.0),
             maxiter=maxiter, accel=kw.pop("accel", True),
-            interpret=kw.pop("interpret", False))
-    return _denoise_pdps_impl(
-        f, alphas, model=model, tau0=kw.pop("tau0", 5.0),
+            tol=kw.pop("tol", None), check_every=kw.pop("check_every", 500),
+            return_state=True, interpret=kw.pop("interpret", False))
+    u, ys, _ = _denoise_pdps_impl(
+        f, alphas, state0, model=model, tau0=kw.pop("tau0", 5.0),
         sigma0=kw.pop("sigma0", 0.99 / 5.0), gamma=kw.pop("gamma", 1.0),
         maxiter=maxiter, accel=kw.pop("accel", True),
         tol=kw.pop("tol", None), check_every=kw.pop("check_every", 500),
-        return_dual=False)
+        return_dual=True)
+    return u, (u, ys)
 
 
 def _frozen(d: Optional[dict]):
     return tuple(sorted((d or {}).items()))
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("method", "maxiter", "backend", "cfg", "pop",
-                     "solver_kwargs"))
-def _tv_step(x, utrue, f, p0, *, method: str, maxiter: int, backend: str,
-             cfg: HypergradConfig, pop: Optional[PatchOp],
-             solver_kwargs: tuple):
-    """One fused learning-function evaluation (single device dispatch).
-
-    ``p0``: optional (O, M, N) warm start for the per-image adjoint CG
-    solves; the adjoint state ``p`` is returned for the next call."""
+def _learning_step(x, utrue, f, p0, s0, *, model, method: str, maxiter: int,
+                   backend: str, cfg: HypergradConfig, pop: Optional[PatchOp],
+                   solver_kwargs: tuple, K: int):
+    """One fused learning-function evaluation (single device dispatch),
+    shared by the TV (K=1) and sumregs (K=3) front ends."""
     kw = dict(solver_kwargs)
-    alpha_img = pop.apply(x) if pop is not None else x
-    u = _solve(f, (alpha_img,), _MODEL, maxiter, backend, kw)
-
-    fn = exact_hypergrad if method == "exact" else reg_hypergrad
+    if K == 1:
+        alphas = (pop.apply(x) if pop is not None else x,)
+    elif pop is None:
+        alphas = tuple(x[k] for k in range(K))
+    else:
+        alphas = tuple(pop.apply(x[..., k]) for k in range(K))
     want_maps = pop is not None
 
-    def one(ui, ti, pi):
-        grads, padj, _ = fn(ui, ti, (alpha_img,), _MODEL, cfg, want_maps,
-                            p0=pi)
-        return grads[0], padj
+    u, state = _solve(f, alphas, model, maxiter, backend, kw, state0=s0)
 
-    if p0 is None:
-        g_per, p = jax.vmap(lambda ui, ti: one(ui, ti, None))(u, utrue)
+    fn = exact_hypergrad if method == "exact" else reg_hypergrad
+    # joint block-diagonal solve over the whole batch; grads come back
+    # summed over every axis (scalars) or as (O, M, N) maps
+    grads, p, _ = fn(u, utrue, alphas, model, cfg, want_maps, p0=p0)
+    if want_maps:
+        maps = [pop.apply_adjoint(jnp.sum(g, axis=0)) for g in grads]
+        g = maps[0] if K == 1 else jnp.stack(maps, axis=-1)
     else:
-        g_per, p = jax.vmap(one)(u, utrue, p0)
-    g = jnp.sum(g_per, axis=0)
-    if pop is not None:
-        g = pop.apply_adjoint(g)   # ref calc_adjoint pullback (:214,253)
+        g = grads[0] if K == 1 else jnp.stack(list(grads))
 
     cost = 0.5 * jnp.sum((u - utrue) ** 2)
-    return u, cost, g, p
+    return u, cost, g, p, state
+
+
+_STEP_STATICS = ("model", "method", "maxiter", "backend", "cfg", "pop",
+                 "solver_kwargs", "K")
+_step_jit = jax.jit(_learning_step, static_argnames=_STEP_STATICS)
+_tv_step = functools.partial(_step_jit, model=_MODEL, K=1)
 
 
 def tv_learning_function(x, ds, delta, *, delta_t: float = 1e-6,
@@ -96,7 +107,7 @@ def tv_learning_function(x, ds, delta, *, delta_t: float = 1e-6,
                          cfg: HypergradConfig = HypergradConfig(),
                          backend: str = "jnp",
                          solver_kwargs: Optional[dict] = None,
-                         p0=None, return_p: bool = False):
+                         p0=None, s0=None, return_aux: bool = False):
     """L4 learning function for TV denoising.
 
     Args:
@@ -104,15 +115,17 @@ def tv_learning_function(x, ds, delta, *, delta_t: float = 1e-6,
       ds: ``(true_images, noisy_images)`` stacks of shape (O, M, N).
       delta: current trust-region radius Δ; selects exact vs regularized
         gradient via ``delta > delta_t`` (ref ``:21-25``).
+      p0 / s0: optional adjoint-CG / PDPS warm-start states from a previous
+        evaluation (``return_aux=True`` returns them).
 
     Returns:
       ``(u, cost, grad)`` with ``u`` (O, M, N), scalar cost
-      ½Σ‖u−ū‖² and ``grad`` shaped like ``x``.
+      ½Σ‖u−ū‖² and ``grad`` shaped like ``x``; with ``return_aux``,
+      ``(u, cost, grad, p, state)``.
     """
     utrue = jnp.asarray(ds[0])
     f = jnp.asarray(ds[1], utrue.dtype)
-    # normalize to a batched (O, M, N) stack — the per-image hypergradient
-    # vmap maps over axis 0
+    # normalize to a batched (O, M, N) stack
     squeeze = f.ndim == 2
     if squeeze:
         utrue, f = utrue[None], f[None]
@@ -126,35 +139,52 @@ def tv_learning_function(x, ds, delta, *, delta_t: float = 1e-6,
     else:
         raise ValueError(f"TV parameter must be scalar or 2-D, got {x.shape}")
 
-    u, cost, g, p = _tv_step(x, utrue, f, p0, method=method,
-                             maxiter=int(maxiter), backend=backend, cfg=cfg,
-                             pop=pop, solver_kwargs=_frozen(solver_kwargs))
+    u, cost, g, p, state = _tv_step(
+        x, utrue, f, p0, s0, method=method, maxiter=int(maxiter),
+        backend=backend, cfg=cfg, pop=pop,
+        solver_kwargs=_frozen(solver_kwargs))
     if squeeze:
         u = u[0]
-    if return_p:
-        return u, cost, g, p
+    if return_aux:
+        return u, cost, g, p, state
     return u, cost, g
 
 
-def make_tv_learning_function(**defaults):
+def make_learning_function(fn, default_delta_t: float, **defaults):
     """Bind configuration, returning the bare L4 contract ``f(x, ds, Δ)``.
 
     The returned closure warm-starts each hypergradient CG solve from the
-    adjoint state of the previous call with the same gradient branch —
-    successive trust-region evaluations solve nearby systems, cutting CG
-    iterations substantially (capability absent in the reference, which
-    re-factorizes from scratch every call)."""
+    adjoint state of the previous call with the same gradient branch, and —
+    when the solver is configured with an early-stop ``tol`` — also
+    warm-starts the PDPS (u, ys) state across trust-region evaluations
+    (both capabilities absent in the reference, which re-solves from
+    scratch every call).  State is keyed by dataset identity as well as
+    shape, so one factory can serve several same-shaped datasets without
+    stale warm starts."""
     state: dict = {}
 
     def lf(x, ds, delta, **overrides):
         kw = dict(defaults)
         kw.update(overrides)
-        method = "exact" if float(delta) > kw.get("delta_t", 1e-6) else "reg"
-        key = (method, jnp.shape(jnp.asarray(x)),
-               jnp.shape(jnp.asarray(ds[0])))
-        u, cost, g, p = tv_learning_function(
-            x, ds, delta, p0=state.get(key), return_p=True, **kw)
-        state[key] = p
+        method = ("exact"
+                  if float(delta) > kw.get("delta_t", default_delta_t)
+                  else "reg")
+        tok = id(ds[0])   # dataset identity token
+        base = (jnp.shape(jnp.asarray(x)), jnp.shape(jnp.asarray(ds[0])),
+                tok)
+        warm_inner = (kw.get("solver_kwargs") or {}).get("tol") is not None
+        u, cost, g, p, s = fn(
+            x, ds, delta, p0=state.get((method,) + base),
+            s0=state.get(("pdps",) + base) if warm_inner else None,
+            return_aux=True, **kw)
+        state[(method,) + base] = p
+        if warm_inner:
+            state[("pdps",) + base] = s
         return u, cost, g
 
     return lf
+
+
+def make_tv_learning_function(**defaults):
+    """TV factory for the L4 contract (see :func:`make_learning_function`)."""
+    return make_learning_function(tv_learning_function, 1e-6, **defaults)

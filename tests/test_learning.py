@@ -65,14 +65,21 @@ class TestLearningFunctionContract:
         np.testing.assert_allclose(float(g_exact), float(g_reg), rtol=5e-2)
 
     def test_batch_grad_is_sum_of_singles(self, rng):
+        """The batch gradient is the sum of per-image gradients.  The batch
+        is solved as ONE joint block-diagonal CG system, so the identity is
+        exact only at CG convergence — use a converged configuration."""
+        from bpldenoising_tpu.solvers.hypergrad import HypergradConfig
+        cfg = HypergradConfig(cg_tol=1e-13, cg_maxiter=20000, al_iters=6)
         ds = small_ds(rng, O=2)
-        _, _, g_all = tv_learning_function(0.1, ds, 0.1, maxiter=800)
+        _, _, g_all = tv_learning_function(0.1, ds, 0.1, maxiter=5000,
+                                           cfg=cfg)
         g_sum = 0.0
         for i in range(2):
             dsi = (ds[0][i:i + 1], ds[1][i:i + 1])
-            _, _, gi = tv_learning_function(0.1, dsi, 0.1, maxiter=800)
+            _, _, gi = tv_learning_function(0.1, dsi, 0.1, maxiter=5000,
+                                            cfg=cfg)
             g_sum += float(gi)
-        np.testing.assert_allclose(float(g_all), g_sum, rtol=1e-10)
+        np.testing.assert_allclose(float(g_all), g_sum, rtol=1e-7)
 
 
 class TestBilevelEndToEnd:
