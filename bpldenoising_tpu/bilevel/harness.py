@@ -99,13 +99,18 @@ def _should_log(iteration: int, verbose_iter: int) -> bool:
 
 def bilevel_iterate(step: Callable, params, visualise: bool = False,
                     save_iteration_fn: Optional[Callable] = None,
-                    state: Optional[BilevelState] = None) -> BilevelState:
+                    state: Optional[BilevelState] = None,
+                    start_iteration: int = 0) -> BilevelState:
     """Run ``step(verbose)`` for up to ``params.maxiter`` iterations.
 
     ``step`` receives a ``verbose() -> (x, image, fx, gnorm, delta, step_norm)``
     callback contract mirroring TRBox's 6-tuple (ref ``src/TRBox.jl:264-266``):
     the step function calls ``verbose(lambda: ...)`` once per iteration; the
     harness decides whether to actually materialize/log it.
+
+    ``start_iteration``: resume offset — iteration numbering continues from
+    ``start_iteration + 1`` and the total budget stays ``maxiter`` (a
+    resumed run performs only the remaining iterations).
 
     Returns the harness state; iteration stops at ``maxiter``, when
     Δ < ``params.tol``, or on KeyboardInterrupt.
@@ -118,7 +123,7 @@ def bilevel_iterate(step: Callable, params, visualise: bool = False,
     tol = float(params.get("tol", 0.0))
 
     try:
-        for iteration in range(1, maxiter + 1):
+        for iteration in range(int(start_iteration) + 1, maxiter + 1):
             if st.start_time is None and iteration > 1:
                 # exclude first-iteration JIT compile (ref :192-196); waste
                 # accrued before the clock started must not be subtracted

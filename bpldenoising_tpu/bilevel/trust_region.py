@@ -206,7 +206,10 @@ def bilevel_learn(ds, learning_function: Callable, *, xinit, params,
         if init_B is not None and np.asarray(init_B).shape == (n, n):
             model.B = np.asarray(init_B, dtype=np.float64).copy()
     residual = np.zeros_like(x)
-    it_count = 0
+    # resume: continue iteration numbering after the restored history so
+    # the perf log stays monotonic and the remaining budget is
+    # maxiter − (already-performed iterations), not maxiter more
+    it_count = max((e.iter for e in init_log), default=0) if init_log else 0
     st = BilevelState()
     if init_log:
         st.log.extend(init_log)
@@ -252,7 +255,8 @@ def bilevel_learn(ds, learning_function: Callable, *, xinit, params,
         return delta < float(params.get("tol", 0.0))
 
     bilevel_iterate(step, params, visualise=visualise,
-                    save_iteration_fn=save_iteration_fn, state=st)
+                    save_iteration_fn=save_iteration_fn, state=st,
+                    start_iteration=it_count)
     return BilevelResult(x=x.reshape(shape), u=u, state=st, cost=fx,
                          g_norm=float(np.linalg.norm(gx)),
                          iterations=it_count)

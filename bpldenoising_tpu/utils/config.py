@@ -5,9 +5,11 @@ AlgTools' right-biased merge operator ``⬿`` (reference:
 ``src/BPLDenoising.jl:327-328`` — ``default_params ⬿ bilevel_params ⬿ kwargs``).
 
 Here the equivalent is a frozen, attribute-accessible mapping (:class:`Params`)
-plus a right-biased :func:`merge`.  Parameter objects are hashable on their
-static fields so they can be passed as static arguments to ``jax.jit`` when
-needed.
+plus a right-biased :func:`merge`.  NOTE: ``Params`` is identity-hashed (it
+can hold arrays, which have no content hash), so do NOT pass one as a
+``jax.jit`` static argument — a fresh instance per call would miss the jit
+cache every time.  Pass individual (hashable) fields instead; every entry
+point here does exactly that.
 """
 
 from __future__ import annotations

@@ -58,12 +58,24 @@ class TestCheckpoint:
     def test_experiment_resume(self, tmp_path, monkeypatch):
         import bpldenoising_tpu.experiments.api as api
         monkeypatch.chdir(tmp_path)
-        fast = dict(inner_maxiter=200, maxiter=2, dataset_name="circle",
+        fast = dict(inner_maxiter=200, dataset_name="circle",
                     num_samples=1, checkpoint=True)
-        res1 = api.scalar_bilevel_tv_learn(**fast)
-        # resume continues from the stored iterate
-        res2 = api.scalar_bilevel_tv_learn(resume=True, **fast)
+        res1 = api.scalar_bilevel_tv_learn(maxiter=2, **fast)
+        # resume continues from the stored iterate; maxiter is the TOTAL
+        # budget, so the resumed run performs only the remaining iterations
+        # and the perf log's iter column stays monotonic across the resume
+        res2 = api.scalar_bilevel_tv_learn(resume=True, maxiter=4, **fast)
         assert res2.cost <= res1.cost + 1e-9
+        iters = [e.iter for e in res2.state.log]
+        assert iters == sorted(iters) and len(set(iters)) == len(iters)
+        assert max(iters) <= 4
+        assert res2.iterations <= 4
+
+        # resuming with an already-exhausted budget performs no new
+        # iterations (the restored history alone fills the log)
+        res3 = api.scalar_bilevel_tv_learn(resume=True, maxiter=2, **fast)
+        assert len(res3.state.log) <= len(res2.state.log)
+        assert res3.iterations >= 2  # restored count, no new work
 
 
 class TestKrylov:
