@@ -41,3 +41,60 @@ def test_vmem_guard_raises_for_large_problems(rng):
     big_noisy = jnp.zeros((64, 256, 256))
     with pytest.raises(ValueError, match="too large"):
         single_loop_tv_pallas(big_true, big_noisy, interpret=True)
+
+
+# ---------------------------------------------------------------------------
+# Round 2: all four parameterizations vs the jnp scan oracle
+# ---------------------------------------------------------------------------
+
+from bpldenoising_tpu.bilevel.first_order import single_loop_learn
+from bpldenoising_tpu.bilevel.first_order_pallas import single_loop_pallas
+from bpldenoising_tpu.models import sumregs_model, tv_model
+
+
+@pytest.mark.parametrize("model_fn,x0_fn", [
+    (tv_model, lambda: 0.02),
+    (tv_model, lambda: jnp.full((2, 2), 0.02)),
+    (sumregs_model, lambda: jnp.asarray([0.02, 0.015, 0.01])),
+    (sumregs_model, lambda: jnp.full((2, 2, 3), 0.02)),
+], ids=["tv-scalar", "tv-patch", "sumregs-vec", "sumregs-patch"])
+def test_all_parameterizations_match_oracle(rng, model_fn, x0_fn):
+    utrue, f = small_ds(rng)
+    model = model_fn()
+    x0 = x0_fn()
+    kw = dict(outer=25, n_inner=10, n_adj=4, lr=0.05)
+    ref = single_loop_learn(utrue, f, x0, model, **kw)
+    x, u, traj = single_loop_pallas(utrue, f, x0, model, interpret=True,
+                                    **kw)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ref.alpha),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(u), np.asarray(ref.u), atol=1e-9)
+    x0a = np.asarray(x0)
+    if x0a.ndim == 0:
+        np.testing.assert_allclose(np.asarray(traj),
+                                   np.asarray(ref.alpha_trajectory),
+                                   rtol=1e-9)
+    else:
+        np.testing.assert_allclose(np.asarray(traj),
+                                   np.asarray(ref.cost_trajectory),
+                                   rtol=1e-8)
+
+
+def test_patch_upsample_matmul_equals_patchop(rng):
+    """The MXU block-indicator matmuls must reproduce PatchOp exactly
+    (PatchOp requires divisible ratios; a non-square anisotropic case)."""
+    from bpldenoising_tpu.ops import PatchOp
+    m, n, M, N = 4, 2, 20, 16
+    pop = PatchOp((m, n), (M, N))
+    z = jnp.asarray(rng.standard_normal((m, n)))
+    rows = np.minimum(np.arange(M) * m // M, m - 1)
+    cols = np.minimum(np.arange(N) * n // N, n - 1)
+    Pr = jnp.asarray(np.eye(m)[rows])
+    Pc = jnp.asarray(np.eye(n)[cols])
+    up = Pr @ z @ Pc.T
+    np.testing.assert_allclose(np.asarray(up), np.asarray(pop.apply(z)),
+                               atol=1e-14)
+    g = jnp.asarray(rng.standard_normal((M, N)))
+    down = Pr.T @ g @ Pc
+    np.testing.assert_allclose(np.asarray(down),
+                               np.asarray(pop.apply_adjoint(g)), atol=1e-12)
