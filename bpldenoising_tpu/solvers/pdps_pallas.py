@@ -24,6 +24,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -51,14 +52,24 @@ def _roll(x, shift, axis):
     return pltpu.roll(x, shift % n, ax)
 
 
-def make_masks(shape):
+def make_masks(shape, row_offset=None, n_rows_global=None):
     """Boundary masks per spatial axis, computed ONCE per kernel invocation
     and reused across all loop iterations (loop-invariant hoisting the
-    Mosaic compiler is not guaranteed to do through ``fori_loop``)."""
+    Mosaic compiler is not guaranteed to do through ``fori_loop``).
+
+    ``row_offset``/``n_rows_global``: for spatially-tiled kernels the row
+    axis (-2) masks are evaluated at GLOBAL image coordinates
+    ``iota + row_offset`` against the global row count — the true image
+    boundary lands inside (or outside) the tile wherever it belongs, and
+    the masked stencils sever any data flow across it, so halo padding
+    garbage can never reach valid rows."""
     masks = {}
     for axis in (-2, -1):
         i = _idx(shape, axis)
         n = shape[axis]
+        if axis == -2 and row_offset is not None:
+            i = i + row_offset
+            n = n_rows_global
         masks[(axis, "not_last")] = i < n - 1
         masks[(axis, "not_first")] = i >= 1
         masks[(axis, "interior")] = jnp.logical_and(i >= 1, i < n - 1)
@@ -120,6 +131,43 @@ def _div_pair(op, gx, gy, m):
 # Kernel
 # ---------------------------------------------------------------------------
 
+def _pd_body(model: DenoiseModel, accel: bool, gamma: float, f, alphas,
+             masks):
+    """One accelerated-CP iteration as a fori_loop body over the carry
+    (u, ys-planes, τ, σ); shared by the batch kernel and the tiled kernel."""
+    dtype = f.dtype
+    tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+    r2s = [a * a for a in alphas]
+
+    def body(_, carry):
+        u, ys, tau, sigma = carry
+        div = None
+        for k, op in enumerate(model.ops):
+            d = _div_pair(op, ys[2 * k], ys[2 * k + 1], masks)
+            div = d if div is None else div + d
+        u_new = (u - tau * (div - f)) / (1.0 + tau)
+        if accel:
+            omega = lax.rsqrt(1.0 + 2.0 * gamma * tau)
+            tau = tau * omega
+            sigma = sigma / omega
+        else:
+            omega = jnp.asarray(1.0, dtype)
+        ubar = (1.0 + omega) * u_new - omega * u
+        ys_new = []
+        for k, op in enumerate(model.ops):
+            gx, gy = _grad_pair(op, ubar, masks)
+            px = ys[2 * k] + sigma * gx
+            py = ys[2 * k + 1] + sigma * gy
+            # projection via rsqrt on the squared norm (no sqrt+divide)
+            n2 = px * px + py * py
+            scale = jnp.where(n2 <= r2s[k], 1.0,
+                              alphas[k] * lax.rsqrt(n2 + tiny))
+            ys_new.extend((px * scale, py * scale))
+        return (u_new, tuple(ys_new), tau, sigma)
+
+    return body
+
+
 def _make_kernel(model: DenoiseModel, maxiter: int, accel: bool,
                  gamma: float, tau_init: float, sigma_init: float,
                  alpha_is_map: tuple[bool, ...], tol, check_every: int,
@@ -165,34 +213,7 @@ def _make_kernel(model: DenoiseModel, maxiter: int, accel: bool,
             zeros = jnp.zeros_like(f)
             ys0 = tuple(zeros for _ in range(2 * K))
         masks = make_masks(f.shape)  # loop-invariant boundary masks
-        tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
-        r2s = [a * a for a in alphas]
-
-        def body(_, carry):
-            u, ys, tau, sigma = carry
-            div = None
-            for k, op in enumerate(model.ops):
-                d = _div_pair(op, ys[2 * k], ys[2 * k + 1], masks)
-                div = d if div is None else div + d
-            u_new = (u - tau * (div - f)) / (1.0 + tau)
-            if accel:
-                omega = lax.rsqrt(1.0 + 2.0 * gamma * tau)
-                tau = tau * omega
-                sigma = sigma / omega
-            else:
-                omega = jnp.asarray(1.0, dtype)
-            ubar = (1.0 + omega) * u_new - omega * u
-            ys_new = []
-            for k, op in enumerate(model.ops):
-                gx, gy = _grad_pair(op, ubar, masks)
-                px = ys[2 * k] + sigma * gx
-                py = ys[2 * k + 1] + sigma * gy
-                # projection via rsqrt on the squared norm (no sqrt+divide)
-                n2 = px * px + py * py
-                scale = jnp.where(n2 <= r2s[k], 1.0,
-                                  alphas[k] * lax.rsqrt(n2 + tiny))
-                ys_new.extend((px * scale, py * scale))
-            return (u_new, tuple(ys_new), tau, sigma)
+        body = _pd_body(model, accel, gamma, f, alphas, masks)
 
         carry0 = (u0, ys0, jnp.asarray(tau_init, dtype),
                   jnp.asarray(sigma_init, dtype))
@@ -234,6 +255,255 @@ def _make_kernel(model: DenoiseModel, maxiter: int, accel: bool,
             r[:] = y
 
     return kernel
+
+
+# ---------------------------------------------------------------------------
+# Spatially-tiled kernel: images whose solver state exceeds VMEM
+# ---------------------------------------------------------------------------
+#
+# The batch kernel above keeps a whole image's state VMEM-resident for all
+# maxiter iterations.  Beyond ~640² (float32, K=1) that no longer fits, and
+# round 1 silently fell back to the jnp/HBM path.  The tiled scheme instead
+# runs CHUNKS of T iterations per kernel invocation on overlapping row
+# tiles (redundant-computation trapezoid): each PDPS iteration's stencil
+# reach is 2 rows (div then grad), so a halo of H = 2T rows makes every
+# tile-interior value after T in-VMEM iterations EXACT.  Between chunks the
+# (u, ys) state round-trips HBM once — ~T× less HBM traffic than the jnp
+# path's per-iteration round trips.  Boundary masks are evaluated at GLOBAL
+# row coordinates (make_masks(row_offset=...)), so the true image boundary
+# is handled exactly wherever it falls and padding garbage cannot cross it.
+
+def _make_tiled_kernel(model: DenoiseModel, T: int, accel: bool,
+                       gamma: float, alpha_is_map: tuple[bool, ...],
+                       n_rows_global: int, n_tiles: int, tile_rows: int,
+                       halo: int):
+    K = model.K
+
+    def kernel(*refs):
+        sc_ref = refs[0]           # SMEM (2,): [tau, sigma] for this chunk
+        f_ref = refs[1]
+        alpha_refs = refs[2:2 + K]
+        u0_ref = refs[2 + K]
+        ys0_refs = refs[3 + K:3 + K + 2 * K]
+        u_out = refs[3 + 3 * K]
+        ys_out_refs = refs[4 + 3 * K:4 + 5 * K]
+
+        f = f_ref[:]
+        dtype = f.dtype
+        alphas = []
+        for k, is_map in enumerate(alpha_is_map):
+            alphas.append(alpha_refs[k][:] if is_map
+                          else alpha_refs[k][0, 0])
+        # tile's global row offset, derived from the grid position (grid is
+        # image-major: o = img·n_tiles + tile)
+        tile_idx = pl.program_id(0) % n_tiles
+        row_offset = tile_idx * tile_rows - halo
+        masks = make_masks(f.shape, row_offset=row_offset,
+                           n_rows_global=n_rows_global)
+        body = _pd_body(model, accel, gamma, f, alphas, masks)
+
+        carry0 = (u0_ref[:], tuple(r[:] for r in ys0_refs),
+                  sc_ref[0].astype(dtype), sc_ref[1].astype(dtype))
+        u, ys, _, _ = lax.fori_loop(0, T, body, carry0)
+        u_out[:] = u
+        for r, y in zip(ys_out_refs, ys):
+            r[:] = y
+
+    return kernel
+
+
+def _accel_schedule(tau, sigma, gamma, accel: bool, n: int):
+    """Advance the (τ, σ) acceleration recurrence by n iterations (scalar
+    mirror of the in-kernel updates, keeping driver and kernel in sync)."""
+    if not accel:
+        return tau, sigma
+
+    def step(_, c):
+        t, s = c
+        omega = lax.rsqrt(1.0 + 2.0 * gamma * t)
+        return (t * omega, s / omega)
+
+    return lax.fori_loop(0, n, step, (tau, sigma))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "maxiter", "accel", "interpret", "tau0",
+                     "sigma0", "gamma", "tol", "tile_rows", "chunk_iters",
+                     "return_state"))
+def _tiled_impl(f, alphas, state0=None, *, model, tau0, sigma0, gamma,
+                maxiter, accel, interpret, tol=None, tile_rows: int,
+                chunk_iters: int, return_state=False):
+    O, M, N = f.shape
+    dtype = f.dtype
+    K = model.K
+    L = float(model.opnorm_sq()) ** 0.5
+    T = int(chunk_iters)
+    H = 2 * T
+    n_tiles = -(-M // tile_rows)
+    M_pad = n_tiles * tile_rows
+    rows = tile_rows + 2 * H
+
+    def pad_rows(x):
+        return jnp.pad(x, ((0, 0), (H, M_pad - M + H), (0, 0)))
+
+    def to_tiles(x):
+        xp = pad_rows(x)
+        t = jnp.stack([lax.slice_in_dim(xp, i * tile_rows,
+                                        i * tile_rows + rows, axis=1)
+                       for i in range(n_tiles)], axis=1)
+        return t.reshape(x.shape[0] * n_tiles, rows, N)
+
+    def from_tiles(t, O_):
+        t = t.reshape(O_, n_tiles, rows, N)[:, :, H:H + tile_rows]
+        return t.reshape(O_, M_pad, N)[:, :M]
+
+    f_tiles = to_tiles(f)
+
+    alpha_is_map = tuple(a.ndim >= 2 for a in alphas)
+    tile_spec = pl.BlockSpec((1, rows, N), lambda o: (o, 0, 0),
+                             memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),                   # tau/sigma
+        tile_spec,                                               # f
+    ]
+    alpha_args = []
+    for a, is_map in zip(alphas, alpha_is_map):
+        if is_map:
+            alpha_args.append(to_tiles(a.astype(dtype)[None]))
+            in_specs.append(pl.BlockSpec(
+                (1, rows, N), lambda o: (o % n_tiles, 0, 0),
+                memory_space=pltpu.VMEM))
+        else:
+            alpha_args.append(jnp.reshape(a.astype(dtype), (1, 1)))
+            in_specs.append(pl.BlockSpec((1, 1), lambda o: (0, 0),
+                                         memory_space=pltpu.SMEM))
+    in_specs += [tile_spec] * (1 + 2 * K)                        # u0, ys0
+    out_specs = [tile_spec] * (1 + 2 * K)
+    out_shape = [jax.ShapeDtypeStruct((O * n_tiles, rows, N), dtype)] \
+        * (1 + 2 * K)
+
+    kernel = _make_tiled_kernel(model, T, bool(accel), float(gamma),
+                                alpha_is_map, M, n_tiles, tile_rows, H)
+    grid = O * n_tiles
+
+    def halo_exchange(t):
+        """Refresh each tile's halos from its neighbors' (exact) interiors,
+        entirely in tiled space: the top halo of tile i is tile i−1's local
+        rows [tile_rows, tile_rows+H), the bottom halo is tile i+1's local
+        rows [H, 2H) — two rolled slices + a concat, no gathers and no
+        reassemble/retile round trip.  Boundary tiles receive wrapped
+        garbage in their outermost halos, which the global-coordinate
+        boundary masks keep dead."""
+        t4 = t.reshape(O, n_tiles, rows, N)
+        top = jnp.roll(t4, 1, axis=1)[:, :, tile_rows:tile_rows + H]
+        mid = t4[:, :, H:H + tile_rows]
+        bot = jnp.roll(t4, -1, axis=1)[:, :, H:2 * H]
+        return jnp.concatenate([top, mid, bot],
+                               axis=2).reshape(O * n_tiles, rows, N)
+
+    def run_chunk(kern, u_t, planes_t, tau, sigma, n_iters):
+        sc = jnp.stack([tau, sigma]).astype(dtype)
+        outs = pl.pallas_call(
+            kern, grid=grid, in_specs=in_specs,
+            out_specs=out_specs, out_shape=out_shape,
+            interpret=bool(interpret),
+        )(sc, f_tiles, *alpha_args, u_t, *planes_t)
+        u_t = halo_exchange(outs[0])
+        planes_t = tuple(halo_exchange(o) for o in outs[1:])
+        tau, sigma = _accel_schedule(tau, sigma,
+                                     jnp.asarray(gamma, dtype), accel,
+                                     n_iters)
+        return u_t, planes_t, tau, sigma
+
+    if state0 is not None:
+        u0, ys0 = state0
+        planes = tuple(y[..., c, :, :] for y in ys0 for c in (0, 1))
+    else:
+        u0 = f
+        planes = tuple(jnp.zeros_like(f) for _ in range(2 * K))
+    u_t = to_tiles(u0)
+    planes_t = tuple(to_tiles(p) for p in planes)
+    tau = jnp.asarray(tau0 / L, dtype)
+    sigma = jnp.asarray(sigma0 / L, dtype)
+
+    n_full, tail = divmod(int(maxiter), T)
+
+    if tol is None:
+        def round_body(_, c):
+            u_t, planes_t, tau, sigma = c
+            return run_chunk(kernel, u_t, planes_t, tau, sigma, T)
+
+        u_t, planes_t, tau, sigma = lax.fori_loop(
+            0, n_full, round_body, (u_t, planes_t, tau, sigma))
+    else:
+        tol_ = jnp.asarray(tol, dtype)
+        # with early stopping the budget rounds up to whole chunks (at most
+        # T−1 iterations beyond maxiter when tol is never reached)
+        n_rounds = -(-int(maxiter) // T)
+
+        def cond(c):
+            _, _, _, _, r, delta = c
+            return jnp.logical_and(r < n_rounds, delta > tol_)
+
+        def round_body(c):
+            u_t, planes_t, tau, sigma, r, _ = c
+            u_new, planes_t, tau, sigma = run_chunk(kernel, u_t, planes_t,
+                                                    tau, sigma, T)
+            num = jnp.sum((u_new - u_t) ** 2)
+            den = jnp.maximum(jnp.sum(u_new ** 2),
+                              jnp.asarray(1e-24, dtype))
+            return (u_new, planes_t, tau, sigma, r + 1,
+                    jnp.sqrt(num / den))
+
+        u_t, planes_t, tau, sigma, _, _ = lax.while_loop(
+            cond, round_body,
+            (u_t, planes_t, tau, sigma, jnp.asarray(0, jnp.int32),
+             jnp.asarray(jnp.inf, dtype)))
+
+    if tail and tol is None:
+        # remainder chunk with its own static trip count (exact maxiter)
+        tail_kernel = _make_tiled_kernel(model, tail, bool(accel),
+                                         float(gamma), alpha_is_map, M,
+                                         n_tiles, tile_rows, H)
+        u_t, planes_t, tau, sigma = run_chunk(tail_kernel, u_t, planes_t,
+                                              tau, sigma, tail)
+
+    u = from_tiles(u_t, O)
+    planes = tuple(from_tiles(p, O) for p in planes_t)
+    if return_state:
+        ys = tuple(jnp.stack([planes[2 * k], planes[2 * k + 1]], axis=-3)
+                   for k in range(K))
+        return u, (u, ys)
+    return u
+
+
+# Empirical Mosaic scoped-VMEM ceiling on the v5e for this kernel's block
+# set: a tile PLANE (rows × N × itemsize) of ~1.0 MB compiles for K=1
+# (288×1024 and 128×2048 f32 work; 384×1024 and 136×2048 OOM the 16 MB
+# scoped limit); K>1 adds 4 blocks per extra regularizer, scaled below.
+_TILE_PLANE_BYTES = 960 * 1024
+
+
+def _tile_plan(M: int, N: int, K: int, itemsize: int,
+               chunk_iters: int = 8):
+    """Pick (tile_rows, chunk_iters) so one tile's kernel state fits the
+    VMEM budget; returns None when even a minimal tile cannot fit.
+
+    Larger tiles amortize the 2H halo (redundant compute ∝ (tile+2H)/tile),
+    shorter chunks shrink H — empirically tile≈224/T=8 wins at 1024²."""
+    plane_cap = int(_TILE_PLANE_BYTES * 2 / (1 + K))
+    rows_max = plane_cap // (N * itemsize)
+    for T in (chunk_iters, 6, 4):
+        H = 2 * T
+        tile = (rows_max - 2 * H) // 8 * 8
+        if tile >= max(2 * H, 32):
+            tile = min(tile, M)
+            # balance: same tile count, evenly-sized tiles (less padding)
+            n_tiles = -(-M // tile)
+            tile = min(tile, -(-(-(-M // n_tiles)) // 8) * 8)
+            return tile, T
+    return None
 
 
 _VMEM_BUDGET = 8 * 1024 * 1024  # leave headroom in ~16MB VMEM
@@ -279,7 +549,17 @@ def _pallas_impl(f, alphas, state0=None, *, model, tau0, sigma0, gamma,
     chunk = _vmem_chunk(O, M, N, K, dtype.itemsize,
                         n_alpha_maps=sum(alpha_is_map), extra_planes=extra)
     if chunk < 1:
-        # image too large for VMEM-resident state — jnp/HBM path instead
+        # image too large for whole-image VMEM-resident state: spatially
+        # tiled kernel (T-iteration chunks over halo'd row tiles); jnp/HBM
+        # path only if even a minimal tile cannot fit
+        plan = _tile_plan(M, N, K, dtype.itemsize)
+        if plan is not None:
+            tile_rows, T = plan
+            return _tiled_impl(
+                f, alphas, state0, model=model, tau0=tau0, sigma0=sigma0,
+                gamma=gamma, maxiter=maxiter, accel=accel,
+                interpret=interpret, tol=tol, tile_rows=tile_rows,
+                chunk_iters=T, return_state=return_state)
         from .pdps import _denoise_pdps_impl
         out = _denoise_pdps_impl(
             f, alphas, state0, model=model, tau0=tau0, sigma0=sigma0,

@@ -167,3 +167,103 @@ def test_warm_start_converges_faster(rng):
     # the restarted accelerated schedule (large initial tau) amplifies the
     # residual convergence error slightly before re-contracting
     assert float(jnp.max(jnp.abs(u_stay - u_star1))) < 3e-5
+
+
+# ---------------------------------------------------------------------------
+# Spatially-tiled kernel (round 2: images beyond the whole-image VMEM budget)
+# ---------------------------------------------------------------------------
+
+from bpldenoising_tpu.solvers.pdps_pallas import _tile_plan, _tiled_impl
+
+
+def test_tiled_exact_vs_oracle(rng):
+    """The trapezoid scheme (T-iteration chunks, halo H=2T) is EXACT: every
+    tile-interior value has its full dependency cone inside the halo."""
+    model = tv_model()
+    f = jnp.stack([noisy(rng, shape=(40, 16)) for _ in range(2)])
+    u_ref = denoise_pdps(f, (0.1,), model, maxiter=100)
+    u_t = _tiled_impl(f, (jnp.asarray(0.1),), model=model, tau0=5.0,
+                      sigma0=0.99 / 5.0, gamma=1.0, maxiter=100, accel=True,
+                      interpret=True, tile_rows=16, chunk_iters=3)
+    np.testing.assert_allclose(np.asarray(u_t), np.asarray(u_ref),
+                               atol=1e-13)
+
+
+def test_tiled_alpha_map_and_sumregs(rng):
+    f = jnp.stack([noisy(rng, shape=(40, 16))])
+    model = tv_model()
+    amap = jnp.asarray(rng.uniform(0.05, 0.2, (40, 16)))
+    u_ref = denoise_pdps(f, (amap,), model, maxiter=60)
+    u_t = _tiled_impl(f, (amap,), model=model, tau0=5.0, sigma0=0.99 / 5.0,
+                      gamma=1.0, maxiter=60, accel=True, interpret=True,
+                      tile_rows=16, chunk_iters=4)
+    np.testing.assert_allclose(np.asarray(u_t), np.asarray(u_ref),
+                               atol=1e-13)
+
+    sr = sumregs_model()
+    a3 = tuple(jnp.asarray(v) for v in (0.05, 0.03, 0.02))
+    u_ref3, ys_ref3, _ = denoise_pdps(f, a3, sr, maxiter=50,
+                                      return_dual=True)
+    u_t3, st = _tiled_impl(f, a3, model=sr, tau0=5.0, sigma0=0.99 / 5.0,
+                           gamma=1.0, maxiter=50, accel=True,
+                           interpret=True, tile_rows=16, chunk_iters=5,
+                           return_state=True)
+    np.testing.assert_allclose(np.asarray(u_t3), np.asarray(u_ref3),
+                               atol=1e-13)
+    for a, b in zip(st[1], ys_ref3):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-13)
+
+
+def test_tiled_warm_start_and_tol(rng):
+    model = tv_model()
+    f = jnp.stack([noisy(rng, shape=(40, 16))])
+    u1, ys1, _ = denoise_pdps(f, (0.1,), model, maxiter=80, return_dual=True)
+    u_t = _tiled_impl(f, (jnp.asarray(0.12),), (u1, ys1), model=model,
+                      tau0=5.0, sigma0=0.99 / 5.0, gamma=1.0, maxiter=40,
+                      accel=True, interpret=True, tile_rows=16,
+                      chunk_iters=4)
+    u_ref = denoise_pdps(f, (0.12,), model, maxiter=40, state0=(u1, ys1))
+    np.testing.assert_allclose(np.asarray(u_t), np.asarray(u_ref),
+                               atol=1e-13)
+
+    # tol: converges to the fixed point within tolerance
+    u_star = denoise_pdps(f, (0.1,), model, maxiter=20000)
+    u_tol = _tiled_impl(f, (jnp.asarray(0.1),), model=model, tau0=5.0,
+                        sigma0=0.99 / 5.0, gamma=1.0, maxiter=20000,
+                        accel=True, interpret=True, tile_rows=16,
+                        chunk_iters=10, tol=1e-9)
+    np.testing.assert_allclose(np.asarray(u_tol), np.asarray(u_star),
+                               atol=1e-6)
+
+
+def test_tile_plan_properties():
+    """Plans fit the plane cap, and huge images still plan (or cleanly
+    decline)."""
+    for (Mi, Ni, K) in [(1024, 1024, 1), (2048, 2048, 1), (1024, 1024, 3)]:
+        plan = _tile_plan(Mi, Ni, K, 4)
+        assert plan is not None
+        tile, T = plan
+        assert tile >= 2 * (2 * T)
+        assert tile % 8 == 0
+
+
+def test_auto_routing_to_tiled(rng, monkeypatch):
+    """denoise_pdps_pallas must route oversized images to the tiled kernel
+    (not the jnp fallback) when a tile plan exists."""
+    import bpldenoising_tpu.solvers.pdps_pallas as pp
+    calls = {}
+    orig = pp._tiled_impl
+
+    def spy(*a, **k):
+        calls["tiled"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(pp, "_tiled_impl", spy)
+    monkeypatch.setattr(pp, "_vmem_chunk", lambda *a, **k: 0)
+    monkeypatch.setattr(pp, "_tile_plan", lambda *a, **k: (16, 3))
+    model = tv_model()
+    f = noisy(rng, shape=(40, 16))
+    u_ref = denoise_pdps(f, (0.1,), model, maxiter=60)
+    u = pp.denoise_pdps_pallas(f, (0.1,), model, maxiter=60, interpret=True)
+    assert calls.get("tiled")
+    np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref), atol=1e-13)
