@@ -77,11 +77,11 @@ def _param_layout(model: DenoiseModel, x0, image_shape):
 @functools.partial(
     jax.jit,
     static_argnames=("model", "outer", "n_inner", "n_adj", "pop",
-                     "param_shape"))
+                     "param_shape", "axis_name"))
 def _single_loop_impl(utrue, f, x0, *, model: DenoiseModel, outer: int,
                       n_inner: int, n_adj: int, pop: Optional[PatchOp],
                       param_shape: tuple, lr, gamma, tau0, sigma0,
-                      beta1, beta2, eps):
+                      beta1, beta2, eps, axis_name: Optional[str] = None):
     dtype = f.dtype
     K = model.K
     L = jnp.sqrt(jnp.asarray(model.opnorm_sq(), dtype))
@@ -131,21 +131,29 @@ def _single_loop_impl(utrue, f, x0, *, model: DenoiseModel, outer: int,
         # shared γ-smoothed system assembly (batched over O)
         return build_reg_system(u, alphas, model, gamma)
 
+    def _vdot(a, b):
+        # under data parallelism the dots are GLOBAL (psum) so the fixed
+        # n_adj CG steps reproduce the single-device joint iteration
+        # exactly (the fixed-step CG never converges, so local-dot per-shard
+        # CG would follow a genuinely different trajectory)
+        s = jnp.vdot(a, b)
+        return lax.psum(s, axis_name) if axis_name is not None else s
+
     def cg_steps(M_apply, inv_diag, b, p):
         r = b - M_apply(p)
         z = inv_diag * r
         d = z
-        rz = jnp.vdot(r, z)
+        rz = _vdot(r, z)
 
         def body(_, carry):
             p, r, z, d, rz = carry
             Md = M_apply(d)
-            denom = jnp.vdot(d, Md)
+            denom = _vdot(d, Md)
             a = rz / jnp.where(denom == 0, 1.0, denom)
             p = p + a * d
             r = r - a * Md
             z = inv_diag * r
-            rz_new = jnp.vdot(r, z)
+            rz_new = _vdot(r, z)
             beta = rz_new / jnp.where(rz == 0, 1.0, rz)
             d = z + beta * d
             return (p, r, z, d, rz_new)
@@ -164,6 +172,8 @@ def _single_loop_impl(utrue, f, x0, *, model: DenoiseModel, outer: int,
         gmaps = tuple(
             jnp.sum(scalarprod(op.apply(p), field), axis=0)
             for op, field in zip(model.ops, fields))
+        if axis_name is not None:
+            gmaps = tuple(lax.psum(g, axis_name) for g in gmaps)
         g_x = pullback(gmaps)
         g_z = g_x * x                    # chain rule through x = exp(z)
         t = t + 1
@@ -173,6 +183,8 @@ def _single_loop_impl(utrue, f, x0, *, model: DenoiseModel, outer: int,
         vhat = v / (1 - beta2 ** t)
         z_new = z - lr * mhat / (jnp.sqrt(vhat) + eps)
         cost = 0.5 * jnp.sum((u - utrue) ** 2)
+        if axis_name is not None:
+            cost = lax.psum(cost, axis_name)
         # trajectory pairs each cost with the α that PRODUCED it (x, not the
         # freshly updated parameter)
         return (u, ys, p, z_new, m, v, t), (x, cost)
@@ -191,8 +203,11 @@ def _single_loop_impl(utrue, f, x0, *, model: DenoiseModel, outer: int,
     carry, (alphas_traj, costs) = lax.scan(outer_step, carry0, None,
                                            length=outer)
     u, _, _, z, _, _, _ = carry
+    final_cost = 0.5 * jnp.sum((u - utrue) ** 2)
+    if axis_name is not None:
+        final_cost = lax.psum(final_cost, axis_name)
     return SingleLoopResult(alpha=jnp.exp(z), u=u,
-                            cost=0.5 * jnp.sum((u - utrue) ** 2),
+                            cost=final_cost,
                             alpha_trajectory=alphas_traj,
                             cost_trajectory=costs)
 
@@ -202,10 +217,17 @@ def single_loop_learn(utrue, f, x0, model: DenoiseModel, *,
                       lr: float = 0.05, gamma: float = 1e4,
                       tau0: float = 5.0, sigma0: float = 0.99 / 5.0,
                       beta1: float = 0.9, beta2: float = 0.999,
-                      eps: float = 1e-8) -> SingleLoopResult:
+                      eps: float = 1e-8, mesh=None) -> SingleLoopResult:
     """Single-loop bilevel learning for any model/parameterization.
 
     ``x0`` must be strictly positive (the parameter lives in log space).
+
+    ``mesh``: optional 1-D :class:`jax.sharding.Mesh` — the image batch is
+    sharded over it (shard_map) with the parameter replicated; the only
+    collectives are the per-step ``psum`` of the K gradient maps and the
+    cost.  Zero-padded images (uneven batches) contribute exactly nothing:
+    their PDPS solution of f = 0 is 0 = ū, so their adjoint state and
+    gradient maps are identically zero.
     """
     utrue = jnp.asarray(utrue)
     f = jnp.asarray(f, utrue.dtype)
@@ -216,11 +238,31 @@ def single_loop_learn(utrue, f, x0, model: DenoiseModel, *,
         utrue, f = utrue[None], f[None]
     x0 = jnp.asarray(x0, utrue.dtype)
     pop, param_shape = _param_layout(model, x0, f.shape[-2:])
-    res = _single_loop_impl(
-        utrue, f, x0, model=model, outer=int(outer), n_inner=int(n_inner),
-        n_adj=int(n_adj), pop=pop, param_shape=param_shape, lr=lr,
-        gamma=gamma, tau0=tau0, sigma0=sigma0, beta1=beta1, beta2=beta2,
-        eps=eps)
+    kw = dict(model=model, outer=int(outer), n_inner=int(n_inner),
+              n_adj=int(n_adj), pop=pop, param_shape=param_shape, lr=lr,
+              gamma=gamma, tau0=tau0, sigma0=sigma0, beta1=beta1,
+              beta2=beta2, eps=eps)
+    if mesh is not None:
+        import jax
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        from ..parallel.mesh import BATCH_AXIS, pad_batch
+
+        O = utrue.shape[0]
+        n_shards = mesh.shape[BATCH_AXIS]
+        utrue_p, _ = pad_batch(utrue, n_shards)
+        f_p, _ = pad_batch(f, n_shards)
+        b, r = P(BATCH_AXIS), P()
+        out_specs = SingleLoopResult(alpha=r, u=b, cost=r,
+                                     alpha_trajectory=r, cost_trajectory=r)
+        fn = shard_map(
+            lambda ut, ff: _single_loop_impl(ut, ff, x0,
+                                             axis_name=BATCH_AXIS, **kw),
+            mesh=mesh, in_specs=(b, b), out_specs=out_specs)
+        res = jax.jit(fn)(utrue_p, f_p)
+        res = res._replace(u=res.u[:O])
+    else:
+        res = _single_loop_impl(utrue, f, x0, **kw)
     if squeeze:
         res = res._replace(u=res.u[0])
     return res

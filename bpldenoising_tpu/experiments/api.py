@@ -392,21 +392,22 @@ def _run_single_loop(params, model_kind, stretch_all=False):
     (beyond-reference capability; artifacts match the TR path's)."""
     _reject_flags(params, "single_loop",
                   ("checkpoint", "resume", "save_iterations", "inner_tol"))
-    if params.get("data_parallel"):
-        raise ValueError(
-            "data_parallel is not yet supported with method='single_loop'")
     from ..bilevel.first_order import single_loop_learn
     from ..bilevel.harness import BilevelState
     from ..bilevel.trust_region import BilevelResult
     from ..models import sumregs_model, tv_model
     from ..viz.log import BilevelLogEntry
 
+    mesh = None
+    if params.get("data_parallel"):
+        from ..parallel import make_batch_mesh
+        mesh = make_batch_mesh()
     ds = _load(params)
     model = tv_model() if model_kind == "tv" else sumregs_model()
     res = single_loop_learn(
         ds[0], ds[1], params.alpha0, model,
         outer=int(params.sl_outer), n_inner=int(params.sl_inner),
-        n_adj=int(params.sl_adj), lr=float(params.sl_lr))
+        n_adj=int(params.sl_adj), lr=float(params.sl_lr), mesh=mesh)
     st = BilevelState()
     costs = np.asarray(res.cost_trajectory)
     for i, c in enumerate(costs):

@@ -1,13 +1,25 @@
 """Data-parallel (multi-chip) learning functions via ``shard_map``.
 
 SPMD layout (SURVEY.md §2c "TPU-native plan"): the image batch is sharded
-over a 1-D mesh; every chip runs the identical fused PDPS inner solve and
-per-image hypergradient on its local shard; the only collectives are two
-``psum``s (cost and hypergradient) riding ICI.  The trust-region outer loop
-stays on the host and is oblivious to the sharding.
+over a 1-D mesh; every chip runs the identical fused PDPS inner solve and a
+JOINT block-diagonal hypergradient solve on its local shard; the only
+collectives are two ``psum``s (cost and hypergradient) riding ICI.  The
+trust-region outer loop stays on the host and is oblivious to the sharding.
 
-Batch sizes that don't divide the mesh are zero-padded with per-image
-weights so padded images contribute nothing to cost or gradient.
+Round-2 upgrades (VERDICT round 1, items 5/7):
+
+* the adjoint CG state ``p`` is threaded through the shard_map boundary and
+  cached per gradient branch in the factory — multi-chip trust-region
+  evaluations warm-start exactly like the single-chip factories;
+* ``backend="pallas"`` runs the fused kernel per shard (pass
+  ``interpret=True`` to exercise it on a virtual CPU mesh);
+* the per-shard hypergradient is one joint solve over the local sub-batch
+  (no vmap-of-while_loop lane masking).
+
+Batch sizes that don't divide the mesh are zero-padded; padded images
+contribute nothing: their PDPS solution of f = 0 is 0 = ū, so their adjoint
+rhs, CG iterates and gradient maps are identically zero (the explicit
+weights guard the cost only).
 """
 
 from __future__ import annotations
@@ -29,14 +41,9 @@ __all__ = ["make_sharded_tv_learning_function",
            "make_sharded_sumregs_learning_function"]
 
 
-def _shard_specs(mesh):
-    b = P(BATCH_AXIS)
-    r = P()
-    return b, r
-
-
 def _build(mesh: Mesh, model, alphas_of_x, grads_of_maps, want_maps: bool,
-           maxiter: int, cfg: HypergradConfig, backend: str = "jnp"):
+           maxiter: int, cfg: HypergradConfig, backend: str = "jnp",
+           interpret: bool = False):
     """Common scaffolding for sharded learning functions.
 
     ``alphas_of_x(x, image_shape)``: parameter → K-tuple of per-image α
@@ -44,34 +51,39 @@ def _build(mesh: Mesh, model, alphas_of_x, grads_of_maps, want_maps: bool,
     ``grads_of_maps(gsum, x)``: summed per-k gradient (scalars or maps) →
     gradient shaped like ``x``.
     """
-    b, r = _shard_specs(mesh)
+    b, r = P(BATCH_AXIS), P()
     n_shards = mesh.shape[BATCH_AXIS]
 
-    def _local(utrue, f, w, alphas, method):
+    def _local(utrue, f, w, p0, alphas, method):
         if backend == "pallas":
             from ..solvers.pdps_pallas import denoise_pdps_pallas
-            u = denoise_pdps_pallas(f, alphas, model, maxiter=maxiter)
+            u = denoise_pdps_pallas(f, alphas, model, maxiter=maxiter,
+                                    interpret=interpret)
         else:
             u = denoise_pdps(f, alphas, model, maxiter=maxiter)
         wb = w[:, None, None]
-        cost_local = 0.5 * jnp.sum(wb * (u - utrue) ** 2)
-        cost = jax.lax.psum(cost_local, BATCH_AXIS)
+        cost = jax.lax.psum(0.5 * jnp.sum(wb * (u - utrue) ** 2),
+                            BATCH_AXIS)
         fn = exact_hypergrad if method == "exact" else reg_hypergrad
-        per_image = jax.vmap(
-            lambda ui, ti: fn(ui, ti, alphas, model, cfg, want_maps)[0])
-        gs = per_image(u, utrue)  # K-tuple of (O_local,) or (O_local, M, N)
+        # one joint block-diagonal solve over the local sub-batch,
+        # warm-started from the previous evaluation's adjoint state
+        gs, p, _ = fn(u, utrue, alphas, model, cfg, want_maps, p0=p0)
         gsum = tuple(
-            jax.lax.psum(
-                jnp.sum(g * (w[:, None, None] if g.ndim == 3 else w), axis=0),
-                BATCH_AXIS)
+            jax.lax.psum(jnp.sum(g, axis=0) if g.ndim == 3 else g,
+                         BATCH_AXIS)
             for g in gs)
-        return u, cost, gsum
+        return u, cost, gsum, p
 
     shard_fns = {}
     for method in ("exact", "reg"):
+        # check_vma=False: pallas_call outputs carry no vma annotation, so
+        # the varying-across-mesh checker cannot see through the kernel
         shard_fns[method] = jax.jit(shard_map(
             functools.partial(_local, method=method), mesh=mesh,
-            in_specs=(b, b, b, r), out_specs=(b, r, r)))
+            in_specs=(b, b, b, b, r), out_specs=(b, r, r, b),
+            check_vma=False))
+
+    p_state: dict = {}
 
     def learning_function(x, ds, delta, *, delta_t=1e-6):
         utrue = jnp.asarray(ds[0])
@@ -82,7 +94,12 @@ def _build(mesh: Mesh, model, alphas_of_x, grads_of_maps, want_maps: bool,
         x = jnp.asarray(x, utrue.dtype)
         alphas = alphas_of_x(x, f.shape[-2:])
         method = "exact" if float(delta) > delta_t else "reg"
-        u, cost, gsum = shard_fns[method](utrue_p, f_p, w, alphas)
+        key = (method, utrue_p.shape, id(ds[0]))
+        p0 = p_state.get(key)
+        if p0 is None:
+            p0 = jnp.zeros_like(f_p)
+        u, cost, gsum, p = shard_fns[method](utrue_p, f_p, w, p0, alphas)
+        p_state[key] = p
         grad = grads_of_maps(gsum, x)
         return u[:O], cost, grad
 
@@ -91,7 +108,8 @@ def _build(mesh: Mesh, model, alphas_of_x, grads_of_maps, want_maps: bool,
 
 def make_sharded_tv_learning_function(
         mesh: Mesh, *, maxiter: int = 5000, delta_t: float = 1e-6,
-        cfg: HypergradConfig = HypergradConfig(), backend: str = "jnp"):
+        cfg: HypergradConfig = HypergradConfig(), backend: str = "jnp",
+        interpret: bool = False):
     """Sharded equivalent of
     :func:`bpldenoising_tpu.learning.tv_learning_function` (same L4 contract,
     scalar or patch parameter)."""
@@ -100,17 +118,17 @@ def make_sharded_tv_learning_function(
 
     def alphas_of_x(x, image_shape):
         if x.ndim == 0:
-            state["pop"] = None
+            state[tuple(image_shape)] = None
             return (x,)
         pop = PatchOp(tuple(x.shape), tuple(image_shape))
-        state["pop"] = pop
+        state[tuple(image_shape)] = pop
         return (pop.apply(x),)
 
-    def grads_of_maps(gsum, x):
+    def grads_of_maps(gsum, x, image_shape=None):
         (g,) = gsum
         if x.ndim == 0:
             return g
-        return state["pop"].apply_adjoint(g)
+        return state[tuple(g.shape[-2:])].apply_adjoint(g)
 
     # build lazily per parameter shape (scalar vs patch grids) and cache
     cache = {}
@@ -121,7 +139,8 @@ def make_sharded_tv_learning_function(
         if key not in cache:
             cache[key] = _build(mesh, model, alphas_of_x, grads_of_maps,
                                 want_maps=bool(x.ndim > 0), maxiter=maxiter,
-                                cfg=cfg, backend=backend)
+                                cfg=cfg, backend=backend,
+                                interpret=interpret)
         return cache[key](x, ds, delta, delta_t=delta_t)
 
     return cached
@@ -129,7 +148,8 @@ def make_sharded_tv_learning_function(
 
 def make_sharded_sumregs_learning_function(
         mesh: Mesh, *, maxiter: int = 5000, delta_t: float = 1e-3,
-        cfg: HypergradConfig = HypergradConfig(), backend: str = "jnp"):
+        cfg: HypergradConfig = HypergradConfig(), backend: str = "jnp",
+        interpret: bool = False):
     """Sharded equivalent of
     :func:`bpldenoising_tpu.learning.sumregs_learning_function`."""
     model = sumregs_model()
@@ -137,16 +157,16 @@ def make_sharded_sumregs_learning_function(
 
     def alphas_of_x(x, image_shape):
         if x.ndim == 1:
-            state["pop"] = None
+            state[tuple(image_shape)] = None
             return tuple(x[k] for k in range(3))
         pop = PatchOp(tuple(x.shape[:2]), tuple(image_shape))
-        state["pop"] = pop
+        state[tuple(image_shape)] = pop
         return tuple(pop.apply(x[..., k]) for k in range(3))
 
     def grads_of_maps(gsum, x):
         if x.ndim == 1:
             return jnp.stack(gsum)
-        pop = state["pop"]
+        pop = state[tuple(gsum[0].shape[-2:])]
         return jnp.stack([pop.apply_adjoint(g) for g in gsum], axis=-1)
 
     cache = {}
@@ -157,7 +177,8 @@ def make_sharded_sumregs_learning_function(
         if key not in cache:
             cache[key] = _build(mesh, model, alphas_of_x, grads_of_maps,
                                 want_maps=bool(x.ndim > 1), maxiter=maxiter,
-                                cfg=cfg, backend=backend)
+                                cfg=cfg, backend=backend,
+                                interpret=interpret)
         return cache[key](x, ds, delta, delta_t=delta_t)
 
     return cached
