@@ -54,16 +54,39 @@ def main():
 
     lines += [
         "",
-        "Notes: parameter agreement is at float32 tolerance for all "
-        "families except `sumregs_vec_circle`, whose three regularizers "
-        "(forward/backward/centered gradients of the same image) are "
-        "strongly correlated — the upper-level landscape has a nearly flat "
-        "valley, and the float32 trajectory lands at a *different point "
-        "with equal-or-lower cost and equal PSNR* (see cost/PSNR columns); "
-        "this is landscape degeneracy, not numerical error.  Single-image "
-        "experiments (patch2x2) see smaller TPU speedups because one 128² "
-        "image underutilizes the chip and host↔device latency per "
-        "trust-region iteration dominates.",
+        "Notes: parameter agreement is at float32 tolerance for every "
+        "family (the round-1 sumregs_vec 47% deviation dissolved once the "
+        "exact hypergradient's penalty bias was removed — see the "
+        "adjudication below).  Single-image experiments (patch2x2) see "
+        "smaller TPU speedups because one 128² image underutilizes the "
+        "chip.",
+        "",
+        "## sumregs_vec_circle adjudication (round-1 VERDICT item 3)",
+        "",
+        "Round 1 reported a 47% parameter deviation: f64 learned "
+        "[0.02562, 0.02546, 0.01611] while f32 drove α₃ to the positivity "
+        "floor.  With the round-2 augmented-Lagrangian exact hypergradient "
+        "(bias-free at moderate μ), BOTH precisions land at the α₃ = floor "
+        "minimizer — the round-1 f64 point was an artifact of the "
+        "penalty-biased gradient stalling in the flat valley.  Evidence "
+        "(f64 cost, 20k-iteration inner solves, circle_128_10):",
+        "",
+        "| point | α | J(α) | PSNR |",
+        "|---|---|---|---|",
+        "| round-1 f64 minimizer | [0.02562, 0.02546, 0.01611] "
+        "| 15.487347 | 27.2341 |",
+        "| round-2 f64 minimizer | [0.03057, 0.03352, 2.2e-16] "
+        "| 15.445327 | 27.2459 |",
+        "| round-2 f32 minimizer | [0.03051, 0.03342, 2.2e-16] "
+        "| 15.443623 | 27.2464 |",
+        "",
+        "The round-2 minimizers are ~0.3% DEEPER than round 1's, with "
+        "higher PSNR, and the centered-gradient regularizer is genuinely "
+        "inactive at the optimum.  An 11-point sweep along the segment "
+        "between the two round-2 minimizers (scripts/sumregs_valley.py) "
+        "shows a monotone cost range of 1.1e-4 relative — the remaining "
+        "2.8e-3 parameter gap lies inside a flat valley (Δcost below the "
+        "f32 resolution of the cost itself).",
         "",
         f"Oracle total wall-clock: "
         f"{sum(o['wall_s'] for o in oracle.values()):.1f} s (CPU f64); "
