@@ -38,7 +38,12 @@ def main(argv=None):
         p.add_argument("--backend", default="auto",
                        choices=["auto", "jnp", "pallas"])
         p.add_argument("--method", default="tr",
-                       choices=["tr", "single_loop"])
+                       choices=["tr", "tr_fused", "single_loop"])
+        p.add_argument("--inner-tol", type=float, default=None,
+                       help="PDPS early-stop tolerance (enables "
+                            "warm-started inner solves)")
+        p.add_argument("--data-parallel", action="store_true",
+                       help="shard the image batch over all local devices")
 
     p = sub.add_parser("scalar-tv");      common(p)
     p.add_argument("--alpha0", type=float, default=0.1)
@@ -88,7 +93,9 @@ def _dispatch(args):
         d = dict(dataset_name=args.dataset, num_samples=args.num_samples,
                  maxiter=args.maxiter, inner_maxiter=args.inner_maxiter,
                  checkpoint=args.checkpoint, resume=args.resume,
-                 backend=args.backend, method=args.method)
+                 backend=args.backend, method=args.method,
+                 inner_tol=args.inner_tol,
+                 data_parallel=bool(args.data_parallel))
         if args.dtype:
             d["dtype"] = args.dtype
         return d
