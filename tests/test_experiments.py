@@ -181,3 +181,30 @@ class TestReviewRegressions:
             api.scalar_bilevel_tv_learn(method="single_loop",
                                         checkpoint=True,
                                         dataset_name="circle")
+
+
+class TestFusedMethod:
+    def test_scalar_tv_tr_fused_matches_tr(self):
+        res_f = api.scalar_bilevel_tv_learn(method="tr_fused", **FAST)
+        files = artifacts()
+        assert any(f.endswith("_quality.txt") for f in files)
+        assert any("reco" in f for f in files)
+        res_h = api.scalar_bilevel_tv_learn(**FAST)
+        np.testing.assert_allclose(float(res_f.x), float(res_h.x),
+                                   rtol=1e-3)
+        assert len(res_f.state.log) == res_f.iterations
+
+    def test_sumregs_tr_fused(self):
+        res = api.scalar_bilevel_sumregs_learn(method="tr_fused", **FAST)
+        assert res.x.shape == (3,)
+        assert np.isfinite(res.cost)
+
+    def test_tr_fused_rejects_checkpoint(self):
+        with pytest.raises(ValueError, match="tr_fused"):
+            api.scalar_bilevel_tv_learn(method="tr_fused", checkpoint=True,
+                                        **FAST)
+
+    def test_tr_fused_with_inner_tol(self):
+        res = api.scalar_bilevel_tv_learn(method="tr_fused", inner_tol=1e-7,
+                                          **FAST)
+        assert float(res.x) > 0
