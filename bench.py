@@ -106,7 +106,7 @@ def run(quick: bool = False, backend: str = "pallas",
     _, dispatch_s = _best_of(lambda: trivial(ds[1]), n=3)
 
     # --- headline: fused on-device TR (fast mode, fidelity-checked) -------
-    fast_cfg = HypergradConfig(al_iters=2, cg_maxiter=300)
+    fast_cfg = HypergradConfig(al_iters=2, cg_maxiter=200)
 
     def run_fused(inner_tol, cfg):
         r = bilevel_learn_fused(ds, xinit=0.1, params=params,
