@@ -77,11 +77,12 @@ def _param_layout(model: DenoiseModel, x0, image_shape):
 @functools.partial(
     jax.jit,
     static_argnames=("model", "outer", "n_inner", "n_adj", "pop",
-                     "param_shape", "axis_name"))
+                     "param_shape", "axis_name", "optimizer"))
 def _single_loop_impl(utrue, f, x0, *, model: DenoiseModel, outer: int,
                       n_inner: int, n_adj: int, pop: Optional[PatchOp],
                       param_shape: tuple, lr, gamma, tau0, sigma0,
-                      beta1, beta2, eps, axis_name: Optional[str] = None):
+                      beta1, beta2, eps, axis_name: Optional[str] = None,
+                      optimizer=None):
     dtype = f.dtype
     K = model.K
     L = jnp.sqrt(jnp.asarray(model.opnorm_sq(), dtype))
@@ -162,7 +163,7 @@ def _single_loop_impl(utrue, f, x0, *, model: DenoiseModel, outer: int,
         return p
 
     def outer_step(carry, _):
-        u, ys, p, z, m, v, t = carry
+        u, ys, p, z, opt_state, t = carry
         x = jnp.exp(z)
         alphas = alphas_of(x)
         u, ys = lax.fori_loop(0, n_inner,
@@ -177,17 +178,24 @@ def _single_loop_impl(utrue, f, x0, *, model: DenoiseModel, outer: int,
         g_x = pullback(gmaps)
         g_z = g_x * x                    # chain rule through x = exp(z)
         t = t + 1
-        m = beta1 * m + (1 - beta1) * g_z
-        v = beta2 * v + (1 - beta2) * g_z ** 2
-        mhat = m / (1 - beta1 ** t)
-        vhat = v / (1 - beta2 ** t)
-        z_new = z - lr * mhat / (jnp.sqrt(vhat) + eps)
+        if optimizer is not None:
+            # any optax GradientTransformation on log α
+            updates, opt_state = optimizer.update(g_z, opt_state, z)
+            z_new = z + updates
+        else:
+            m, v = opt_state
+            m = beta1 * m + (1 - beta1) * g_z
+            v = beta2 * v + (1 - beta2) * g_z ** 2
+            mhat = m / (1 - beta1 ** t)
+            vhat = v / (1 - beta2 ** t)
+            z_new = z - lr * mhat / (jnp.sqrt(vhat) + eps)
+            opt_state = (m, v)
         cost = 0.5 * jnp.sum((u - utrue) ** 2)
         if axis_name is not None:
             cost = lax.psum(cost, axis_name)
         # trajectory pairs each cost with the α that PRODUCED it (x, not the
         # freshly updated parameter)
-        return (u, ys, p, z_new, m, v, t), (x, cost)
+        return (u, ys, p, z_new, opt_state, t), (x, cost)
 
     u0 = f
     zero_like = 0.0 * f[..., None, :, :]
@@ -196,13 +204,16 @@ def _single_loop_impl(utrue, f, x0, *, model: DenoiseModel, outer: int,
         for _ in range(K))
     p0 = jnp.zeros_like(f)
     z0 = jnp.log(jnp.asarray(x0, dtype))
-    m0 = jnp.zeros(param_shape, dtype)
-    v0 = jnp.zeros(param_shape, dtype)
-    carry0 = (u0, ys0, p0, z0, m0, v0, jnp.zeros((), dtype))
+    if optimizer is not None:
+        opt_state0 = optimizer.init(z0)
+    else:
+        opt_state0 = (jnp.zeros(param_shape, dtype),
+                      jnp.zeros(param_shape, dtype))
+    carry0 = (u0, ys0, p0, z0, opt_state0, jnp.zeros((), dtype))
 
     carry, (alphas_traj, costs) = lax.scan(outer_step, carry0, None,
                                            length=outer)
-    u, _, _, z, _, _, _ = carry
+    u, _, _, z, _, _ = carry
     final_cost = 0.5 * jnp.sum((u - utrue) ** 2)
     if axis_name is not None:
         final_cost = lax.psum(final_cost, axis_name)
@@ -217,10 +228,16 @@ def single_loop_learn(utrue, f, x0, model: DenoiseModel, *,
                       lr: float = 0.05, gamma: float = 1e4,
                       tau0: float = 5.0, sigma0: float = 0.99 / 5.0,
                       beta1: float = 0.9, beta2: float = 0.999,
-                      eps: float = 1e-8, mesh=None) -> SingleLoopResult:
+                      eps: float = 1e-8, mesh=None,
+                      optimizer=None) -> SingleLoopResult:
     """Single-loop bilevel learning for any model/parameterization.
 
     ``x0`` must be strictly positive (the parameter lives in log space).
+
+    ``optimizer``: optional ``optax.GradientTransformation`` applied to
+    log α in place of the built-in Adam (e.g. ``optax.adam(0.05)``
+    reproduces the default; schedules/chains compose as usual).  The
+    optimizer state lives in the on-device scan carry.
 
     ``mesh``: optional 1-D :class:`jax.sharding.Mesh` — the image batch is
     sharded over it (shard_map) with the parameter replicated; the only
@@ -241,7 +258,7 @@ def single_loop_learn(utrue, f, x0, model: DenoiseModel, *,
     kw = dict(model=model, outer=int(outer), n_inner=int(n_inner),
               n_adj=int(n_adj), pop=pop, param_shape=param_shape, lr=lr,
               gamma=gamma, tau0=tau0, sigma0=sigma0, beta1=beta1,
-              beta2=beta2, eps=eps)
+              beta2=beta2, eps=eps, optimizer=optimizer)
     if mesh is not None:
         import jax
         from jax import shard_map

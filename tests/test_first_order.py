@@ -5,7 +5,8 @@ import numpy as np
 import pytest
 
 from bpldenoising_tpu.bilevel import bilevel_learn
-from bpldenoising_tpu.bilevel.first_order import single_loop_tv_learn
+from bpldenoising_tpu.bilevel.first_order import (single_loop_learn,
+                                                  single_loop_tv_learn)
 from bpldenoising_tpu.learning import make_tv_learning_function
 from bpldenoising_tpu.utils.config import Params
 
@@ -81,3 +82,29 @@ class TestGeneralizedSingleLoop:
                                         lr=0.1)
         assert res.alpha.shape == (2, 2, 3)
         assert np.all(np.isfinite(np.asarray(res.cost_trajectory)))
+
+
+class TestOptaxIntegration:
+    def test_optax_adam_matches_builtin(self, rng):
+        """optax.adam with the built-in hyperparameters reproduces the
+        hand-rolled Adam trajectory (same updates on log α)."""
+        import optax
+        from bpldenoising_tpu.models import tv_model
+        utrue, f = small_ds(rng)
+        kw = dict(outer=25, n_inner=10, n_adj=4)
+        ref = single_loop_learn(utrue, f, 0.05, tv_model(), lr=0.05, **kw)
+        opt = single_loop_learn(utrue, f, 0.05, tv_model(),
+                                optimizer=optax.adam(0.05), **kw)
+        np.testing.assert_allclose(float(opt.alpha), float(ref.alpha),
+                                   rtol=1e-8)
+
+    def test_optax_sgd_converges(self, rng):
+        import optax
+        from bpldenoising_tpu.models import tv_model
+        utrue, f = small_ds(rng)
+        res = single_loop_learn(utrue, f, 0.05, tv_model(),
+                                optimizer=optax.sgd(0.02, momentum=0.9),
+                                outer=60, n_inner=10, n_adj=4)
+        assert np.isfinite(float(res.alpha)) and float(res.alpha) > 0
+        costs = np.asarray(res.cost_trajectory)
+        assert costs[-1] < costs[0]
