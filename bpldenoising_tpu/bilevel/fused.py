@@ -78,12 +78,12 @@ def _param_layout(model: DenoiseModel, x0, image_shape):
     jax.jit,
     static_argnames=("model", "pop", "param_shape", "maxiter",
                      "inner_maxiter", "inner_tol", "check_every", "delta_t",
-                     "cfg", "backend", "interpret"))
+                     "cfg", "backend", "interpret", "axis_name"))
 def _fused_impl(utrue, f, x0, *, model: DenoiseModel, pop: Optional[PatchOp],
                 param_shape: tuple, maxiter: int, tol, eta1, eta2, beta1,
                 beta2, delta0, inner_maxiter: int, inner_tol, check_every: int,
                 delta_t: float, cfg: HypergradConfig, backend: str,
-                interpret: bool):
+                interpret: bool, axis_name: Optional[str] = None):
     dtype = f.dtype
     K = model.K
     n = int(np.prod(param_shape, dtype=int)) if param_shape else 1
@@ -106,11 +106,17 @@ def _fused_impl(utrue, f, x0, *, model: DenoiseModel, pop: Optional[PatchOp],
 
     def pullback(grads):
         """K per-k gradients (scalars, or per-pixel maps summed over the
-        batch) → flat parameter gradient."""
+        local batch) → flat parameter gradient; under data parallelism the
+        per-k reductions psum over the mesh so every device sees the full
+        replicated gradient."""
         if pop is None:
-            return (jnp.stack(list(grads)).reshape(-1) if K > 1
-                    else jnp.reshape(grads[0], (-1,)))
-        maps = [pop.apply_adjoint(jnp.sum(g, axis=0)) for g in grads]
+            g = (jnp.stack(list(grads)).reshape(-1) if K > 1
+                 else jnp.reshape(grads[0], (-1,)))
+            return lax.psum(g, axis_name) if axis_name is not None else g
+        maps = [jnp.sum(g, axis=0) for g in grads]
+        if axis_name is not None:
+            maps = [lax.psum(g, axis_name) for g in maps]
+        maps = [pop.apply_adjoint(g) for g in maps]
         g = maps[0] if K == 1 else jnp.stack(maps, axis=-1)
         return g.reshape(-1)
 
@@ -136,6 +142,8 @@ def _fused_impl(utrue, f, x0, *, model: DenoiseModel, pop: Optional[PatchOp],
         # cold-starts every solve, exactly like the reference / host path
         u, state = solve(alphas, state0 if inner_tol is not None else None)
         cost = 0.5 * jnp.sum((u - utrue) ** 2)
+        if axis_name is not None:
+            cost = lax.psum(cost, axis_name)
         grads, p, _ = lax.cond(
             delta > delta_t,
             lambda args: exact_hypergrad(*args, model, cfg, want_maps,
@@ -259,7 +267,7 @@ def bilevel_learn_fused(ds, *, xinit, params, model: DenoiseModel = None,
                         inner_tol: float | None = 1e-6,
                         check_every: int = 250, delta_t: float = 1e-6,
                         cfg: HypergradConfig = HypergradConfig(),
-                        backend: str = "pallas",
+                        backend: str = "pallas", mesh=None,
                         interpret: bool = False) -> FusedResult:
     """Run the full trust-region bilevel learning as one device program.
 
@@ -272,6 +280,12 @@ def bilevel_learn_fused(ds, *, xinit, params, model: DenoiseModel = None,
         fixed budget every evaluation (parity mode — slower, identical
         semantics to the host path).
       backend: "pallas" (fused kernel) or "jnp".
+      mesh: optional 1-D :class:`jax.sharding.Mesh` — the image batch is
+        sharded over it (shard_map); per-evaluation cost and gradient
+        reductions psum over the mesh, so the replicated trust-region
+        logic is identical on every device and the entire MULTI-CHIP
+        training run is still one dispatch.  Zero-padded images (uneven
+        batches) contribute exactly nothing.
 
     Returns a :class:`FusedResult`; ``iterations`` rows of ``log`` are
     populated.
@@ -283,8 +297,8 @@ def bilevel_learn_fused(ds, *, xinit, params, model: DenoiseModel = None,
     model = model if model is not None else tv_model()
     x0 = jnp.asarray(xinit, f.dtype)
     pop = _param_layout(model, x0, f.shape[-2:])
-    return _fused_impl(
-        utrue, f, x0, model=model, pop=pop, param_shape=tuple(x0.shape),
+    kw = dict(
+        model=model, pop=pop, param_shape=tuple(x0.shape),
         maxiter=int(params.maxiter), tol=float(params.get("tol", 0.0)),
         eta1=float(params.eta1), eta2=float(params.eta2),
         beta1=float(params.beta1), beta2=float(params.beta2),
@@ -292,3 +306,23 @@ def bilevel_learn_fused(ds, *, xinit, params, model: DenoiseModel = None,
         inner_tol=None if inner_tol is None else float(inner_tol),
         check_every=int(check_every), delta_t=float(delta_t), cfg=cfg,
         backend=backend, interpret=bool(interpret))
+    if mesh is None:
+        return _fused_impl(utrue, f, x0, **kw)
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import BATCH_AXIS, pad_batch
+
+    O = utrue.shape[0]
+    n_shards = mesh.shape[BATCH_AXIS]
+    utrue_p, _ = pad_batch(utrue, n_shards)
+    f_p, _ = pad_batch(f, n_shards)
+    b, r = P(BATCH_AXIS), P()
+    out_specs = FusedResult(x=r, u=b, cost=r, g_norm=r, iterations=r,
+                            log=r)
+    fn = shard_map(
+        lambda ut, ff: _fused_impl(ut, ff, x0, axis_name=BATCH_AXIS, **kw),
+        mesh=mesh, in_specs=(b, b), out_specs=out_specs, check_vma=False)
+    res = jax.jit(fn)(utrue_p, f_p)
+    return res._replace(u=res.u[:O])

@@ -428,8 +428,7 @@ def _run_fused(params, model_kind, stretch_all=False):
     — no per-iteration host round trips.  Fastest path on remote/tunneled
     accelerators; per-iteration wall times are unavailable (one total)."""
     _reject_flags(params, "tr_fused",
-                  ("checkpoint", "resume", "save_iterations",
-                   "data_parallel"))
+                  ("checkpoint", "resume", "save_iterations"))
     from ..bilevel.fused import bilevel_learn_fused
     from ..bilevel.harness import BilevelState
     from ..bilevel.trust_region import BilevelResult
@@ -439,12 +438,16 @@ def _run_fused(params, model_kind, stretch_all=False):
     backend = params.get("backend", "auto")
     if backend == "auto":
         backend = "pallas" if jax.default_backend() != "cpu" else "jnp"
+    mesh = None
+    if params.get("data_parallel"):
+        from ..parallel import make_batch_mesh
+        mesh = make_batch_mesh()
     ds = _load(params)
     model = tv_model() if model_kind == "tv" else sumregs_model()
     res = bilevel_learn_fused(
         ds, xinit=jnp.asarray(params.alpha0, ds[0].dtype), params=params,
         model=model, inner_maxiter=int(params.inner_maxiter),
-        inner_tol=params.get("inner_tol"), backend=backend)
+        inner_tol=params.get("inner_tol"), backend=backend, mesh=mesh)
     st = BilevelState()
     k = int(res.iterations)
     log = np.asarray(res.log)
