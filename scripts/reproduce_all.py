@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--backend", default="jnp", choices=["jnp", "pallas"])
     ap.add_argument("--dtype", default="float64")
+    ap.add_argument("--method", default="tr", choices=["tr", "tr_fused"],
+                    help="tr_fused runs every learning experiment as one "
+                         "on-device loop (much faster; no checkpoints)")
     args = ap.parse_args()
 
     if args.dtype == "float64":
@@ -42,10 +45,12 @@ def main():
     outer = 3 if args.quick else 20
     points = 5 if args.quick else 30
     common = dict(inner_maxiter=inner, maxiter=outer, dtype=args.dtype,
-                  backend=args.backend, checkpoint=True)
+                  backend=args.backend, method=args.method,
+                  checkpoint=(args.method == "tr"))
 
     report = [f"# Reproduction run ({'quick' if args.quick else 'full'}, "
-              f"backend={args.backend}, dtype={args.dtype})", ""]
+              f"backend={args.backend}, dtype={args.dtype}, "
+              f"method={args.method})", ""]
 
     def step(name, fn):
         t0 = time.perf_counter()

@@ -267,3 +267,25 @@ def test_auto_routing_to_tiled(rng, monkeypatch):
     u = pp.denoise_pdps_pallas(f, (0.1,), model, maxiter=60, interpret=True)
     assert calls.get("tiled")
     np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref), atol=1e-13)
+
+
+def test_tiled_fuzz_shapes(rng):
+    """Random shapes × tile plans × budgets: the trapezoid scheme must be
+    exact for every geometry (odd sizes, tail chunks, tile > M, batch)."""
+    model = tv_model()
+    for _ in range(6):
+        O = int(rng.integers(1, 3))
+        M = int(rng.integers(12, 48))
+        N = int(rng.integers(12, 24))
+        T = int(rng.integers(2, 5))
+        tile = int(rng.integers(max(4 * T, 8), M + 8))
+        iters = int(rng.integers(5, 60))
+        f = jnp.asarray(rng.uniform(0, 1, (O, M, N)))
+        u_ref = denoise_pdps(f, (0.1,), model, maxiter=iters)
+        u_t = _tiled_impl(f, (jnp.asarray(0.1),), model=model, tau0=5.0,
+                          sigma0=0.99 / 5.0, gamma=1.0, maxiter=iters,
+                          accel=True, interpret=True, tile_rows=tile,
+                          chunk_iters=T)
+        np.testing.assert_allclose(
+            np.asarray(u_t), np.asarray(u_ref), atol=1e-12,
+            err_msg=f"O={O} M={M} N={N} tile={tile} T={T} iters={iters}")
