@@ -147,7 +147,7 @@ def run(quick: bool = False, backend: str = "pallas",
             ds, xinit=np.array([1e-3, 1e-3, 1e-3]),
             params=params | dict(delta0=0.01), model=sumregs_model(),
             inner_maxiter=inner, inner_tol=1e-6, check_every=250,
-            cfg=fast_cfg, backend=backend)
+            cfg=fast_cfg, backend=backend, delta_t=1e-3)
 
     res_sr, wall_sumregs = _best_of(run_sumregs)
 

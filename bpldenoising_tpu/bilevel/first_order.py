@@ -237,7 +237,10 @@ def single_loop_learn(utrue, f, x0, model: DenoiseModel, *,
     ``optimizer``: optional ``optax.GradientTransformation`` applied to
     log α in place of the built-in Adam (e.g. ``optax.adam(0.05)``
     reproduces the default; schedules/chains compose as usual).  The
-    optimizer state lives in the on-device scan carry.
+    optimizer state lives in the on-device scan carry.  NOTE: the
+    transformation is a jit STATIC argument hashed by identity — reuse the
+    same optimizer instance across calls (building a fresh
+    ``optax.adam(...)`` per call recompiles the whole scan).
 
     ``mesh``: optional 1-D :class:`jax.sharding.Mesh` — the image batch is
     sharded over it (shard_map) with the parameter replicated; the only

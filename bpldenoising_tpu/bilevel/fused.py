@@ -136,7 +136,12 @@ def _fused_impl(utrue, f, x0, *, model: DenoiseModel, pop: Optional[PatchOp],
 
     want_maps = pop is not None
 
-    def eval_lf(xflat, delta, state0, p0):
+    def eval_lf(xflat, delta, state0, padjs):
+        """``padjs = (p_exact, p_reg)``: the two gradient branches solve
+        systems with OPPOSITE-sign right-hand sides (exact: u−ū,
+        regularized: ū−u), so each branch warm-starts from ITS OWN previous
+        adjoint state — mixing them would warm-start near the negation of
+        the solution (the host factory keys per branch the same way)."""
         alphas = alphas_of(xflat)
         # parity mode (inner_tol None = the reference's fixed budget) also
         # cold-starts every solve, exactly like the reference / host path
@@ -144,13 +149,18 @@ def _fused_impl(utrue, f, x0, *, model: DenoiseModel, pop: Optional[PatchOp],
         cost = 0.5 * jnp.sum((u - utrue) ** 2)
         if axis_name is not None:
             cost = lax.psum(cost, axis_name)
+        is_exact = delta > delta_t
+        p_exact, p_reg = padjs
         grads, p, _ = lax.cond(
-            delta > delta_t,
+            is_exact,
             lambda args: exact_hypergrad(*args, model, cfg, want_maps,
-                                         p0=p0),
-            lambda args: reg_hypergrad(*args, model, cfg, want_maps, p0=p0),
+                                         p0=p_exact),
+            lambda args: reg_hypergrad(*args, model, cfg, want_maps,
+                                       p0=p_reg),
             (u, utrue, alphas))
-        return u, cost, pullback(grads), state, p
+        padjs = (jnp.where(is_exact, p, p_exact),
+                 jnp.where(is_exact, p_reg, p))
+        return u, cost, pullback(grads), state, padjs
 
     # ---- trust-region pieces (jnp ports of .trust_region) ---------------
     def bounds(x, delta):
@@ -208,7 +218,7 @@ def _fused_impl(utrue, f, x0, *, model: DenoiseModel, pop: Optional[PatchOp],
     # ---- init (ref init_rest, src/TRBox.jl:34-52) ------------------------
     x = jnp.asarray(x0, dtype).reshape(-1)
     delta = jnp.asarray(delta0, dtype)
-    p0_cold = jnp.zeros_like(f)
+    p0_cold = (jnp.zeros_like(f), jnp.zeros_like(f))
     u, fx, gx, state, padj = eval_lf(x, delta, None, p0_cold)
     B = jnp.eye(n, dtype=dtype) * 0.1
     log0 = jnp.zeros((maxiter, 4), dtype)

@@ -123,8 +123,12 @@ def bilevel_iterate(step: Callable, params, visualise: bool = False,
     tol = float(params.get("tol", 0.0))
 
     try:
-        for iteration in range(int(start_iteration) + 1, maxiter + 1):
-            if st.start_time is None and iteration > 1:
+        first_iter = int(start_iteration) + 1
+        for iteration in range(first_iter, maxiter + 1):
+            # exclude the FIRST iteration of THIS process from the clock
+            # (JIT compile time) — on resume that is start_iteration+1,
+            # not iteration 1
+            if st.start_time is None and iteration > first_iter:
                 # exclude first-iteration JIT compile (ref :192-196); waste
                 # accrued before the clock started must not be subtracted
                 # from post-clock elapsed time

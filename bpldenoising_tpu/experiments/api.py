@@ -444,10 +444,14 @@ def _run_fused(params, model_kind, stretch_all=False):
         mesh = make_batch_mesh()
     ds = _load(params)
     model = tv_model() if model_kind == "tv" else sumregs_model()
+    # exact/regularized switch radius matches the host path per family
+    # (ref: TV Δt=1e-6, sumregs Δt=1e-3 — src/SumRegsLearningFunction.jl:14)
+    delta_t = 1e-6 if model_kind == "tv" else 1e-3
     res = bilevel_learn_fused(
         ds, xinit=jnp.asarray(params.alpha0, ds[0].dtype), params=params,
         model=model, inner_maxiter=int(params.inner_maxiter),
-        inner_tol=params.get("inner_tol"), backend=backend, mesh=mesh)
+        inner_tol=params.get("inner_tol"), backend=backend, mesh=mesh,
+        delta_t=delta_t)
     st = BilevelState()
     k = int(res.iterations)
     log = np.asarray(res.log)

@@ -159,9 +159,23 @@ def make_learning_function(fn, default_delta_t: float, **defaults):
     warm-starts the PDPS (u, ys) state across trust-region evaluations
     (both capabilities absent in the reference, which re-solves from
     scratch every call).  State is keyed by dataset identity as well as
-    shape, so one factory can serve several same-shaped datasets without
-    stale warm starts."""
-    state: dict = {}
+    shape — each cache entry holds a strong reference to the dataset so a
+    recycled ``id()`` can never alias a different dataset — and the cache
+    is bounded (oldest entries evicted) so long-lived factories don't pin
+    device memory per dataset."""
+    from collections import OrderedDict
+    state: OrderedDict = OrderedDict()
+    MAX_ENTRIES = 16
+
+    def _get(key, anchor):
+        entry = state.get(key)
+        return entry[0] if entry is not None and entry[1] is anchor else None
+
+    def _put(key, value, anchor):
+        state[key] = (value, anchor)
+        state.move_to_end(key)
+        while len(state) > MAX_ENTRIES:
+            state.popitem(last=False)
 
     def lf(x, ds, delta, **overrides):
         kw = dict(defaults)
@@ -169,17 +183,17 @@ def make_learning_function(fn, default_delta_t: float, **defaults):
         method = ("exact"
                   if float(delta) > kw.get("delta_t", default_delta_t)
                   else "reg")
-        tok = id(ds[0])   # dataset identity token
+        anchor = ds[0]    # dataset identity (held strongly in the cache)
         base = (jnp.shape(jnp.asarray(x)), jnp.shape(jnp.asarray(ds[0])),
-                tok)
+                id(anchor))
         warm_inner = (kw.get("solver_kwargs") or {}).get("tol") is not None
         u, cost, g, p, s = fn(
-            x, ds, delta, p0=state.get((method,) + base),
-            s0=state.get(("pdps",) + base) if warm_inner else None,
+            x, ds, delta, p0=_get((method,) + base, anchor),
+            s0=_get(("pdps",) + base, anchor) if warm_inner else None,
             return_aux=True, **kw)
-        state[(method,) + base] = p
+        _put((method,) + base, p, anchor)
         if warm_inner:
-            state[("pdps",) + base] = s
+            _put(("pdps",) + base, s, anchor)
         return u, cost, g
 
     return lf

@@ -83,7 +83,11 @@ def _build(mesh: Mesh, model, alphas_of_x, grads_of_maps, want_maps: bool,
             in_specs=(b, b, b, b, r), out_specs=(b, r, r, b),
             check_vma=False))
 
-    p_state: dict = {}
+    # bounded warm-start cache: each entry anchors the dataset object so a
+    # recycled id() can never alias different data, and old entries evict
+    from collections import OrderedDict
+    p_state: OrderedDict = OrderedDict()
+    MAX_ENTRIES = 8
 
     def learning_function(x, ds, delta, *, delta_t=1e-6):
         utrue = jnp.asarray(ds[0])
@@ -94,12 +98,16 @@ def _build(mesh: Mesh, model, alphas_of_x, grads_of_maps, want_maps: bool,
         x = jnp.asarray(x, utrue.dtype)
         alphas = alphas_of_x(x, f.shape[-2:])
         method = "exact" if float(delta) > delta_t else "reg"
-        key = (method, utrue_p.shape, id(ds[0]))
-        p0 = p_state.get(key)
-        if p0 is None:
-            p0 = jnp.zeros_like(f_p)
+        anchor = ds[0]
+        key = (method, utrue_p.shape, id(anchor))
+        entry = p_state.get(key)
+        p0 = (entry[0] if entry is not None and entry[1] is anchor
+              else jnp.zeros_like(f_p))
         u, cost, gsum, p = shard_fns[method](utrue_p, f_p, w, p0, alphas)
-        p_state[key] = p
+        p_state[key] = (p, anchor)
+        p_state.move_to_end(key)
+        while len(p_state) > MAX_ENTRIES:
+            p_state.popitem(last=False)
         grad = grads_of_maps(gsum, x)
         return u[:O], cost, grad
 

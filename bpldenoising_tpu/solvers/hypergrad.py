@@ -190,14 +190,16 @@ def exact_hypergrad(u, utrue, alphas, model: DenoiseModel,
     p = jnp.zeros_like(u) if p0 is None else p0
     lams = tuple(jnp.zeros_like(Gu) for _, Gu, *_ in pieces)
     info = None
-    for _ in range(max(1, int(cfg.al_iters))):   # static unroll
+    n_al = max(1, int(cfg.al_iters))
+    for i in range(n_al):   # static unroll
         r = rhs
         for (op, _, act, *_), lam in zip(pieces, lams):
             r = r - op.apply_adjoint(_bcast(act) * lam)
         p, info = cg(M_apply, r, x0=p, tol=cg_tol, maxiter=cfg.cg_maxiter,
                      M=lambda r_: inv_diag * r_)
-        lams = tuple(lam + mu * _bcast(act) * op.apply(p)
-                     for (op, _, act, *_), lam in zip(pieces, lams))
+        if i < n_al - 1:   # the final update would be dead (grads use p)
+            lams = tuple(lam + mu * _bcast(act) * op.apply(p)
+                         for (op, _, act, *_), lam in zip(pieces, lams))
 
     grads = []
     for op, Gu, act, inact, den, a_dual in pieces:

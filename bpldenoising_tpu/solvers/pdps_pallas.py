@@ -329,11 +329,11 @@ def _accel_schedule(tau, sigma, gamma, accel: bool, n: int):
 @functools.partial(
     jax.jit,
     static_argnames=("model", "maxiter", "accel", "interpret", "tau0",
-                     "sigma0", "gamma", "tol", "tile_rows", "chunk_iters",
-                     "return_state"))
+                     "sigma0", "gamma", "tol", "check_every", "tile_rows",
+                     "chunk_iters", "return_state"))
 def _tiled_impl(f, alphas, state0=None, *, model, tau0, sigma0, gamma,
-                maxiter, accel, interpret, tol=None, tile_rows: int,
-                chunk_iters: int, return_state=False):
+                maxiter, accel, interpret, tol=None, check_every: int = 500,
+                tile_rows: int, chunk_iters: int, return_state=False):
     O, M, N = f.shape
     dtype = f.dtype
     K = model.K
@@ -441,24 +441,31 @@ def _tiled_impl(f, alphas, state0=None, *, model, tau0, sigma0, gamma,
         # with early stopping the budget rounds up to whole chunks (at most
         # T−1 iterations beyond maxiter when tol is never reached)
         n_rounds = -(-int(maxiter) // T)
+        # honor check_every: the relative change is measured against a
+        # snapshot from q rounds (≈ check_every iterations) ago, so the
+        # stopping criterion matches the batch-kernel/jnp granularity
+        # instead of the much-stricter per-T-iteration change
+        q = max(1, round(check_every / T))
 
         def cond(c):
-            _, _, _, _, r, delta = c
+            _, _, _, _, _, r, delta = c
             return jnp.logical_and(r < n_rounds, delta > tol_)
 
         def round_body(c):
-            u_t, planes_t, tau, sigma, r, _ = c
+            u_t, planes_t, tau, sigma, u_snap, r, delta = c
             u_new, planes_t, tau, sigma = run_chunk(kernel, u_t, planes_t,
                                                     tau, sigma, T)
-            num = jnp.sum((u_new - u_t) ** 2)
+            check = (r + 1) % q == 0
+            num = jnp.sum((u_new - u_snap) ** 2)
             den = jnp.maximum(jnp.sum(u_new ** 2),
                               jnp.asarray(1e-24, dtype))
-            return (u_new, planes_t, tau, sigma, r + 1,
-                    jnp.sqrt(num / den))
+            delta = jnp.where(check, jnp.sqrt(num / den), delta)
+            u_snap = jnp.where(check, u_new, u_snap)
+            return (u_new, planes_t, tau, sigma, u_snap, r + 1, delta)
 
-        u_t, planes_t, tau, sigma, _, _ = lax.while_loop(
+        u_t, planes_t, tau, sigma, _, _, _ = lax.while_loop(
             cond, round_body,
-            (u_t, planes_t, tau, sigma, jnp.asarray(0, jnp.int32),
+            (u_t, planes_t, tau, sigma, u_t, jnp.asarray(0, jnp.int32),
              jnp.asarray(jnp.inf, dtype)))
 
     if tail and tol is None:
@@ -545,7 +552,9 @@ def _pallas_impl(f, alphas, state0=None, *, model, tau0, sigma0, gamma,
     warm = state0 is not None
 
     alpha_is_map = tuple(a.ndim >= 2 for a in alphas)
-    extra = (1 if tol is not None else 0) + ((1 + 2 * K) if warm else 0)
+    extra = ((1 if tol is not None else 0)
+             + ((1 + 2 * K) if warm else 0)
+             + (2 * K if return_state else 0))   # dual output blocks
     chunk = _vmem_chunk(O, M, N, K, dtype.itemsize,
                         n_alpha_maps=sum(alpha_is_map), extra_planes=extra)
     if chunk < 1:
@@ -558,8 +567,9 @@ def _pallas_impl(f, alphas, state0=None, *, model, tau0, sigma0, gamma,
             return _tiled_impl(
                 f, alphas, state0, model=model, tau0=tau0, sigma0=sigma0,
                 gamma=gamma, maxiter=maxiter, accel=accel,
-                interpret=interpret, tol=tol, tile_rows=tile_rows,
-                chunk_iters=T, return_state=return_state)
+                interpret=interpret, tol=tol, check_every=check_every,
+                tile_rows=tile_rows, chunk_iters=T,
+                return_state=return_state)
         from .pdps import _denoise_pdps_impl
         out = _denoise_pdps_impl(
             f, alphas, state0, model=model, tau0=tau0, sigma0=sigma0,
