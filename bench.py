@@ -177,6 +177,31 @@ def run(quick: bool = False, backend: str = "pallas",
         one_kernel_wall = None
         one_kernel_alpha = None
 
+    # one-kernel sumregs (VERDICT round-1 item 6): batch-1 circle — the
+    # K=3 state for the batch-10 faces stack exceeds the VMEM guard
+    try:
+        from bpldenoising_tpu.bilevel.first_order_pallas import (
+            single_loop_pallas)
+        from bpldenoising_tpu.data import testdataset
+
+        ct, cn = testdataset("circle_128_10")
+        cds = (jnp.asarray(ct[:1], ds[0].dtype),
+               jnp.asarray(cn[:1], ds[0].dtype))
+
+        def run_ok_sr():
+            x, u1, _ = single_loop_pallas(
+                cds[0], cds[1], jnp.asarray([1e-3, 1e-3, 1e-3],
+                                            ds[0].dtype),
+                sumregs_model(), outer=300, n_inner=40, n_adj=10, lr=0.05)
+            return x
+
+        x_sr, one_kernel_sr_wall = _best_of(run_ok_sr)
+        one_kernel_sr_alpha = [round(float(v), 6) for v in np.asarray(x_sr)]
+    except Exception as e:
+        print(f"one-kernel sumregs unavailable: {e}", file=sys.stderr)
+        one_kernel_sr_wall = None
+        one_kernel_sr_alpha = None
+
     # --- phase breakdown (per-evaluation costs at the optimum) ------------
     model = tv_model()
     alpha = jnp.asarray(learned_alpha, ds[0].dtype)
@@ -243,6 +268,9 @@ def run(quick: bool = False, backend: str = "pallas",
         "one_kernel_walltime_s": (round(one_kernel_wall, 4)
                                   if one_kernel_wall else None),
         "one_kernel_alpha": one_kernel_alpha,
+        "one_kernel_sumregs_walltime_s": (round(one_kernel_sr_wall, 4)
+                                          if one_kernel_sr_wall else None),
+        "one_kernel_sumregs_alpha": one_kernel_sr_alpha,
         "dispatch_latency_s": round(dispatch_s, 4),
         "phase_solve_cold_s": round(solve_cold_s, 4),
         "phase_solve_warm_s": round(solve_warm_s, 4),
