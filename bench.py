@@ -177,21 +177,17 @@ def run(quick: bool = False, backend: str = "pallas",
         one_kernel_wall = None
         one_kernel_alpha = None
 
-    # one-kernel sumregs (VERDICT round-1 item 6): batch-1 circle — the
-    # K=3 state for the batch-10 faces stack exceeds the VMEM guard
+    # one-kernel sumregs (VERDICT round-1 item 6): the FULL batch-10
+    # faces stack — round 2's recompute mode fits the K=3 state in VMEM
+    # (round 1 had to fall back to a batch-1 circle)
     try:
         from bpldenoising_tpu.bilevel.first_order_pallas import (
             single_loop_pallas)
-        from bpldenoising_tpu.data import testdataset
-
-        ct, cn = testdataset("circle_128_10")
-        cds = (jnp.asarray(ct[:1], ds[0].dtype),
-               jnp.asarray(cn[:1], ds[0].dtype))
 
         def run_ok_sr():
             x, u1, _ = single_loop_pallas(
-                cds[0], cds[1], jnp.asarray([1e-3, 1e-3, 1e-3],
-                                            ds[0].dtype),
+                ds[0], ds[1], jnp.asarray([1e-3, 1e-3, 1e-3],
+                                          ds[0].dtype),
                 sumregs_model(), outer=300, n_inner=40, n_adj=10, lr=0.05)
             return x
 

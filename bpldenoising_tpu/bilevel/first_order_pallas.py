@@ -75,7 +75,8 @@ def _stencil_kind(op):
 
 
 def _kernel(model: DenoiseModel, K: int, patch: bool, batched: bool,
-            outer: int, n_inner: int, n_adj: int, traj_is_cost: bool):
+            outer: int, n_inner: int, n_adj: int, traj_is_cost: bool,
+            persist: bool):
     ops = model.ops
     kinds = [_stencil_kind(op) for op in ops]
 
@@ -150,20 +151,31 @@ def _kernel(model: DenoiseModel, K: int, patch: bool, batched: bool,
             return u_new, tuple(ys_new)
 
         def reg_pieces(u, alphas):
-            """γ-smoothed adjoint system pieces per regularizer; persistent
-            planes kept minimal (VMEM peak is the binding constraint)."""
-            pieces = []
-            for k, op in enumerate(ops):
-                Gux, Guy = _grad_pair(op, u, masks)
+            """γ-smoothed adjoint system pieces per regularizer.
+
+            ``persist=True`` keeps (Gu, active-set, 1/‖Gu‖) live through the
+            CG loop — fastest, but 4K extra VMEM planes.  ``persist=False``
+            recomputes them from ``u`` inside every ``M_apply`` call (one
+            extra stencil + rsqrt per regularizer per CG iteration), cutting
+            the VMEM peak so larger batch×K problems stay in one kernel.
+            Both produce bit-identical values (same ops, re-executed)."""
+            def compute_piece(k):
+                Gux, Guy = _grad_pair(ops[k], u, masks)
                 nGu = jnp.sqrt(Gux * Gux + Guy * Guy)
                 act = (nGu > 1.0 / gamma).astype(dtype)
                 inv_den = 1.0 / jnp.where(act > 0, nGu, 1.0)
-                pieces.append((op, kinds[k], alphas[k], Gux, Guy, act,
-                               inv_den))
+                return (ops[k], kinds[k], alphas[k], Gux, Guy, act, inv_den)
+
+            if persist:
+                cached = [compute_piece(k) for k in range(K)]
+                piece = cached.__getitem__
+            else:
+                piece = compute_piece
 
             def M_apply(p):
                 out = p
-                for op, _, a, Gux, Guy, act, inv_den in pieces:
+                for k in range(K):
+                    op, _, a, Gux, Guy, act, inv_den = piece(k)
                     Gpx, Gpy = _grad_pair(op, p, masks)
                     dot3 = ((Gux * Gpx + Guy * Gpy)
                             * inv_den * inv_den * inv_den)
@@ -175,7 +187,8 @@ def _kernel(model: DenoiseModel, K: int, patch: bool, batched: bool,
                 return out
 
             diag = jnp.ones_like(u)
-            for op, kind, a, Gux, Guy, act, inv_den in pieces:
+            for k in range(K):
+                op, kind, a, Gux, Guy, act, inv_den = piece(k)
                 inv_den3 = inv_den * inv_den * inv_den
                 wdx = a * (gamma * (1.0 - act)
                            + act * (inv_den - Gux * Gux * inv_den3))
@@ -184,7 +197,7 @@ def _kernel(model: DenoiseModel, K: int, patch: bool, batched: bool,
                 diag = diag + _gram_axis(kind, wdx, -2, masks) \
                             + _gram_axis(kind, wdy, -1, masks)
             inv_diag = 1.0 / diag
-            return pieces, M_apply, inv_diag
+            return piece, M_apply, inv_diag
 
         def cg_steps(M_apply, inv_diag, b, p):
             r = b - M_apply(p)
@@ -223,7 +236,7 @@ def _kernel(model: DenoiseModel, K: int, patch: bool, batched: bool,
             alphas = alphas_of(zs)
             u, ys = lax.fori_loop(0, n_inner,
                                   lambda k, c: pd_step(alphas, c), (u, ys))
-            pieces, M_apply, inv_diag = reg_pieces(u, alphas)
+            piece, M_apply, inv_diag = reg_pieces(u, alphas)
             p = cg_steps(M_apply, inv_diag, utrue - u, p)
 
             t = (i + 1).astype(dtype)
@@ -231,7 +244,8 @@ def _kernel(model: DenoiseModel, K: int, patch: bool, batched: bool,
             b1t = jnp.exp(t * jnp.log(beta1))
             b2t = jnp.exp(t * jnp.log(beta2))
             zs_new, ms_new, vs_new = [], [], []
-            for k, (op, _, a, Gux, Guy, act, inv_den) in enumerate(pieces):
+            for k in range(K):
+                op, _, a, Gux, Guy, act, inv_den = piece(k)
                 Gpx, Gpy = _grad_pair(op, p, masks)
                 wfield = act * inv_den + gamma * (1.0 - act)
                 gmap = (Gpx * Gux + Gpy * Guy) * wfield
@@ -272,22 +286,49 @@ def _kernel(model: DenoiseModel, K: int, patch: bool, batched: bool,
     return kernel
 
 
-def _vmem_guard(f, K: int, patch: bool, extra_patch_bytes: int):
-    # live planes: f, utrue, u, 2K duals, p + CG (r, zv, d, Md) + per-k
-    # persistent pieces (Gux, Guy, act, inv_den) + M_apply temps (~4)
-    planes = 3 + 2 * K + 5 + 4 * K + 4
-    peak = planes * f.size * f.dtype.itemsize + extra_patch_bytes
-    if peak > 16 * 1024 * 1024:
-        raise ValueError(
-            f"problem too large for the one-kernel learner (~{peak >> 20} "
-            "MiB of VMEM state); use bilevel.single_loop_learn (jnp scan)")
+# v5e has 128 MiB VMEM per core; the Mosaic default scoped limit is a
+# conservative 16 MiB.  We raise the limit (compiler_params below) and
+# keep ~2x headroom between our naive live-plane estimate and the limit
+# (Mosaic's stack allocator measured ~2x the estimate on this kernel:
+# 25.9 MiB actual for a 12.8 MiB estimate in recompute mode at batch-10
+# K=3).  The persistent-pieces form is only chosen inside the original
+# 16 MiB envelope: measured on v5e, past that point the recompute form
+# is FASTER (0.148 s vs 0.177 s at batch-10 K=3, host-sync timing) —
+# high VMEM pressure costs more than the recomputed stencils.
+_VMEM_LIMIT = 100 * 1024 * 1024
+_PERSIST_BUDGET = 16 * 1024 * 1024
+_VMEM_BUDGET = _VMEM_LIMIT // 2
+
+
+def _vmem_planes(K: int, persist: bool) -> int:
+    # live planes: f, utrue, u, 2K duals, p + CG (r, zv, d, Md) +
+    # M_apply temps (~4) + per-k persistent pieces (Gux, Guy, act,
+    # inv_den) when persist (recompute mode rebuilds those from u on the
+    # fly, trading one extra stencil+rsqrt per regularizer per CG step)
+    return 3 + 2 * K + 5 + 4 + (4 * K if persist else 2)
+
+
+def _choose_persist(f, K: int, extra_patch_bytes: int) -> bool:
+    """Persistent-pieces form inside the measured-fast 16 MiB envelope;
+    recompute form up to the raised VMEM budget; raise beyond that."""
+    plane_bytes = f.size * f.dtype.itemsize
+    peak = _vmem_planes(K, True) * plane_bytes + extra_patch_bytes
+    if peak <= _PERSIST_BUDGET:
+        return True
+    peak = _vmem_planes(K, False) * plane_bytes + extra_patch_bytes
+    if peak <= _VMEM_BUDGET:
+        return False
+    raise ValueError(
+        f"problem too large for the one-kernel learner (~{peak >> 20} "
+        "MiB of VMEM state); use bilevel.single_loop_learn (jnp scan)")
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("model", "outer", "n_inner", "n_adj", "interpret"))
+    static_argnames=("model", "outer", "n_inner", "n_adj", "interpret",
+                     "persist"))
 def _impl(utrue, f, x0, *, model, outer, n_inner, n_adj, lr, gamma, tau0,
-          sigma0, beta1, beta2, eps, interpret):
+          sigma0, beta1, beta2, eps, interpret, persist):
     dtype = f.dtype
     K = model.K
     x0 = jnp.asarray(x0, dtype)
@@ -325,7 +366,8 @@ def _impl(utrue, f, x0, *, model, outer, n_inner, n_adj, lr, gamma, tau0,
         scalars = jnp.concatenate(
             [jnp.asarray(base, dtype), jnp.stack(z0s).astype(dtype)])
 
-    _vmem_guard(f, K, patch, extra_bytes)
+    if persist is None:
+        persist = _choose_persist(f, K, extra_bytes)
 
     out_shape = [jax.ShapeDtypeStruct(f.shape, dtype)]
     out_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
@@ -341,11 +383,13 @@ def _impl(utrue, f, x0, *, model, outer, n_inner, n_adj, lr, gamma, tau0,
     traj_is_cost = patch or K > 1
     outs = pl.pallas_call(
         _kernel(model, K, patch, batched, int(outer), int(n_inner),
-                int(n_adj), traj_is_cost),
+                int(n_adj), traj_is_cost, persist),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
         interpret=bool(interpret),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
     )(scalars, *args)
 
     u = outs[0]
@@ -363,11 +407,17 @@ def single_loop_pallas(utrue, f, x0, model: DenoiseModel = None, *,
                        lr: float = 0.05, gamma: float = 1e4,
                        tau0: float = 5.0, sigma0: float = 0.99 / 5.0,
                        beta1: float = 0.9, beta2: float = 0.999,
-                       eps: float = 1e-8, interpret: bool = False):
+                       eps: float = 1e-8, interpret: bool = False,
+                       persist: bool | None = None):
     """One-kernel single-loop learning for any parameterization.
 
     ``x0``: scalar / (m, n) patch / (K,) vector / (m, n, K) patch stack
     (strictly positive — the parameter lives in log space).
+
+    ``persist``: keep the adjoint-system pieces VMEM-resident through the
+    CG loop (fastest) or recompute them from ``u`` per CG step (smaller
+    VMEM peak → larger batch×K fits in one kernel).  ``None`` picks the
+    fastest form that fits the VMEM budget.
 
     Returns ``(x, u, traj)``; ``traj`` is the α trajectory for scalar TV
     (back-compat) and the cost trajectory otherwise.
@@ -381,7 +431,8 @@ def single_loop_pallas(utrue, f, x0, model: DenoiseModel = None, *,
     x, u, traj = _impl(utrue, f, x0, model=model, outer=int(outer),
                        n_inner=int(n_inner), n_adj=int(n_adj), lr=lr,
                        gamma=gamma, tau0=tau0, sigma0=sigma0, beta1=beta1,
-                       beta2=beta2, eps=eps, interpret=bool(interpret))
+                       beta2=beta2, eps=eps, interpret=bool(interpret),
+                       persist=persist)
     return x, (u[0] if squeeze else u), traj
 
 
