@@ -513,26 +513,44 @@ def _tile_plan(M: int, N: int, K: int, itemsize: int,
     return None
 
 
-_VMEM_BUDGET = 8 * 1024 * 1024  # leave headroom in ~16MB VMEM
+# Budgets for the kernel's live-plane estimate, and the Mosaic scoped VMEM
+# limit passed to the compiler (v5e has 128 MiB/core; Mosaic's default
+# limit is 16 MiB).  The limit carries ~2x headroom over the estimate —
+# Mosaic's stack allocator measured up to ~2x the naive estimate.
+#
+# Two budgets, both swept on v5e (batch-256 128² / batch-10 128² /
+# 1×1024², scalar-reduce-synced timing):
+# - _VMEM_BUDGET sizes batch chunks; 8 MiB measured fastest (77.3
+#   Gpix·iter/s at batch-256 vs 74.2 at 32 MiB) — small chunks pipeline
+#   better than VMEM-pressure-heavy big ones.
+# - _RESIDENT_BUDGET gates whole-image residency for images whose state
+#   exceeds _VMEM_BUDGET but still fits VMEM: at 1×1024²/5000 iters the
+#   resident kernel runs 0.088 s vs 0.116 s spatially-tiled (no ~30%
+#   halo recompute, no per-chunk HBM round-trip) vs 0.203 s jnp.
+_VMEM_BUDGET = 8 * 1024 * 1024
+_RESIDENT_BUDGET = 48 * 1024 * 1024
+_VMEM_LIMIT = 100 * 1024 * 1024
 
 
 def _vmem_chunk(O: int, M: int, N: int, K: int, itemsize: int,
-                n_alpha_maps: int = 0, extra_planes: int = 0) -> int:
+                n_alpha_maps: int = 0, extra_planes: int = 0,
+                budget: int | None = None) -> int:
     """Batch-chunk size keeping kernel state within a VMEM budget.
 
-    Returns 0 when even a single image's solver state exceeds the budget
-    (≈ ≥640² float32 for K=1) — callers fall back to the jnp path, whose
-    state is HBM-resident.  Spatial tiling of the kernel (halo exchange per
-    iteration) is the eventual fix; see bpldenoising_tpu.parallel.halo for
-    the multi-chip analogue.
+    Returns 0 when even a single image's solver state exceeds the budget.
+    Callers first retry with ``budget=_RESIDENT_BUDGET`` (a single large
+    image resident in VMEM beats tiling), then fall back to the
+    spatially-tiled kernel, then to the HBM-resident jnp path.
     """
     # live planes per image: u, f, ubar, div, 2K duals (+2K temps);
     # spatially-varying α maps add 2 shared planes each (α and α², not
     # per-image, but budgeted conservatively against the same pool);
     # extra_planes covers early-stop (u_prev) and warm-start inputs
+    if budget is None:
+        budget = _VMEM_BUDGET
     planes = 4 + 4 * K + extra_planes
     shared = 2 * n_alpha_maps * M * N * itemsize
-    chunk = max(_VMEM_BUDGET - shared, 0) // (planes * M * N * itemsize)
+    chunk = max(budget - shared, 0) // (planes * M * N * itemsize)
     return min(O, chunk)
 
 
@@ -558,9 +576,17 @@ def _pallas_impl(f, alphas, state0=None, *, model, tau0, sigma0, gamma,
     chunk = _vmem_chunk(O, M, N, K, dtype.itemsize,
                         n_alpha_maps=sum(alpha_is_map), extra_planes=extra)
     if chunk < 1:
-        # image too large for whole-image VMEM-resident state: spatially
-        # tiled kernel (T-iteration chunks over halo'd row tiles); jnp/HBM
-        # path only if even a minimal tile cannot fit
+        # a single image's state exceeds the chunking budget — a resident
+        # whole image is still faster than tiling if it fits the larger
+        # resident budget (measured: 0.088 s vs 0.116 s at 1024², 5k iters)
+        chunk = _vmem_chunk(O, M, N, K, dtype.itemsize,
+                            n_alpha_maps=sum(alpha_is_map),
+                            extra_planes=extra, budget=_RESIDENT_BUDGET)
+        chunk = min(chunk, 1)
+    if chunk < 1:
+        # too large even resident: spatially tiled kernel (T-iteration
+        # chunks over halo'd row tiles); jnp/HBM path only if even a
+        # minimal tile cannot fit
         plan = _tile_plan(M, N, K, dtype.itemsize)
         if plan is not None:
             tile_rows, T = plan
@@ -637,6 +663,8 @@ def _pallas_impl(f, alphas, state0=None, *, model, tau0, sigma0, gamma,
             bytes_accessed=(2 + K) * O_pad * M * N * dtype.itemsize,
             transcendentals=int(maxiter)),
         interpret=bool(interpret),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
     )(f, *alpha_args, *state_args)
     u = outs[0][:O]
     if return_state:

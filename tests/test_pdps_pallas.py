@@ -289,3 +289,21 @@ def test_tiled_fuzz_shapes(rng):
         np.testing.assert_allclose(
             np.asarray(u_t), np.asarray(u_ref), atol=1e-12,
             err_msg=f"O={O} M={M} N={N} tile={tile} T={T} iters={iters}")
+
+
+def test_resident_budget_routing():
+    """Images whose state exceeds the chunking budget but fits the larger
+    resident budget run whole-image (chunk=1); beyond that, tiled; the
+    f32 K=1 boundary sits between 1024^2 (resident) and 2048^2 (tiled)."""
+    import bpldenoising_tpu.solvers.pdps_pallas as pp
+    # 1024^2 f32 K=1: 8 planes x 4 MiB = 32 MiB
+    assert pp._vmem_chunk(1, 1024, 1024, 1, 4) == 0
+    assert pp._vmem_chunk(1, 1024, 1024, 1, 4,
+                          budget=pp._RESIDENT_BUDGET) == 1
+    # with early-stop (1 extra plane): still resident
+    assert pp._vmem_chunk(1, 1024, 1024, 1, 4, extra_planes=1,
+                          budget=pp._RESIDENT_BUDGET) == 1
+    # 2048^2 f32 K=1: 128 MiB — beyond resident, must tile
+    assert pp._vmem_chunk(1, 2048, 2048, 1, 4,
+                          budget=pp._RESIDENT_BUDGET) == 0
+    assert _tile_plan(2048, 2048, 1, 4) is not None
