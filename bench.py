@@ -68,12 +68,12 @@ def _best_of(fn, n=2):
     learning function per run)."""
     import jax
     out = fn()           # compile + warm the dispatch path
-    jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+    jax.block_until_ready(out)   # all leaves, not just the first
     best = float("inf")
     for _ in range(n):
         t0 = time.perf_counter()
         out = fn()
-        jax.block_until_ready(jax.tree_util.tree_leaves(out)[0])
+        jax.block_until_ready(out)
         best = min(best, time.perf_counter() - t0)
     return out, best
 

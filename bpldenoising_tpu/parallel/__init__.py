@@ -1,11 +1,13 @@
-from .mesh import BATCH_AXIS, make_batch_mesh, pad_batch, shard_batch
+from .mesh import (BATCH_AXIS, make_batch_mesh, make_batch_rows_mesh,
+                   pad_batch, shard_batch)
 from .sharded import (
     make_sharded_sumregs_learning_function,
     make_sharded_tv_learning_function,
 )
 
 __all__ = [
-    "make_batch_mesh", "shard_batch", "pad_batch", "BATCH_AXIS",
+    "make_batch_mesh", "make_batch_rows_mesh", "shard_batch",
+    "pad_batch", "BATCH_AXIS",
     "make_sharded_tv_learning_function",
     "make_sharded_sumregs_learning_function",
 ]

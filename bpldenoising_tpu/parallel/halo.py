@@ -38,7 +38,8 @@ from ..ops.grad import (
     dplus_T,
 )
 
-__all__ = ["denoise_pdps_row_sharded", "ROWS_AXIS"]
+__all__ = ["denoise_pdps_row_sharded", "denoise_pdps_batch_row_sharded",
+           "ROWS_AXIS"]
 
 ROWS_AXIS = "rows"
 
@@ -173,32 +174,10 @@ def _div_adj(op, y):
 # Row-sharded PDPS
 # ---------------------------------------------------------------------------
 
-def denoise_pdps_row_sharded(f, alphas, model: DenoiseModel, mesh: Mesh, *,
-                             tau0=5.0, sigma0=0.99 / 5.0, gamma=1.0,
-                             maxiter=5000, accel=True):
-    """Accelerated PDPS on a single (M, N) image row-sharded over ``mesh``.
-
-    Same fixed point as :func:`bpldenoising_tpu.solvers.denoise_pdps`; each
-    iteration performs 2 nearest-neighbor halo exchanges per operator
-    application over the mesh axis.  M must be divisible by the mesh size.
-    """
-    f = jnp.asarray(f)
-    if f.ndim != 2:
-        raise ValueError("row-sharded solver expects a single (M, N) image")
-    alphas = tuple(jnp.asarray(a, f.dtype)
-                   for a in model.canonical_alphas(alphas))
-    n_shards = mesh.shape[ROWS_AXIS]
-    if f.shape[0] % n_shards:
-        raise ValueError(
-            f"rows {f.shape[0]} not divisible by mesh size {n_shards}")
-
-    L = jnp.sqrt(jnp.asarray(model.opnorm_sq(), f.dtype))
-    tau0_v = jnp.asarray(tau0, f.dtype) / L
-    sigma0_v = jnp.asarray(sigma0, f.dtype) / L
-
-    a_specs = tuple(P(ROWS_AXIS, None) if a.ndim >= 2 else P()
-                    for a in alphas)
-
+def _local_pdps(model: DenoiseModel, accel: bool, gamma, maxiter: int,
+                tau0_v, sigma0_v):
+    """Per-shard PDPS body on a local (m, N) row block; every stencil
+    application halo-exchanges one boundary row over ``ROWS_AXIS``."""
     def local(f_blk, *alpha_blks):
         u = f_blk
         # 0·f keeps the duals' varying-across-mesh type aligned with the data
@@ -233,7 +212,85 @@ def denoise_pdps_row_sharded(f, alphas, model: DenoiseModel, mesh: Mesh, *,
             0, maxiter, body, (u, ys, tau0_v, sigma0_v))
         return u
 
+    return local
+
+
+def denoise_pdps_row_sharded(f, alphas, model: DenoiseModel, mesh: Mesh, *,
+                             tau0=5.0, sigma0=0.99 / 5.0, gamma=1.0,
+                             maxiter=5000, accel=True):
+    """Accelerated PDPS on a single (M, N) image row-sharded over ``mesh``.
+
+    Same fixed point as :func:`bpldenoising_tpu.solvers.denoise_pdps`; each
+    iteration performs 2 nearest-neighbor halo exchanges per operator
+    application over the mesh axis.  M must be divisible by the mesh size.
+    """
+    f = jnp.asarray(f)
+    if f.ndim != 2:
+        raise ValueError("row-sharded solver expects a single (M, N) image")
+    alphas = tuple(jnp.asarray(a, f.dtype)
+                   for a in model.canonical_alphas(alphas))
+    n_shards = mesh.shape[ROWS_AXIS]
+    if f.shape[0] % n_shards:
+        raise ValueError(
+            f"rows {f.shape[0]} not divisible by mesh size {n_shards}")
+
+    L = jnp.sqrt(jnp.asarray(model.opnorm_sq(), f.dtype))
+    tau0_v = jnp.asarray(tau0, f.dtype) / L
+    sigma0_v = jnp.asarray(sigma0, f.dtype) / L
+
+    a_specs = tuple(P(ROWS_AXIS, None) if a.ndim >= 2 else P()
+                    for a in alphas)
+
+    local = _local_pdps(model, accel, gamma, int(maxiter), tau0_v, sigma0_v)
     fn = shard_map(local, mesh=mesh,
                    in_specs=(P(ROWS_AXIS, None),) + a_specs,
                    out_specs=P(ROWS_AXIS, None))
+    return jax.jit(fn)(f, *alphas)
+
+
+def denoise_pdps_batch_row_sharded(f, alphas, model: DenoiseModel,
+                                   mesh: Mesh, *, tau0=5.0,
+                                   sigma0=0.99 / 5.0, gamma=1.0,
+                                   maxiter=5000, accel=True):
+    """PDPS on an (O, M, N) stack sharded over a 2-D (batch × rows) mesh —
+    the composition of §2c data parallelism and spatial decomposition.
+
+    The batch axis is embarrassingly parallel (each image is an
+    independent problem, mirroring the reference's per-image loop,
+    ``/root/reference/src/TVLearningFunctionVec.jl:72-83``); within each
+    batch shard the rows axis runs the halo-exchange solver, vmapped over
+    the local images (``ppermute`` batches cleanly, so one collective per
+    stencil application carries every local image's boundary row at
+    once).  O must divide by the batch mesh size and M by the rows size.
+    """
+    f = jnp.asarray(f)
+    if f.ndim != 3:
+        raise ValueError("expected an (O, M, N) stack")
+    alphas = tuple(jnp.asarray(a, f.dtype)
+                   for a in model.canonical_alphas(alphas))
+    from .mesh import BATCH_AXIS
+    n_batch = mesh.shape[BATCH_AXIS]
+    n_rows = mesh.shape[ROWS_AXIS]
+    if f.shape[0] % n_batch:
+        raise ValueError(
+            f"batch {f.shape[0]} not divisible by mesh axis {n_batch}")
+    if f.shape[1] % n_rows:
+        raise ValueError(
+            f"rows {f.shape[1]} not divisible by mesh axis {n_rows}")
+
+    L = jnp.sqrt(jnp.asarray(model.opnorm_sq(), f.dtype))
+    tau0_v = jnp.asarray(tau0, f.dtype) / L
+    sigma0_v = jnp.asarray(sigma0, f.dtype) / L
+
+    a_specs = tuple(P(ROWS_AXIS, None) if a.ndim >= 2 else P()
+                    for a in alphas)
+
+    local = _local_pdps(model, accel, gamma, int(maxiter), tau0_v, sigma0_v)
+
+    def local_batched(f_blk, *alpha_blks):
+        return jax.vmap(lambda fi: local(fi, *alpha_blks))(f_blk)
+
+    fn = shard_map(local_batched, mesh=mesh,
+                   in_specs=(P(BATCH_AXIS, ROWS_AXIS, None),) + a_specs,
+                   out_specs=P(BATCH_AXIS, ROWS_AXIS, None))
     return jax.jit(fn)(f, *alphas)

@@ -15,7 +15,8 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_batch_mesh", "shard_batch", "pad_batch", "BATCH_AXIS"]
+__all__ = ["make_batch_mesh", "make_batch_rows_mesh", "shard_batch",
+           "pad_batch", "BATCH_AXIS"]
 
 BATCH_AXIS = "batch"
 
@@ -48,3 +49,16 @@ def shard_batch(arr, mesh: Mesh):
     """Place an (O, ...) array with its leading axis sharded over the mesh."""
     spec = P(BATCH_AXIS, *([None] * (arr.ndim - 1)))
     return jax.device_put(arr, NamedSharding(mesh, spec))
+
+
+def make_batch_rows_mesh(n_batch: int, n_rows: int, devices=None) -> Mesh:
+    """2-D mesh for composed data (batch) × spatial (rows) parallelism —
+    see :func:`bpldenoising_tpu.parallel.halo.denoise_pdps_batch_row_sharded`."""
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices[:n_batch * n_rows])
+    if devices.size != n_batch * n_rows:
+        raise ValueError(
+            f"need {n_batch * n_rows} devices, have {devices.size}")
+    from .halo import ROWS_AXIS
+    return Mesh(devices.reshape(n_batch, n_rows), (BATCH_AXIS, ROWS_AXIS))

@@ -85,3 +85,45 @@ class TestRowShardedPDPS:
         with pytest.raises(ValueError):
             denoise_pdps_row_sharded(jnp.zeros((30, 16)), (0.1,), tv_model(),
                                      mesh)
+
+
+# ---------------------------------------------------------------------------
+# 2-D mesh: data parallel (batch) x spatial (rows) composition
+# ---------------------------------------------------------------------------
+
+from bpldenoising_tpu.parallel import make_batch_rows_mesh
+from bpldenoising_tpu.parallel.halo import denoise_pdps_batch_row_sharded
+
+
+class TestBatchRowSharded:
+    @pytest.mark.parametrize("shape2d", [(2, 4), (4, 2)],
+                             ids=["2x4", "4x2"])
+    def test_matches_single_device(self, shape2d, rng):
+        nb, nr = shape2d
+        mesh2d = make_batch_rows_mesh(nb, nr)
+        f = jnp.asarray(rng.standard_normal((4, 32, 16)))
+        u = denoise_pdps_batch_row_sharded(f, (0.1,), tv_model(), mesh2d,
+                                           maxiter=120)
+        u_ref = denoise_pdps(f, (0.1,), tv_model(), maxiter=120)
+        np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref),
+                                   atol=1e-12)
+
+    def test_sumregs_alpha_map(self, rng):
+        mesh2d = make_batch_rows_mesh(2, 4)
+        f = jnp.asarray(rng.standard_normal((2, 32, 16)))
+        amap = jnp.asarray(0.05 + 0.02 * rng.uniform(size=(32, 16)))
+        alphas = (amap, 0.03, 0.01)
+        u = denoise_pdps_batch_row_sharded(f, alphas, sumregs_model(),
+                                           mesh2d, maxiter=100)
+        u_ref = denoise_pdps(f, alphas, sumregs_model(), maxiter=100)
+        np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref),
+                                   atol=1e-12)
+
+    def test_indivisible_raises(self):
+        mesh2d = make_batch_rows_mesh(2, 4)
+        with pytest.raises(ValueError, match="batch 3"):
+            denoise_pdps_batch_row_sharded(jnp.zeros((3, 32, 16)), (0.1,),
+                                           tv_model(), mesh2d)
+        with pytest.raises(ValueError, match="rows 30"):
+            denoise_pdps_batch_row_sharded(jnp.zeros((2, 30, 16)), (0.1,),
+                                           tv_model(), mesh2d)
