@@ -106,12 +106,12 @@ def run(quick: bool = False, backend: str = "pallas",
     _, dispatch_s = _best_of(lambda: trivial(ds[1]), n=3)
 
     # --- headline: fused on-device TR (fast mode, fidelity-checked) -------
-    fast_cfg = HypergradConfig(al_iters=2, cg_maxiter=200)
+    fast_cfg = HypergradConfig(al_iters=2, cg_maxiter=100)
 
     def run_fused(inner_tol, cfg):
         r = bilevel_learn_fused(ds, xinit=0.1, params=params,
                                 inner_maxiter=inner, inner_tol=inner_tol,
-                                check_every=250, cfg=cfg, backend=backend)
+                                check_every=100, cfg=cfg, backend=backend)
         return r
 
     res, wall = _best_of(lambda: run_fused(1e-6, fast_cfg))
@@ -137,7 +137,7 @@ def run(quick: bool = False, backend: str = "pallas",
         return bilevel_learn_fused(
             ds, xinit=1e-4 * np.ones((2, 2)),
             params=params | dict(delta0=1e-4),
-            inner_maxiter=inner, inner_tol=1e-6, check_every=250,
+            inner_maxiter=inner, inner_tol=1e-6, check_every=100,
             cfg=fast_cfg, backend=backend)
 
     res_patch, wall_patch = _best_of(run_patch)
@@ -146,7 +146,7 @@ def run(quick: bool = False, backend: str = "pallas",
         return bilevel_learn_fused(
             ds, xinit=np.array([1e-3, 1e-3, 1e-3]),
             params=params | dict(delta0=0.01), model=sumregs_model(),
-            inner_maxiter=inner, inner_tol=1e-6, check_every=250,
+            inner_maxiter=inner, inner_tol=1e-6, check_every=100,
             cfg=fast_cfg, backend=backend, delta_t=1e-3)
 
     res_sr, wall_sumregs = _best_of(run_sumregs)
@@ -205,12 +205,12 @@ def run(quick: bool = False, backend: str = "pallas",
     if backend == "pallas":
         def solve_state(a, state0=None):
             return denoise_pdps_pallas(ds[1], (a,), model, maxiter=inner,
-                                       tol=1e-6, check_every=250,
+                                       tol=1e-6, check_every=100,
                                        state0=state0, return_state=True)
     else:
         def solve_state(a, state0=None):
             u, ys, _ = denoise_pdps(ds[1], (a,), model, maxiter=inner,
-                                    tol=1e-6, check_every=250, state0=state0,
+                                    tol=1e-6, check_every=100, state0=state0,
                                     return_dual=True)
             return u, (u, ys)
 

@@ -74,6 +74,110 @@ def _stencil_kind(op):
             CenteredGradientOp: _STENCILS_CENT}[type(op)]
 
 
+def _learner_math(model: DenoiseModel, masks, dtype, gamma, tau, sigma,
+                  persist: bool):
+    """The single-loop learner's numeric core — PD step, γ-smoothed adjoint
+    system, preconditioned CG — shared by the VMEM-resident kernel
+    (:func:`_kernel`) and the batch-tiled kernel (:func:`_tiled_kernel`).
+    ``gamma``/``tau``/``sigma`` are traced scalars (read from SMEM)."""
+    ops = model.ops
+    kinds = [_stencil_kind(op) for op in ops]
+    K = model.K
+    tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+
+    def pd_step(alphas, f, carry):
+        u, ys = carry
+        div = None
+        for k, op in enumerate(ops):
+            d = _div_pair(op, ys[2 * k], ys[2 * k + 1], masks)
+            div = d if div is None else div + d
+        u_new = (u - tau * (div - f)) / (1.0 + tau)
+        ubar = 2.0 * u_new - u         # fixed-step (unaccelerated) CP
+        ys_new = []
+        for k, op in enumerate(ops):
+            gx, gy = _grad_pair(op, ubar, masks)
+            qx = ys[2 * k] + sigma * gx
+            qy = ys[2 * k + 1] + sigma * gy
+            n = jnp.sqrt(qx * qx + qy * qy)
+            scale = jnp.where(n <= alphas[k], 1.0,
+                              alphas[k] / jnp.maximum(n, tiny))
+            ys_new.extend((qx * scale, qy * scale))
+        return u_new, tuple(ys_new)
+
+    def reg_pieces(u, alphas):
+        """γ-smoothed adjoint system pieces per regularizer.
+
+        ``persist=True`` keeps (Gu, active-set, 1/‖Gu‖) live through the
+        CG loop — fastest, but 4K extra VMEM planes.  ``persist=False``
+        recomputes them from ``u`` inside every ``M_apply`` call (one
+        extra stencil + rsqrt per regularizer per CG iteration), cutting
+        the VMEM peak so larger batch×K problems stay in one kernel.
+        Both produce bit-identical values (same ops, re-executed)."""
+        def compute_piece(k):
+            Gux, Guy = _grad_pair(ops[k], u, masks)
+            nGu = jnp.sqrt(Gux * Gux + Guy * Guy)
+            act = (nGu > 1.0 / gamma).astype(dtype)
+            inv_den = 1.0 / jnp.where(act > 0, nGu, 1.0)
+            return (ops[k], kinds[k], alphas[k], Gux, Guy, act, inv_den)
+
+        if persist:
+            cached = [compute_piece(k) for k in range(K)]
+            piece = cached.__getitem__
+        else:
+            piece = compute_piece
+
+        def M_apply(p):
+            out = p
+            for k in range(K):
+                op, _, a, Gux, Guy, act, inv_den = piece(k)
+                Gpx, Gpy = _grad_pair(op, p, masks)
+                dot3 = ((Gux * Gpx + Guy * Gpy)
+                        * inv_den * inv_den * inv_den)
+                wx = a * (gamma * (1.0 - act) * Gpx
+                          + act * (Gpx * inv_den - Gux * dot3))
+                wy = a * (gamma * (1.0 - act) * Gpy
+                          + act * (Gpy * inv_den - Guy * dot3))
+                out = out + _div_pair(op, wx, wy, masks)
+            return out
+
+        diag = jnp.ones_like(u)
+        for k in range(K):
+            op, kind, a, Gux, Guy, act, inv_den = piece(k)
+            inv_den3 = inv_den * inv_den * inv_den
+            wdx = a * (gamma * (1.0 - act)
+                       + act * (inv_den - Gux * Gux * inv_den3))
+            wdy = a * (gamma * (1.0 - act)
+                       + act * (inv_den - Guy * Guy * inv_den3))
+            diag = diag + _gram_axis(kind, wdx, -2, masks) \
+                        + _gram_axis(kind, wdy, -1, masks)
+        inv_diag = 1.0 / diag
+        return piece, M_apply, inv_diag
+
+    def cg_steps(M_apply, inv_diag, b, p, n_adj):
+        r = b - M_apply(p)
+        zv = inv_diag * r
+        d = zv
+        rz = jnp.sum(r * zv)
+
+        def body(_, carry):
+            p, r, zv, d, rz = carry
+            Md = M_apply(d)
+            denom = jnp.sum(d * Md)
+            a = rz / jnp.where(denom == 0, 1.0, denom)
+            p = p + a * d
+            r = r - a * Md
+            zv = inv_diag * r
+            rz_new = jnp.sum(r * zv)
+            beta = rz_new / jnp.where(rz == 0, 1.0, rz)
+            d = zv + beta * d
+            return (p, r, zv, d, rz_new)
+
+        p, _, _, _, _ = lax.fori_loop(0, n_adj, body, (p, r, zv, d, rz))
+        return p
+
+    return pd_step, reg_pieces, cg_steps
+
+
 def _kernel(model: DenoiseModel, K: int, patch: bool, batched: bool,
             outer: int, n_inner: int, n_adj: int, traj_is_cost: bool,
             persist: bool):
@@ -131,95 +235,8 @@ def _kernel(model: DenoiseModel, K: int, patch: bool, batched: bool,
                 return [jnp.exp(upsample(z)) for z in zs]
             return [jnp.exp(z) for z in zs]
 
-        def pd_step(alphas, carry):
-            u, ys = carry
-            div = None
-            for k, op in enumerate(ops):
-                d = _div_pair(op, ys[2 * k], ys[2 * k + 1], masks)
-                div = d if div is None else div + d
-            u_new = (u - tau * (div - f)) / (1.0 + tau)
-            ubar = 2.0 * u_new - u         # fixed-step (unaccelerated) CP
-            ys_new = []
-            for k, op in enumerate(ops):
-                gx, gy = _grad_pair(op, ubar, masks)
-                qx = ys[2 * k] + sigma * gx
-                qy = ys[2 * k + 1] + sigma * gy
-                n = jnp.sqrt(qx * qx + qy * qy)
-                scale = jnp.where(n <= alphas[k], 1.0,
-                                  alphas[k] / jnp.maximum(n, tiny))
-                ys_new.extend((qx * scale, qy * scale))
-            return u_new, tuple(ys_new)
-
-        def reg_pieces(u, alphas):
-            """γ-smoothed adjoint system pieces per regularizer.
-
-            ``persist=True`` keeps (Gu, active-set, 1/‖Gu‖) live through the
-            CG loop — fastest, but 4K extra VMEM planes.  ``persist=False``
-            recomputes them from ``u`` inside every ``M_apply`` call (one
-            extra stencil + rsqrt per regularizer per CG iteration), cutting
-            the VMEM peak so larger batch×K problems stay in one kernel.
-            Both produce bit-identical values (same ops, re-executed)."""
-            def compute_piece(k):
-                Gux, Guy = _grad_pair(ops[k], u, masks)
-                nGu = jnp.sqrt(Gux * Gux + Guy * Guy)
-                act = (nGu > 1.0 / gamma).astype(dtype)
-                inv_den = 1.0 / jnp.where(act > 0, nGu, 1.0)
-                return (ops[k], kinds[k], alphas[k], Gux, Guy, act, inv_den)
-
-            if persist:
-                cached = [compute_piece(k) for k in range(K)]
-                piece = cached.__getitem__
-            else:
-                piece = compute_piece
-
-            def M_apply(p):
-                out = p
-                for k in range(K):
-                    op, _, a, Gux, Guy, act, inv_den = piece(k)
-                    Gpx, Gpy = _grad_pair(op, p, masks)
-                    dot3 = ((Gux * Gpx + Guy * Gpy)
-                            * inv_den * inv_den * inv_den)
-                    wx = a * (gamma * (1.0 - act) * Gpx
-                              + act * (Gpx * inv_den - Gux * dot3))
-                    wy = a * (gamma * (1.0 - act) * Gpy
-                              + act * (Gpy * inv_den - Guy * dot3))
-                    out = out + _div_pair(op, wx, wy, masks)
-                return out
-
-            diag = jnp.ones_like(u)
-            for k in range(K):
-                op, kind, a, Gux, Guy, act, inv_den = piece(k)
-                inv_den3 = inv_den * inv_den * inv_den
-                wdx = a * (gamma * (1.0 - act)
-                           + act * (inv_den - Gux * Gux * inv_den3))
-                wdy = a * (gamma * (1.0 - act)
-                           + act * (inv_den - Guy * Guy * inv_den3))
-                diag = diag + _gram_axis(kind, wdx, -2, masks) \
-                            + _gram_axis(kind, wdy, -1, masks)
-            inv_diag = 1.0 / diag
-            return piece, M_apply, inv_diag
-
-        def cg_steps(M_apply, inv_diag, b, p):
-            r = b - M_apply(p)
-            zv = inv_diag * r
-            d = zv
-            rz = jnp.sum(r * zv)
-
-            def body(_, carry):
-                p, r, zv, d, rz = carry
-                Md = M_apply(d)
-                denom = jnp.sum(d * Md)
-                a = rz / jnp.where(denom == 0, 1.0, denom)
-                p = p + a * d
-                r = r - a * Md
-                zv = inv_diag * r
-                rz_new = jnp.sum(r * zv)
-                beta = rz_new / jnp.where(rz == 0, 1.0, rz)
-                d = zv + beta * d
-                return (p, r, zv, d, rz_new)
-
-            p, _, _, _, _ = lax.fori_loop(0, n_adj, body, (p, r, zv, d, rz))
-            return p
+        pd_step, reg_pieces, cg_steps = _learner_math(
+            model, masks, dtype, gamma, tau, sigma, persist)
 
         def pullback(gmap):
             """per-pixel gradient map (summed over batch) → parameter."""
@@ -234,10 +251,10 @@ def _kernel(model: DenoiseModel, K: int, patch: bool, batched: bool,
         def outer_step(i, carry):
             u, ys, p, zs, ms, vs = carry
             alphas = alphas_of(zs)
-            u, ys = lax.fori_loop(0, n_inner,
-                                  lambda k, c: pd_step(alphas, c), (u, ys))
+            u, ys = lax.fori_loop(
+                0, n_inner, lambda k, c: pd_step(alphas, f, c), (u, ys))
             piece, M_apply, inv_diag = reg_pieces(u, alphas)
-            p = cg_steps(M_apply, inv_diag, utrue - u, p)
+            p = cg_steps(M_apply, inv_diag, utrue - u, p, n_adj)
 
             t = (i + 1).astype(dtype)
             # Mosaic has no powf with a traced exponent; βᵗ = exp(t·log β)
