@@ -36,7 +36,8 @@ from ..models import DenoiseModel, sumregs_model, tv_model
 from ..solvers.pdps_pallas import (_div_pair, _grad_pair, _roll,
                                    make_masks)
 
-__all__ = ["single_loop_pallas", "single_loop_tv_pallas"]
+__all__ = ["single_loop_pallas", "single_loop_pallas_tiled",
+           "single_loop_tv_pallas"]
 
 _TV = tv_model()
 _N_SCALARS = 7   # lr, gamma, tau, sigma, beta1, beta2, eps
@@ -417,6 +418,244 @@ def _impl(utrue, f, x0, *, model, outer, n_inner, n_adj, lr, gamma, tau0,
     else:
         x = outs[1][0] if K == 1 else outs[1]
     return x, u, traj
+
+
+def _tiled_kernel(model: DenoiseModel, K: int, outer: int, n_inner: int,
+                  n_adj: int, n_tiles: int, traj_is_cost: bool):
+    """Batch-tiled one-kernel learner (scalar/vector parameterizations).
+
+    Grid = (outer, batch tiles), executed sequentially on the TensorCore.
+    Each grid step DMAs one tile's solver state (u, duals, adjoint) from an
+    HBM scratch buffer into VMEM, advances it by ``n_inner`` PD + ``n_adj``
+    CG iterations, accumulates the tile's contribution to the parameter
+    gradient in SMEM, and DMAs the state back; the Adam update on log α
+    runs at each outer step's last tile.
+
+    Deliberate deviation from the jnp-scan oracle: the adjoint CG's inner
+    products are per-tile, not batch-global.  The adjoint system is block
+    diagonal across images, so per-tile dots are exact CG on each tile's
+    own subsystem — at least as accurate per iteration as the oracle's
+    single batch-shared step size (global dots would cost one full state
+    round-trip per CG iteration).  Consequently a single-tile run matches
+    the oracle to roundoff, while multi-tile runs agree to adjoint-solver
+    tolerance (~1e-4 relative after hundreds of steps), converging to the
+    same optimum.
+    """
+    S = 2 * K + 2   # state planes per image: u, 2K duals, adjoint p
+
+    def kernel(scalars_ref, f_ref, utrue_ref, state_in, u_out, x_out,
+               traj_ref, state_hbm, st, zms_ref, gacc_ref, cacc_ref, sem):
+        # state_in is aliased to state_hbm (donated buffer): Mosaic only
+        # allocates VMEM/SMEM scratch, so the HBM-carried state is an
+        # ANY-space input/output pair instead; all access goes through
+        # the output ref.
+        del state_in
+        o = pl.program_id(0)
+        b = pl.program_id(1)
+        f = f_ref[:]                  # (tile_b, M, N)
+        utrue = utrue_ref[:]
+        dtype = f.dtype
+        masks = make_masks(f.shape)
+
+        lr = scalars_ref[0]
+        gamma = scalars_ref[1]
+        tau = scalars_ref[2]
+        sigma = scalars_ref[3]
+        beta1 = scalars_ref[4]
+        beta2 = scalars_ref[5]
+        eps = scalars_ref[6]
+
+        pd_step, reg_pieces, cg_steps = _learner_math(
+            model, masks, dtype, gamma, tau, sigma, persist=False)
+
+        @pl.when((o == 0) & (b == 0))
+        def _init_opt():
+            for k in range(K):
+                zms_ref[0, k] = scalars_ref[_N_SCALARS + k]   # z = log x0
+                zms_ref[1, k] = 0.0                           # Adam m
+                zms_ref[2, k] = 0.0                           # Adam v
+
+        @pl.when(b == 0)
+        def _reset_accumulators():
+            for k in range(K):
+                gacc_ref[k] = 0.0
+            cacc_ref[0] = 0.0
+
+        @pl.when(o == 0)
+        def _cold_state():
+            st[0] = f
+            for i in range(1, S):
+                st[i] = jnp.zeros_like(f)
+
+        @pl.when(o > 0)
+        def _load_state():
+            dma = pltpu.make_async_copy(state_hbm.at[b], st, sem)
+            dma.start()
+            dma.wait()
+
+        alphas = [jnp.exp(zms_ref[0, k]) for k in range(K)]
+        u = st[0]
+        ys = tuple(st[1 + i] for i in range(2 * K))
+        p = st[1 + 2 * K]
+
+        u, ys = lax.fori_loop(
+            0, n_inner, lambda i, c: pd_step(alphas, f, c), (u, ys))
+        piece, M_apply, inv_diag = reg_pieces(u, alphas)
+        p = cg_steps(M_apply, inv_diag, utrue - u, p, n_adj)
+
+        for k in range(K):
+            op, _, a, Gux, Guy, act, inv_den = piece(k)
+            Gpx, Gpy = _grad_pair(op, p, masks)
+            wfield = act * inv_den + gamma * (1.0 - act)
+            gacc_ref[k] = gacc_ref[k] + jnp.sum(
+                (Gpx * Gux + Gpy * Guy) * wfield)
+        cacc_ref[0] = cacc_ref[0] + 0.5 * jnp.sum((u - utrue) ** 2)
+
+        st[0] = u
+        for i in range(2 * K):
+            st[1 + i] = ys[i]
+        st[1 + 2 * K] = p
+        dma = pltpu.make_async_copy(st, state_hbm.at[b], sem)
+        dma.start()
+        dma.wait()
+        u_out[:] = u
+
+        @pl.when(b == n_tiles - 1)
+        def _adam_update():
+            if traj_is_cost:
+                traj_ref[o] = cacc_ref[0]
+            else:
+                traj_ref[o] = jnp.exp(zms_ref[0, 0])  # pre-update α
+            t = (o + 1).astype(dtype)
+            b1t = jnp.exp(t * jnp.log(beta1))
+            b2t = jnp.exp(t * jnp.log(beta2))
+            for k in range(K):
+                z = zms_ref[0, k]
+                g_z = gacc_ref[k] * jnp.exp(z)   # chain rule, x = exp(z)
+                m = beta1 * zms_ref[1, k] + (1 - beta1) * g_z
+                v = beta2 * zms_ref[2, k] + (1 - beta2) * g_z ** 2
+                mhat = m / (1 - b1t)
+                vhat = v / (1 - b2t)
+                zms_ref[0, k] = z - lr * mhat / (jnp.sqrt(vhat) + eps)
+                zms_ref[1, k] = m
+                zms_ref[2, k] = v
+
+        @pl.when((o == outer - 1) & (b == n_tiles - 1))
+        def _write_x():
+            for k in range(K):
+                x_out[k] = jnp.exp(zms_ref[0, k])
+
+    return kernel
+
+
+def _tile_batch(B: int, M: int, N: int, K: int, itemsize: int) -> int:
+    """Images per tile: recompute-mode live planes within _VMEM_BUDGET."""
+    planes = _vmem_planes(K, persist=False) + (2 * K + 2)  # + state copy
+    return max(1, min(B, _VMEM_BUDGET // (planes * M * N * itemsize)))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "outer", "n_inner", "n_adj", "interpret",
+                     "tile_b"))
+def _tiled_learn_impl(utrue, f, x0, *, model, outer, n_inner, n_adj, lr,
+                      gamma, tau0, sigma0, beta1, beta2, eps, interpret,
+                      tile_b=None):
+    dtype = f.dtype
+    K = model.K
+    x0 = jnp.asarray(x0, dtype)
+    if x0.ndim >= 2:
+        raise ValueError("tiled one-kernel learner covers scalar/vector "
+                         "parameterizations; use the jnp scan for patch")
+    B, M, N = f.shape
+    if tile_b is None:
+        tile_b = _tile_batch(B, M, N, K, dtype.itemsize)
+    n_tiles = -(-B // tile_b)
+    B_pad = n_tiles * tile_b
+    if B_pad != B:
+        # zero images contribute exactly 0 to gradient and cost: u=f=0
+        # gives p=0 (zero CG rhs), hence zero gmap
+        pad = ((0, B_pad - B), (0, 0), (0, 0))
+        f = jnp.pad(f, pad)
+        utrue = jnp.pad(utrue, pad)
+
+    L = float(model.opnorm_sq()) ** 0.5
+    z0s = ([jnp.log(x0)] if K == 1 else [jnp.log(x0[k]) for k in range(K)])
+    scalars = jnp.concatenate(
+        [jnp.asarray([lr, gamma, tau0 / L, sigma0 / L, beta1, beta2, eps],
+                     dtype),
+         jnp.stack(z0s).astype(dtype)])
+
+    S = 2 * K + 2
+    traj_is_cost = K > 1
+    grid = (int(outer), int(n_tiles))
+    tile_spec = pl.BlockSpec((tile_b, M, N), lambda o, b: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+
+    # Mosaic cannot allocate HBM *scratch*; the carried solver state is a
+    # donated ANY-space input aliased to an ANY-space output instead.
+    state0 = jnp.zeros((n_tiles, S, tile_b, M, N), dtype)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+
+    u_pad, x, traj, _ = pl.pallas_call(
+        _tiled_kernel(model, K, int(outer), int(n_inner), int(n_adj),
+                      int(n_tiles), traj_is_cost),
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  tile_spec, tile_spec, any_spec],
+        out_specs=(tile_spec,
+                   pl.BlockSpec(memory_space=pltpu.SMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM),
+                   any_spec),
+        out_shape=(jax.ShapeDtypeStruct((B_pad, M, N), dtype),
+                   jax.ShapeDtypeStruct((K,), dtype),
+                   jax.ShapeDtypeStruct((int(outer),), dtype),
+                   jax.ShapeDtypeStruct(state0.shape, dtype)),
+        input_output_aliases={3: 3},
+        scratch_shapes=[
+            pltpu.VMEM((S, tile_b, M, N), dtype),        # working tile
+            pltpu.SMEM((3, K), dtype),                   # z, Adam m, v
+            pltpu.SMEM((K,), dtype),                     # grad accumulator
+            pltpu.SMEM((1,), dtype),                     # cost accumulator
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=bool(interpret),
+    )(scalars, f, utrue, state0)
+    x = x[0] if K == 1 else x
+    return x, u_pad[:B], traj
+
+
+def single_loop_pallas_tiled(utrue, f, x0, model: DenoiseModel = None, *,
+                             outer: int = 300, n_inner: int = 40,
+                             n_adj: int = 10, lr: float = 0.05,
+                             gamma: float = 1e4, tau0: float = 5.0,
+                             sigma0: float = 0.99 / 5.0, beta1: float = 0.9,
+                             beta2: float = 0.999, eps: float = 1e-8,
+                             tile_b: int | None = None,
+                             interpret: bool = False):
+    """Batch-tiled one-kernel single-loop learner: any batch size
+    (HBM-bound), scalar or (K,)-vector parameterization.
+
+    Same algorithm as :func:`single_loop_pallas`; solver state for tiles
+    not currently being advanced lives in an HBM scratch buffer and is
+    DMA'd in/out per (outer step, tile) — ~(2K+2) plane copies each way
+    against ``n_inner`` full PD sweeps of compute, a few percent overhead.
+    """
+    model = model if model is not None else _TV
+    utrue = jnp.asarray(utrue)
+    f = jnp.asarray(f, utrue.dtype)
+    squeeze = f.ndim == 2
+    if squeeze:
+        utrue, f = utrue[None], f[None]
+    x, u, traj = _tiled_learn_impl(
+        utrue, f, x0, model=model, outer=int(outer), n_inner=int(n_inner),
+        n_adj=int(n_adj), lr=lr, gamma=gamma, tau0=tau0, sigma0=sigma0,
+        beta1=beta1, beta2=beta2, eps=eps, interpret=bool(interpret),
+        tile_b=None if tile_b is None else int(tile_b))
+    return x, (u[0] if squeeze else u), traj
 
 
 def single_loop_pallas(utrue, f, x0, model: DenoiseModel = None, *,

@@ -137,3 +137,94 @@ def test_auto_persist_fits_faces_sumregs():
     with pytest.raises(ValueError, match="too large"):
         _choose_persist(jnp.zeros((64, 128, 128), jnp.float32), K=3,
                         extra_patch_bytes=0)
+
+
+# ---------------------------------------------------------------------------
+# Batch-tiled one-kernel learner (HBM-carried state)
+# ---------------------------------------------------------------------------
+
+from bpldenoising_tpu.bilevel.first_order_pallas import (
+    single_loop_pallas_tiled)
+
+
+class TestTiledLearner:
+    def test_single_tile_matches_scan(self, rng):
+        """With one tile the kernel is the resident algorithm verbatim
+        (same ops, same global CG dots) — match to roundoff."""
+        utrue, f = small_ds(rng, O=4)
+        kw = dict(outer=25, n_inner=10, n_adj=4, lr=0.05)
+        ref = single_loop_learn(utrue, f, 0.02, tv_model(), **kw)
+        x, u, traj = single_loop_pallas_tiled(
+            utrue, f, 0.02, tv_model(), tile_b=4, interpret=True, **kw)
+        np.testing.assert_allclose(float(x), float(ref.alpha), rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(u), np.asarray(ref.u),
+                                   atol=1e-10)
+        np.testing.assert_allclose(np.asarray(traj),
+                                   np.asarray(ref.alpha_trajectory),
+                                   rtol=1e-10)
+
+    def test_single_image_tiles_match_scan(self, rng):
+        """With one image per tile AND one image total, per-tile CG dots
+        equal the oracle's global dots — exact again."""
+        utrue, f = small_ds(rng, O=1)
+        kw = dict(outer=20, n_inner=8, n_adj=4, lr=0.05)
+        ref = single_loop_learn(utrue, f, 0.02, tv_model(), **kw)
+        x, u, _ = single_loop_pallas_tiled(
+            utrue, f, 0.02, tv_model(), tile_b=1, interpret=True, **kw)
+        np.testing.assert_allclose(float(x), float(ref.alpha), rtol=1e-10)
+
+    @pytest.mark.parametrize("tile_b", [1, 2, 3], ids=lambda t: f"tb{t}")
+    def test_multi_tile_converges_to_same_optimum(self, rng, tile_b):
+        """Per-tile CG dots (documented deviation) still reach the scan's
+        optimum within adjoint-solver tolerance; tile_b=3 also exercises
+        the zero-padded remainder tile."""
+        utrue, f = small_ds(rng, O=5)
+        kw = dict(outer=40, n_inner=12, n_adj=15, lr=0.05)
+        ref = single_loop_learn(utrue, f, 0.02, tv_model(), **kw)
+        x, u, _ = single_loop_pallas_tiled(
+            utrue, f, 0.02, tv_model(), tile_b=tile_b, interpret=True, **kw)
+        np.testing.assert_allclose(float(x), float(ref.alpha), rtol=2e-3)
+
+    def test_deviation_vanishes_with_adjoint_convergence(self, rng):
+        """The tiled/scan trajectory gap is adjoint inexactness (per-tile
+        vs batch-global CG dots on the same block-diagonal system): it
+        must shrink as n_adj grows."""
+        utrue, f = small_ds(rng, O=5)
+        gaps = []
+        for n_adj in (5, 30):
+            kw = dict(outer=40, n_inner=12, n_adj=n_adj, lr=0.05)
+            ref = single_loop_learn(utrue, f, 0.02, tv_model(), **kw)
+            x, _, _ = single_loop_pallas_tiled(
+                utrue, f, 0.02, tv_model(), tile_b=2, interpret=True, **kw)
+            gaps.append(abs(float(x) - float(ref.alpha))
+                        / float(ref.alpha))
+        assert gaps[1] < gaps[0] / 10
+        assert gaps[1] < 1e-3
+
+    def test_sumregs_vector(self, rng):
+        utrue, f = small_ds(rng, O=4)
+        from bpldenoising_tpu.models import sumregs_model
+        x0 = jnp.asarray([0.02, 0.015, 0.01])
+        kw = dict(outer=25, n_inner=10, n_adj=4, lr=0.05)
+        ref = single_loop_learn(utrue, f, x0, sumregs_model(), **kw)
+        # single tile: exact
+        x, u, traj = single_loop_pallas_tiled(
+            utrue, f, x0, sumregs_model(), tile_b=4, interpret=True, **kw)
+        np.testing.assert_allclose(np.asarray(x), np.asarray(ref.alpha),
+                                   rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(traj),
+                                   np.asarray(ref.cost_trajectory),
+                                   rtol=1e-10)
+        # two tiles: same optimum within adjoint-solver tolerance
+        kw2 = dict(kw, n_adj=15)
+        ref2 = single_loop_learn(utrue, f, x0, sumregs_model(), **kw2)
+        x2, _, _ = single_loop_pallas_tiled(
+            utrue, f, x0, sumregs_model(), tile_b=2, interpret=True, **kw2)
+        np.testing.assert_allclose(np.asarray(x2), np.asarray(ref2.alpha),
+                                   rtol=5e-3)
+
+    def test_patch_rejected(self, rng):
+        utrue, f = small_ds(rng, O=2)
+        with pytest.raises(ValueError, match="scalar/vector"):
+            single_loop_pallas_tiled(utrue, f, jnp.full((2, 2), 0.02),
+                                     tv_model(), interpret=True)
