@@ -198,6 +198,28 @@ def run(quick: bool = False, backend: str = "pallas",
         one_kernel_sr_wall = None
         one_kernel_sr_alpha = None
 
+    # batch-tiled one-kernel at scale: batch-64 K=3 — beyond any
+    # VMEM-resident capacity; solver state rides an HBM buffer, DMA'd
+    # per (outer step, tile)
+    try:
+        from bpldenoising_tpu.bilevel.first_order_pallas import (
+            single_loop_pallas_tiled)
+
+        big64 = (jnp.tile(ds[0], (7, 1, 1))[:64],
+                 jnp.tile(ds[1], (7, 1, 1))[:64])
+
+        def run_ok_tiled():
+            x, u1, _ = single_loop_pallas_tiled(
+                big64[0], big64[1], jnp.asarray([1e-3, 1e-3, 1e-3],
+                                                ds[0].dtype),
+                sumregs_model(), outer=300, n_inner=40, n_adj=10, lr=0.05)
+            return x
+
+        _, tiled64_wall = _best_of(run_ok_tiled)
+    except Exception as e:
+        print(f"tiled one-kernel unavailable: {e}", file=sys.stderr)
+        tiled64_wall = None
+
     # --- phase breakdown (per-evaluation costs at the optimum) ------------
     model = tv_model()
     alpha = jnp.asarray(learned_alpha, ds[0].dtype)
@@ -267,6 +289,8 @@ def run(quick: bool = False, backend: str = "pallas",
         "one_kernel_sumregs_walltime_s": (round(one_kernel_sr_wall, 4)
                                           if one_kernel_sr_wall else None),
         "one_kernel_sumregs_alpha": one_kernel_sr_alpha,
+        "one_kernel_tiled_batch64_sumregs_s": (round(tiled64_wall, 4)
+                                               if tiled64_wall else None),
         "dispatch_latency_s": round(dispatch_s, 4),
         "phase_solve_cold_s": round(solve_cold_s, 4),
         "phase_solve_warm_s": round(solve_warm_s, 4),

@@ -548,10 +548,17 @@ def _tiled_kernel(model: DenoiseModel, K: int, outer: int, n_inner: int,
     return kernel
 
 
+# Tile sizing targets the same ~8 MiB working set the PDPS batch chunker
+# uses: on v5e a hardware sweep (tile_b ∈ {2,4,6,8,16}, batch-64 K=3) was
+# flat within noise (0.72–0.77 s) with the smallest tiles marginally
+# fastest — VMEM pressure costs more than per-tile overhead saves.
+_TILE_BUDGET = 8 * 1024 * 1024
+
+
 def _tile_batch(B: int, M: int, N: int, K: int, itemsize: int) -> int:
-    """Images per tile: recompute-mode live planes within _VMEM_BUDGET."""
+    """Images per tile: recompute-mode live planes within _TILE_BUDGET."""
     planes = _vmem_planes(K, persist=False) + (2 * K + 2)  # + state copy
-    return max(1, min(B, _VMEM_BUDGET // (planes * M * N * itemsize)))
+    return max(1, min(B, _TILE_BUDGET // (planes * M * N * itemsize)))
 
 
 @functools.partial(
@@ -675,6 +682,11 @@ def single_loop_pallas(utrue, f, x0, model: DenoiseModel = None, *,
     VMEM peak → larger batch×K fits in one kernel).  ``None`` picks the
     fastest form that fits the VMEM budget.
 
+    Scalar/vector problems whose whole-batch state exceeds even the
+    recompute budget route to :func:`single_loop_pallas_tiled`
+    automatically (per-tile CG dots — see its docstring); only patch
+    parameterizations past the budget must fall back to the jnp scan.
+
     Returns ``(x, u, traj)``; ``traj`` is the α trajectory for scalar TV
     (back-compat) and the cost trajectory otherwise.
     """
@@ -684,6 +696,23 @@ def single_loop_pallas(utrue, f, x0, model: DenoiseModel = None, *,
     squeeze = f.ndim == 2
     if squeeze:
         utrue, f = utrue[None], f[None]
+    if persist is None and jnp.asarray(x0).ndim < 2:
+        K = model.K
+        M, N = f.shape[-2:]
+        # one tile (single image) must itself fit VMEM — the tiled kernel
+        # tiles the batch, not the image plane
+        tile_bytes = ((_vmem_planes(K, False) + 2 * K + 2)
+                      * M * N * f.dtype.itemsize)
+        try:
+            _choose_persist(f, K, 0)
+        except ValueError:
+            if tile_bytes <= _VMEM_BUDGET:
+                return single_loop_pallas_tiled(
+                    utrue, f, x0, model, outer=outer, n_inner=n_inner,
+                    n_adj=n_adj, lr=lr, gamma=gamma, tau0=tau0,
+                    sigma0=sigma0, beta1=beta1, beta2=beta2, eps=eps,
+                    interpret=bool(interpret))
+            raise
     x, u, traj = _impl(utrue, f, x0, model=model, outer=int(outer),
                        n_inner=int(n_inner), n_adj=int(n_adj), lr=lr,
                        gamma=gamma, tau0=tau0, sigma0=sigma0, beta1=beta1,

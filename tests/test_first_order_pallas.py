@@ -37,10 +37,34 @@ def test_single_image(rng):
 
 
 def test_vmem_guard_raises_for_large_problems(rng):
-    big_true = jnp.zeros((64, 256, 256))
-    big_noisy = jnp.zeros((64, 256, 256))
+    """Scalar/vector batches beyond VMEM now auto-route to the tiled
+    kernel; only a single image too large for one tile (the tiled kernel
+    tiles the batch, not the plane) or an oversized patch problem raise."""
+    huge = jnp.zeros((1, 4096, 4096))
     with pytest.raises(ValueError, match="too large"):
-        single_loop_tv_pallas(big_true, big_noisy, interpret=True)
+        single_loop_tv_pallas(huge, huge, interpret=True)
+    big = jnp.zeros((64, 256, 256))
+    with pytest.raises(ValueError, match="too large"):
+        single_loop_pallas(big, big, jnp.full((2, 2), 0.02), tv_model(),
+                           interpret=True)
+
+
+def test_auto_routing_to_tiled(rng, monkeypatch):
+    """An oversized scalar-TV batch must route to the tiled kernel and
+    produce the same answer the tiled entry point gives directly."""
+    import bpldenoising_tpu.bilevel.first_order_pallas as fop
+    # force the route: persist never fits, whole-batch recompute (96 KB
+    # at 3x16^2 f64) doesn't fit, but one 2-image tile (80 KB) does
+    monkeypatch.setattr(fop, "_PERSIST_BUDGET", 1)
+    monkeypatch.setattr(fop, "_VMEM_BUDGET", 80 * 1024)
+    utrue, f = small_ds(rng, O=3)
+    kw = dict(outer=10, n_inner=6, n_adj=3, lr=0.05)
+    x, u, _ = fop.single_loop_pallas(utrue, f, 0.02, tv_model(),
+                                     interpret=True, **kw)
+    x_t, u_t, _ = fop.single_loop_pallas_tiled(utrue, f, 0.02, tv_model(),
+                                               interpret=True, **kw)
+    np.testing.assert_allclose(float(x), float(x_t), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(u), np.asarray(u_t), atol=1e-12)
 
 
 # ---------------------------------------------------------------------------
