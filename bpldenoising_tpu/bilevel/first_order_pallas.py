@@ -34,7 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..models import DenoiseModel, sumregs_model, tv_model
 from ..solvers.pdps_pallas import (_div_pair, _grad_pair, _roll,
-                                   make_masks)
+                                   _VMEM_LIMIT, make_masks)
 
 __all__ = ["single_loop_pallas", "single_loop_pallas_tiled",
            "single_loop_tv_pallas"]
@@ -179,12 +179,29 @@ def _learner_math(model: DenoiseModel, masks, dtype, gamma, tau, sigma,
     return pd_step, reg_pieces, cg_steps
 
 
+def _base_scalars(model: DenoiseModel, dtype, lr, gamma, tau0, sigma0,
+                  beta1, beta2, eps):
+    """The 7 SMEM base scalars (order fixed by ``_N_SCALARS``)."""
+    L = float(model.opnorm_sq()) ** 0.5
+    return jnp.asarray([lr, gamma, tau0 / L, sigma0 / L, beta1, beta2, eps],
+                       dtype)
+
+
+def _nonpatch_scalars(model: DenoiseModel, x0, dtype, lr, gamma, tau0,
+                      sigma0, beta1, beta2, eps):
+    """Base scalars + the K initial log-parameters (scalar/vector x0) —
+    the SMEM layout both the resident and the tiled kernel read."""
+    K = model.K
+    z0s = ([jnp.log(x0)] if K == 1 else [jnp.log(x0[k]) for k in range(K)])
+    return jnp.concatenate(
+        [_base_scalars(model, dtype, lr, gamma, tau0, sigma0, beta1, beta2,
+                       eps),
+         jnp.stack(z0s).astype(dtype)])
+
+
 def _kernel(model: DenoiseModel, K: int, patch: bool, batched: bool,
             outer: int, n_inner: int, n_adj: int, traj_is_cost: bool,
             persist: bool):
-    ops = model.ops
-    kinds = [_stencil_kind(op) for op in ops]
-
     def kernel(*refs):
         scalars_ref = refs[0]
         f_ref, utrue_ref = refs[1], refs[2]
@@ -209,7 +226,6 @@ def _kernel(model: DenoiseModel, K: int, patch: bool, batched: bool,
         beta1 = scalars_ref[4]
         beta2 = scalars_ref[5]
         eps = scalars_ref[6]
-        tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
 
         if patch:
             Pr = pr_ref[:]          # (M, m) block indicator
@@ -304,16 +320,15 @@ def _kernel(model: DenoiseModel, K: int, patch: bool, batched: bool,
     return kernel
 
 
-# v5e has 128 MiB VMEM per core; the Mosaic default scoped limit is a
-# conservative 16 MiB.  We raise the limit (compiler_params below) and
-# keep ~2x headroom between our naive live-plane estimate and the limit
-# (Mosaic's stack allocator measured ~2x the estimate on this kernel:
-# 25.9 MiB actual for a 12.8 MiB estimate in recompute mode at batch-10
-# K=3).  The persistent-pieces form is only chosen inside the original
-# 16 MiB envelope: measured on v5e, past that point the recompute form
-# is FASTER (0.148 s vs 0.177 s at batch-10 K=3, host-sync timing) —
+# Mosaic's scoped VMEM limit is raised to the shared _VMEM_LIMIT
+# (pdps_pallas — 100 MiB of v5e's 128 MiB/core) with ~2x headroom between
+# our naive live-plane estimate and the limit (Mosaic's stack allocator
+# measured ~2x the estimate on this kernel: 25.9 MiB actual for a
+# 12.8 MiB estimate in recompute mode at batch-10 K=3).  The
+# persistent-pieces form is only chosen inside the original 16 MiB
+# envelope: measured on v5e, past that point the recompute form is
+# FASTER (0.148 s vs 0.177 s at batch-10 K=3, host-sync timing) —
 # high VMEM pressure costs more than the recomputed stencils.
-_VMEM_LIMIT = 100 * 1024 * 1024
 _PERSIST_BUDGET = 16 * 1024 * 1024
 _VMEM_BUDGET = _VMEM_LIMIT // 2
 
@@ -354,9 +369,6 @@ def _impl(utrue, f, x0, *, model, outer, n_inner, n_adj, lr, gamma, tau0,
     batched = f.ndim == 3
     M, N = f.shape[-2:]
 
-    L = float(model.opnorm_sq()) ** 0.5
-    base = [lr, gamma, tau0 / L, sigma0 / L, beta1, beta2, eps]
-
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.VMEM)]
@@ -377,15 +389,23 @@ def _impl(utrue, f, x0, *, model, outer, n_inner, n_adj, lr, gamma, tau0,
         args += zplanes + [Pr, Pc]
         in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * (K + 2)
         extra_bytes = (M * m + N * n + 5 * K * m * n) * dtype.itemsize
-        scalars = jnp.asarray(base, dtype)
+        scalars = _base_scalars(model, dtype, lr, gamma, tau0, sigma0,
+                                beta1, beta2, eps)
     else:
-        z0s = ([jnp.log(x0)] if K == 1
-               else [jnp.log(x0[k]) for k in range(K)])
-        scalars = jnp.concatenate(
-            [jnp.asarray(base, dtype), jnp.stack(z0s).astype(dtype)])
+        scalars = _nonpatch_scalars(model, x0, dtype, lr, gamma, tau0,
+                                    sigma0, beta1, beta2, eps)
 
     if persist is None:
         persist = _choose_persist(f, K, extra_bytes)
+    else:
+        # an explicit persist choice must not bypass the size guard
+        peak = (_vmem_planes(K, persist) * f.size * dtype.itemsize
+                + extra_bytes)
+        if peak > _VMEM_BUDGET:
+            raise ValueError(
+                f"problem too large for the one-kernel learner "
+                f"(~{peak >> 20} MiB of VMEM state with persist="
+                f"{persist}); use bilevel.single_loop_learn (jnp scan)")
 
     out_shape = [jax.ShapeDtypeStruct(f.shape, dtype)]
     out_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
@@ -443,7 +463,7 @@ def _tiled_kernel(model: DenoiseModel, K: int, outer: int, n_inner: int,
     """
     S = 2 * K + 2   # state planes per image: u, 2K duals, adjoint p
 
-    def kernel(scalars_ref, f_ref, utrue_ref, state_in, u_out, x_out,
+    def kernel(scalars_ref, f_ref, utrue_ref, state_in, x_out,
                traj_ref, state_hbm, st, zms_ref, gacc_ref, cacc_ref, sem):
         # state_in is aliased to state_hbm (donated buffer): Mosaic only
         # allocates VMEM/SMEM scratch, so the HBM-carried state is an
@@ -515,10 +535,10 @@ def _tiled_kernel(model: DenoiseModel, K: int, outer: int, n_inner: int,
         for i in range(2 * K):
             st[1 + i] = ys[i]
         st[1 + 2 * K] = p
+        # the final u rides out in state plane 0 — no dedicated output
         dma = pltpu.make_async_copy(st, state_hbm.at[b], sem)
         dma.start()
         dma.wait()
-        u_out[:] = u
 
         @pl.when(b == n_tiles - 1)
         def _adam_update():
@@ -575,6 +595,13 @@ def _tiled_learn_impl(utrue, f, x0, *, model, outer, n_inner, n_adj, lr,
         raise ValueError("tiled one-kernel learner covers scalar/vector "
                          "parameterizations; use the jnp scan for patch")
     B, M, N = f.shape
+    planes = _vmem_planes(K, persist=False) + (2 * K + 2)
+    if planes * M * N * dtype.itemsize > _VMEM_BUDGET:
+        raise ValueError(
+            "problem too large for the tiled one-kernel learner (a single "
+            f"image's tile needs ~{planes * M * N * dtype.itemsize >> 20} "
+            "MiB of VMEM; batch tiling cannot split the image plane); use "
+            "bilevel.single_loop_learn (jnp scan)")
     if tile_b is None:
         tile_b = _tile_batch(B, M, N, K, dtype.itemsize)
     n_tiles = -(-B // tile_b)
@@ -586,12 +613,8 @@ def _tiled_learn_impl(utrue, f, x0, *, model, outer, n_inner, n_adj, lr,
         f = jnp.pad(f, pad)
         utrue = jnp.pad(utrue, pad)
 
-    L = float(model.opnorm_sq()) ** 0.5
-    z0s = ([jnp.log(x0)] if K == 1 else [jnp.log(x0[k]) for k in range(K)])
-    scalars = jnp.concatenate(
-        [jnp.asarray([lr, gamma, tau0 / L, sigma0 / L, beta1, beta2, eps],
-                     dtype),
-         jnp.stack(z0s).astype(dtype)])
+    scalars = _nonpatch_scalars(model, x0, dtype, lr, gamma, tau0, sigma0,
+                                beta1, beta2, eps)
 
     S = 2 * K + 2
     traj_is_cost = K > 1
@@ -604,21 +627,19 @@ def _tiled_learn_impl(utrue, f, x0, *, model, outer, n_inner, n_adj, lr,
     state0 = jnp.zeros((n_tiles, S, tile_b, M, N), dtype)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
 
-    u_pad, x, traj, _ = pl.pallas_call(
+    x, traj, state = pl.pallas_call(
         _tiled_kernel(model, K, int(outer), int(n_inner), int(n_adj),
                       int(n_tiles), traj_is_cost),
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   tile_spec, tile_spec, any_spec],
-        out_specs=(tile_spec,
-                   pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_specs=(pl.BlockSpec(memory_space=pltpu.SMEM),
                    pl.BlockSpec(memory_space=pltpu.SMEM),
                    any_spec),
-        out_shape=(jax.ShapeDtypeStruct((B_pad, M, N), dtype),
-                   jax.ShapeDtypeStruct((K,), dtype),
+        out_shape=(jax.ShapeDtypeStruct((K,), dtype),
                    jax.ShapeDtypeStruct((int(outer),), dtype),
                    jax.ShapeDtypeStruct(state0.shape, dtype)),
-        input_output_aliases={3: 3},
+        input_output_aliases={3: 2},
         scratch_shapes=[
             pltpu.VMEM((S, tile_b, M, N), dtype),        # working tile
             pltpu.SMEM((3, K), dtype),                   # z, Adam m, v
@@ -632,7 +653,10 @@ def _tiled_learn_impl(utrue, f, x0, *, model, outer, n_inner, n_adj, lr,
         interpret=bool(interpret),
     )(scalars, f, utrue, state0)
     x = x[0] if K == 1 else x
-    return x, u_pad[:B], traj
+    # the final reconstruction is state plane 0 — no dedicated output
+    # (saves one (B, M, N) HBM write per grid step)
+    u = state[:, 0].reshape(B_pad, M, N)
+    return x, u[:B], traj
 
 
 def single_loop_pallas_tiled(utrue, f, x0, model: DenoiseModel = None, *,

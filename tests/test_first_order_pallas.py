@@ -252,3 +252,22 @@ class TestTiledLearner:
         with pytest.raises(ValueError, match="scalar/vector"):
             single_loop_pallas_tiled(utrue, f, jnp.full((2, 2), 0.02),
                                      tv_model(), interpret=True)
+
+
+def test_explicit_persist_still_guarded(rng):
+    """An explicit persist=True/False must not bypass the size guard
+    (review finding): oversized problems raise the documented ValueError
+    instead of reaching Mosaic."""
+    big = jnp.zeros((64, 256, 256))
+    for persist in (True, False):
+        with pytest.raises(ValueError, match="too large"):
+            single_loop_tv_pallas(big, big, persist=persist, interpret=True)
+
+
+def test_tiled_single_image_guard():
+    """Direct tiled calls with an image too large for one tile raise
+    cleanly (batch tiling cannot split the image plane)."""
+    huge = jnp.zeros((2, 4096, 4096))
+    with pytest.raises(ValueError, match="single\\s*\nimage|single image"):
+        single_loop_pallas_tiled(huge, huge, 0.1, tv_model(),
+                                 interpret=True)
