@@ -44,6 +44,9 @@ def main(argv=None):
                             "warm-started inner solves)")
         p.add_argument("--data-parallel", action="store_true",
                        help="shard the image batch over all local devices")
+        p.add_argument("--trace", default=None, metavar="DIR",
+                       help="capture a jax.profiler trace of the run into "
+                            "DIR (view in TensorBoard/Perfetto)")
 
     p = sub.add_parser("scalar-tv");      common(p)
     p.add_argument("--alpha0", type=float, default=0.1)
@@ -100,21 +103,30 @@ def _dispatch(args):
             d["dtype"] = args.dtype
         return d
 
+    from bpldenoising_tpu.utils.profiling import trace as _trace
+    trace_dir = getattr(args, "trace", None)
+
     if args.cmd == "scalar-tv":
-        res = ex.scalar_bilevel_tv_learn(
-            visualise=args.visualise, alpha0=args.alpha0, **kw())
+        with _trace(trace_dir):
+            res = ex.scalar_bilevel_tv_learn(
+                visualise=args.visualise, alpha0=args.alpha0, **kw())
     elif args.cmd == "patch-tv":
-        res = ex.patch_bilevel_tv_learn(
-            visualise=args.visualise,
-            alpha0=args.alpha0 * np.ones((args.patch, args.patch)),
-            delta0=args.alpha0, **kw())
+        with _trace(trace_dir):
+            res = ex.patch_bilevel_tv_learn(
+                visualise=args.visualise,
+                alpha0=args.alpha0 * np.ones((args.patch, args.patch)),
+                delta0=args.alpha0, **kw())
     elif args.cmd == "scalar-sumregs":
-        res = ex.scalar_bilevel_sumregs_learn(
-            visualise=args.visualise, alpha0=np.full(3, args.alpha0), **kw())
+        with _trace(trace_dir):
+            res = ex.scalar_bilevel_sumregs_learn(
+                visualise=args.visualise, alpha0=np.full(3, args.alpha0),
+                **kw())
     elif args.cmd == "patch-sumregs":
-        res = ex.patch_bilevel_sumregs_learn(
-            visualise=args.visualise,
-            alpha0=args.alpha0 * np.ones((args.patch, args.patch, 3)), **kw())
+        with _trace(trace_dir):
+            res = ex.patch_bilevel_sumregs_learn(
+                visualise=args.visualise,
+                alpha0=args.alpha0 * np.ones((args.patch, args.patch, 3)),
+                **kw())
     elif args.cmd == "validate-tv":
         out = ex.validate_tv_parameter(args.parameter,
                                        dataset_name=args.dataset)

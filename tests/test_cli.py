@@ -33,3 +33,11 @@ def test_cost_sweep(tmp_path):
 def test_bad_command_exits():
     with pytest.raises(SystemExit):
         main(["not-a-command"])
+
+
+def test_trace_flag_writes_profile(tmp_path):
+    import os
+    main(["scalar-tv", "--dataset", "circle", "--maxiter", "1",
+          "--inner-maxiter", "100", "--trace", str(tmp_path / "tr")])
+    assert os.path.isdir(tmp_path / "tr")
+    assert any((tmp_path / "tr").rglob("*"))   # profiler wrote artifacts
