@@ -1,3 +1,4 @@
+from .distributed import initialize_distributed
 from .mesh import (BATCH_AXIS, make_batch_mesh, make_batch_rows_mesh,
                    pad_batch, shard_batch)
 from .sharded import (
@@ -6,6 +7,7 @@ from .sharded import (
 )
 
 __all__ = [
+    "initialize_distributed",
     "make_batch_mesh", "make_batch_rows_mesh", "shard_batch",
     "pad_batch", "BATCH_AXIS",
     "make_sharded_tv_learning_function",

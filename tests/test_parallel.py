@@ -242,3 +242,51 @@ class TestFusedDataParallel:
         dp = bilevel_learn_fused(ds, mesh=mesh, **kw)
         assert dp.u.shape == ds[0].shape
         np.testing.assert_allclose(float(dp.x), float(ref.x), rtol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# Multi-host initialization helper
+# ---------------------------------------------------------------------------
+
+class TestInitializeDistributed:
+    def test_noop_without_cluster_env(self, monkeypatch):
+        from bpldenoising_tpu.parallel import initialize_distributed
+        from bpldenoising_tpu.parallel import distributed as dist
+        for v in dist._CLUSTER_ENV_VARS:
+            monkeypatch.delenv(v, raising=False)
+        assert initialize_distributed() is False
+
+    def test_slurm_single_node_is_noop(self, monkeypatch):
+        from bpldenoising_tpu.parallel import initialize_distributed
+        monkeypatch.setenv("SLURM_JOB_NUM_NODES", "1")
+        assert initialize_distributed() is False
+
+    def test_cluster_env_triggers_initialize(self, monkeypatch):
+        import jax
+        from bpldenoising_tpu.parallel import initialize_distributed
+        calls = {}
+
+        def fake_init(coordinator_address=None, num_processes=None,
+                      process_id=None):
+            calls["args"] = (coordinator_address, num_processes, process_id)
+
+        monkeypatch.setattr(jax.distributed, "initialize", fake_init)
+        monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+        assert initialize_distributed() is True
+        assert calls["args"] == (None, None, None)
+
+    def test_explicit_args_force_initialize(self, monkeypatch):
+        import jax
+        from bpldenoising_tpu.parallel import initialize_distributed
+        from bpldenoising_tpu.parallel import distributed as dist
+        for v in dist._CLUSTER_ENV_VARS:
+            monkeypatch.delenv(v, raising=False)
+        calls = {}
+
+        def fake_init(coordinator_address=None, num_processes=None,
+                      process_id=None):
+            calls["args"] = (coordinator_address, num_processes, process_id)
+
+        monkeypatch.setattr(jax.distributed, "initialize", fake_init)
+        assert initialize_distributed("1.2.3.4:99", 4, 0) is True
+        assert calls["args"] == ("1.2.3.4:99", 4, 0)
