@@ -43,6 +43,8 @@ from jax import lax
 from ..models import DenoiseModel, tv_model
 from ..ops import PatchOp
 from ..solvers.hypergrad import HypergradConfig, exact_hypergrad, reg_hypergrad
+from ..solvers.hypergrad_pallas import exact_hypergrad_pallas
+from ..solvers.pdps_pallas import _VMEM_LIMIT as _HG_VMEM_LIMIT
 from ..solvers.pdps import _denoise_pdps_impl
 from ..solvers.pdps_pallas import _pallas_impl
 
@@ -135,6 +137,14 @@ def _fused_impl(utrue, f, x0, *, model: DenoiseModel, pop: Optional[PatchOp],
         return u, (u, ys)
 
     want_maps = pop is not None
+    # fused-kernel hypergradient (scalar/vector α, VMEM-resident AL + CG):
+    # closes the last HBM-bound per-evaluation stage; per-shard local solve
+    # is exact under data parallelism (the system is block-diagonal across
+    # images — only cost and pullback psum)
+    _hg_planes = 7 + 6 * K + 4
+    use_pallas_hg = (backend == "pallas" and not want_maps
+                     and _hg_planes * f.size * jnp.dtype(dtype).itemsize
+                     <= _HG_VMEM_LIMIT // 2)
 
     def eval_lf(xflat, delta, state0, padjs):
         """``padjs = (p_exact, p_reg)``: the two gradient branches solve
@@ -151,10 +161,17 @@ def _fused_impl(utrue, f, x0, *, model: DenoiseModel, pop: Optional[PatchOp],
             cost = lax.psum(cost, axis_name)
         is_exact = delta > delta_t
         p_exact, p_reg = padjs
+        if use_pallas_hg:
+            def exact_branch(args):
+                return exact_hypergrad_pallas(*args, model, cfg, p0=p_exact,
+                                              interpret=interpret)
+        else:
+            def exact_branch(args):
+                return exact_hypergrad(*args, model, cfg, want_maps,
+                                       p0=p_exact)
         grads, p, _ = lax.cond(
             is_exact,
-            lambda args: exact_hypergrad(*args, model, cfg, want_maps,
-                                         p0=p_exact),
+            exact_branch,
             lambda args: reg_hypergrad(*args, model, cfg, want_maps,
                                        p0=p_reg),
             (u, utrue, alphas))

@@ -1,0 +1,216 @@
+"""Fused Pallas kernel for the augmented-Lagrangian exact hypergradient.
+
+:func:`bpldenoising_tpu.solvers.hypergrad.exact_hypergrad` runs its
+preconditioned CG through XLA with every iterate round-tripping HBM
+(~10 planes × batch per CG iteration).  This kernel keeps the whole AL
+iteration — active-set pieces, multipliers, CG workspace — VMEM-resident
+for the full solve: u and ū are read once, the adjoint p and the K scalar
+gradients are written once.  In the fused trust-region loop
+(:mod:`bpldenoising_tpu.bilevel.fused`) the hypergradient is one of the
+two per-evaluation device costs, so this closes the last HBM-bound stage
+of the flagship path.
+
+Semantics match ``exact_hypergrad`` exactly for scalar/vector α (the
+batched JOINT system: CG inner products reduce over the whole batch, the
+same joint solve the fused loop uses): same SPD operator
+M = I + Σₖ Gₖᵀ[μ·actₖ + inactₖ·αₖ·Hₖ]Gₖ, same Jacobi preconditioner from
+exact stencil Gram diagonals, same multiplier iteration λₖ ← λₖ + μ·actₖ·Gₖp,
+and the same relative-residual CG stop (‖r‖ ≤ tol·‖b‖, ``krylov.cg``).
+Patch parameters (per-pixel gradient maps) use the jnp path.
+
+Reference: the sparse-LU active-set system at
+``/root/reference/src/TVLearningFunctionVec.jl:98-135`` /
+``src/SumRegsLearningFunction.jl:264-327``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models import DenoiseModel
+from .hypergrad import HypergradConfig, _defaults
+from .krylov import KrylovInfo
+from .pdps_pallas import (_div_pair, _grad_pair, _gram_axis, _stencil_kind,
+                          _VMEM_LIMIT, make_masks)
+
+__all__ = ["exact_hypergrad_pallas", "hypergrad_pallas_supported"]
+
+
+def _hg_kernel(model: DenoiseModel, K: int, al_iters: int, cg_maxiter: int):
+    ops = model.ops
+    kinds = [_stencil_kind(op) for op in ops]
+
+    def kernel(scalars_ref, u_ref, utrue_ref, p0_ref,
+               g_out, p_out, stats_out):
+        u = u_ref[:]
+        utrue = utrue_ref[:]
+        dtype = u.dtype
+        masks = make_masks(u.shape)
+
+        act_tol = scalars_ref[0]
+        mu = scalars_ref[1]
+        cg_tol = scalars_ref[2]
+        alphas = [scalars_ref[3 + k] for k in range(K)]
+
+        # active-set pieces (persisted: Gu, act, inv_den per k)
+        pieces = []
+        for k in range(K):
+            Gux, Guy = _grad_pair(ops[k], u, masks)
+            nGu = jnp.sqrt(Gux * Gux + Guy * Guy)
+            act = (nGu < act_tol).astype(dtype)
+            inv_den = jnp.where(act > 0, 1.0, 1.0 / jnp.maximum(
+                nGu, jnp.asarray(jnp.finfo(dtype).tiny, dtype)))
+            pieces.append((k, Gux, Guy, act, inv_den))
+
+        def M_apply(p):
+            out = p
+            for k, Gux, Guy, act, inv_den in pieces:
+                Gpx, Gpy = _grad_pair(ops[k], p, masks)
+                dot3 = (Gux * Gpx + Guy * Gpy) * inv_den ** 3
+                inact = 1.0 - act
+                wx = mu * act * Gpx + inact * alphas[k] * (
+                    Gpx * inv_den - Gux * dot3)
+                wy = mu * act * Gpy + inact * alphas[k] * (
+                    Gpy * inv_den - Guy * dot3)
+                out = out + _div_pair(ops[k], wx, wy, masks)
+            return out
+
+        # Jacobi preconditioner from exact stencil Gram diagonals
+        diag = jnp.ones_like(u)
+        for k, Gux, Guy, act, inv_den in pieces:
+            inact = 1.0 - act
+            inv_den3 = inv_den ** 3
+            wdx = mu * act + inact * alphas[k] * (
+                inv_den - Gux * Gux * inv_den3)
+            wdy = mu * act + inact * alphas[k] * (
+                inv_den - Guy * Guy * inv_den3)
+            diag = diag + _gram_axis(kinds[k], wdx, -2, masks) \
+                        + _gram_axis(kinds[k], wdy, -1, masks)
+        inv_diag = 1.0 / diag
+
+        tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+
+        def cg_solve(b, p):
+            """krylov.cg semantics: preconditioned CG, stop at
+            ‖r‖ ≤ cg_tol·‖b‖ or cg_maxiter (squared-norm comparisons)."""
+            bb = jnp.maximum(jnp.sum(b * b), tiny)
+            stop2 = (cg_tol * cg_tol) * bb
+            r = b - M_apply(p)
+            z = inv_diag * r
+            d = z
+            rz = jnp.sum(r * z)
+
+            def cond(c):
+                p_, r_, z_, d_, rz_, it = c
+                return jnp.logical_and(it < cg_maxiter,
+                                       jnp.sum(r_ * r_) > stop2)
+
+            def body(c):
+                p_, r_, z_, d_, rz_, it = c
+                Md = M_apply(d_)
+                denom = jnp.sum(d_ * Md)
+                a = rz_ / jnp.where(denom == 0, 1.0, denom)
+                p_ = p_ + a * d_
+                r_ = r_ - a * Md
+                z_ = inv_diag * r_
+                rz_new = jnp.sum(r_ * z_)
+                beta = rz_new / jnp.where(rz_ == 0, 1.0, rz_)
+                d_ = z_ + beta * d_
+                return (p_, r_, z_, d_, rz_new, it + 1)
+
+            p, r, _, _, _, it = lax.while_loop(
+                cond, body, (p, r, z, d, rz, jnp.int32(0)))
+            return p, jnp.sum(r * r), bb, it
+
+        rhs0 = u - utrue
+        p = p0_ref[:]
+        lams = [(jnp.zeros_like(u), jnp.zeros_like(u)) for _ in range(K)]
+        rr = bb = jnp.asarray(0.0, dtype)
+        it = jnp.int32(0)
+        for i in range(max(1, al_iters)):   # static unroll
+            b = rhs0
+            for (k, _, _, act, _), (lx, ly) in zip(pieces, lams):
+                b = b - _div_pair(ops[k], act * lx, act * ly, masks)
+            p, rr, bb, it = cg_solve(b, p)
+            if i < max(1, al_iters) - 1:
+                new_lams = []
+                for (k, _, _, act, _), (lx, ly) in zip(pieces, lams):
+                    Gpx, Gpy = _grad_pair(ops[k], p, masks)
+                    new_lams.append((lx + mu * act * Gpx,
+                                     ly + mu * act * Gpy))
+                lams = new_lams
+
+        for k, Gux, Guy, act, inv_den in pieces:
+            inact = 1.0 - act
+            Gpx, Gpy = _grad_pair(ops[k], p, masks)
+            field_scale = inact * inv_den
+            g_out[k] = -jnp.sum(Gpx * Gux * field_scale
+                                + Gpy * Guy * field_scale)
+        p_out[:] = p
+        stats_out[0] = rr
+        stats_out[1] = bb
+        stats_out[2] = it.astype(dtype)
+
+    return kernel
+
+
+def hypergrad_pallas_supported(alphas) -> bool:
+    """The kernel covers scalar/vector α (per-pixel maps and gradient maps
+    route to the jnp path)."""
+    return all(jnp.ndim(a) == 0 for a in alphas)
+
+
+@functools.partial(jax.jit, static_argnames=("model", "cfg", "interpret"))
+def exact_hypergrad_pallas(u, utrue, alphas, model: DenoiseModel,
+                           cfg: HypergradConfig = HypergradConfig(),
+                           p0=None, interpret: bool = False):
+    """Drop-in for :func:`..solvers.hypergrad.exact_hypergrad` (scalar
+    gradients only, ``want_maps=False``) with the full AL iteration fused
+    into one VMEM-resident kernel.  Accepts the same (optionally batched)
+    ``u``/``utrue`` and returns ``(grads, p, KrylovInfo)``.
+    """
+    dtype = u.dtype
+    K = model.K
+    act_tol, mu, cg_tol = _defaults(dtype, cfg)
+    alphas = tuple(jnp.asarray(a, dtype) for a in alphas)
+    if not hypergrad_pallas_supported(alphas):
+        raise ValueError("pallas hypergradient covers scalar/vector α only")
+
+    # VMEM estimate: u, ū, p + CG (r, z, d, Md) + per-k persisted pieces
+    # (Gu 2, act, inv_den) + lams (2K) + temps (~4)
+    planes = 7 + 6 * K + 4
+    if planes * u.size * dtype.itemsize > _VMEM_LIMIT // 2:
+        raise ValueError("problem too large for the fused hypergradient "
+                         "kernel; use exact_hypergrad (jnp)")
+
+    scalars = jnp.concatenate(
+        [jnp.asarray([act_tol, mu, cg_tol], dtype), jnp.stack(alphas)])
+    p0 = jnp.zeros_like(u) if p0 is None else p0
+
+    grads, p, stats = pl.pallas_call(
+        _hg_kernel(model, K, int(cfg.al_iters), int(cfg.cg_maxiter)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+                 + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.SMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        out_shape=(jax.ShapeDtypeStruct((K,), dtype),
+                   jax.ShapeDtypeStruct(u.shape, dtype),
+                   jax.ShapeDtypeStruct((3,), dtype)),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=bool(interpret),
+    )(scalars, u, utrue, p0)
+
+    rr, bb, iters = stats[0], stats[1], stats[2]
+    resnorm = jnp.sqrt(rr)
+    # iters dtype mirrors krylov.cg's weak-int counter (int64 under x64)
+    info = KrylovInfo(iters.astype(jnp.result_type(int)), resnorm,
+                      resnorm <= cg_tol * jnp.sqrt(bb))
+    return tuple(grads[k] for k in range(K)), p, info

@@ -116,6 +116,38 @@ _STENCILS = {
 }
 
 
+# sentinels to dispatch _gram_axis on the stencil kind
+_STENCILS_FWD, _STENCILS_BWD, _STENCILS_CENT = "fwd", "bwd", "cent"
+
+
+def _gram_axis(kind, w, axis, masks):
+    """diag(Gₐᵀ diag(w) Gₐ) for one derivative component Gₐ (weights are
+    the squared stencil entries: 1 for fwd/bwd, ¼ for centered)."""
+    if kind is _STENCILS_FWD:
+        # (D⁺u)_i = u_{i+1} − u_i on i ≤ n−2: column j hit by rows j (not
+        # last) and j−1 (exists for j ≥ 1)
+        a = jnp.where(masks[(axis, "not_first")], _roll(w, 1, axis), 0.0)
+        b = jnp.where(masks[(axis, "not_last")], w, 0.0)
+        return a + b
+    if kind is _STENCILS_BWD:
+        # (D⁻u)_i = u_i − u_{i−1} on i ≥ 1: column j hit by rows j (j ≥ 1)
+        # and j+1 (j ≤ n−2)
+        a = jnp.where(masks[(axis, "not_first")], w, 0.0)
+        b = jnp.where(masks[(axis, "not_last")], _roll(w, -1, axis), 0.0)
+        return a + b
+    # centered: (Dᶜu)_i = (u_{i+1} − u_{i−1})/2 on interior i: column j hit
+    # by interior rows j−1 and j+1, squared weight ¼; boundary wrap terms
+    # vanish because q is zero outside the interior
+    q = jnp.where(masks[(axis, "interior")], w, 0.0)
+    return 0.25 * (_roll(q, 1, axis) + _roll(q, -1, axis))
+
+
+def _stencil_kind(op):
+    from ..ops.grad import BwdGradientOp, CenteredGradientOp, FwdGradientOp
+    return {FwdGradientOp: _STENCILS_FWD, BwdGradientOp: _STENCILS_BWD,
+            CenteredGradientOp: _STENCILS_CENT}[type(op)]
+
+
 def _grad_pair(op, u, m):
     """op.apply as two planes (gx, gy) each shaped like u."""
     fwd, _ = _STENCILS[type(op)]

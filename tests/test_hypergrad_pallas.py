@@ -1,0 +1,68 @@
+"""Fused AL-hypergradient kernel vs the jnp exact_hypergrad (interpret)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bpldenoising_tpu.models import sumregs_model, tv_model
+from bpldenoising_tpu.solvers.hypergrad import (HypergradConfig,
+                                                exact_hypergrad)
+from bpldenoising_tpu.solvers.hypergrad_pallas import (
+    exact_hypergrad_pallas, hypergrad_pallas_supported)
+from bpldenoising_tpu.solvers.pdps import denoise_pdps
+
+
+def problem(rng, n=16, O=3):
+    x, y = np.meshgrid(np.arange(n), np.arange(n))
+    clean = ((x - n / 2) ** 2 + (y - n / 2) ** 2 < (n / 3) ** 2).astype(float)
+    true_ = jnp.asarray(np.stack([clean] * O))
+    noisy = true_ + 0.1 * jnp.asarray(rng.standard_normal((O, n, n)))
+    return true_, noisy
+
+
+@pytest.mark.parametrize("model_fn,alphas", [
+    (tv_model, (0.08,)),
+    (sumregs_model, (0.05, 0.03, 0.01)),
+], ids=["tv", "sumregs"])
+def test_matches_jnp_exact(rng, model_fn, alphas):
+    model = model_fn()
+    true_, noisy = problem(rng)
+    u = denoise_pdps(noisy, alphas, model, maxiter=2000)
+    # budgets chosen so BOTH solvers converge — at a shared unconverged
+    # iteration cap the two CG paths differ by trajectory, not by math
+    cfg = HypergradConfig(al_iters=2, cg_maxiter=2000, cg_tol=1e-12)
+    al = tuple(jnp.asarray(a, u.dtype) for a in alphas)
+    g_ref, p_ref, info_ref = exact_hypergrad(u, true_, al, model, cfg)
+    g_pal, p_pal, info = exact_hypergrad_pallas(u, true_, al, model, cfg,
+                                                interpret=True)
+    assert bool(info_ref.converged) and bool(info.converged)
+    np.testing.assert_allclose(np.asarray(jnp.stack(g_pal)),
+                               np.asarray(jnp.stack(g_ref)), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(p_pal), np.asarray(p_ref),
+                               atol=1e-10)
+
+
+def test_warm_start_converges_faster(rng):
+    """al_iters=1 so the reported iteration count IS the (only) solve the
+    warm start accelerates (with multiplier updates the count reflects the
+    last AL solve, which already starts warm from the first)."""
+    model = tv_model()
+    true_, noisy = problem(rng)
+    u = denoise_pdps(noisy, (0.08,), model, maxiter=2000)
+    cfg = HypergradConfig(al_iters=1, cg_maxiter=2000, cg_tol=1e-10)
+    al = (jnp.asarray(0.08, u.dtype),)
+    _, p, info_cold = exact_hypergrad_pallas(u, true_, al, model, cfg,
+                                             interpret=True)
+    _, _, info_warm = exact_hypergrad_pallas(u, true_, al, model, cfg,
+                                             p0=p, interpret=True)
+    assert int(info_warm.iters) < int(info_cold.iters) // 10
+
+
+def test_map_alphas_unsupported(rng):
+    model = tv_model()
+    true_, noisy = problem(rng, O=1)
+    amap = jnp.full(noisy.shape[-2:], 0.08)
+    assert not hypergrad_pallas_supported((amap,))
+    with pytest.raises(ValueError, match="scalar/vector"):
+        exact_hypergrad_pallas(noisy, true_, (amap,), model,
+                               interpret=True)
