@@ -1,7 +1,9 @@
 from . import first_order_pallas
 from .first_order import (SingleLoopResult, single_loop_learn,
                           single_loop_sumregs_learn, single_loop_tv_learn)
-from .first_order_pallas import single_loop_pallas, single_loop_tv_pallas
+from .first_order_pallas import (single_loop_pallas,
+                                 single_loop_pallas_tiled,
+                                 single_loop_tv_pallas)
 from .fused import FusedResult, bilevel_learn_fused
 from .harness import BilevelState, LiveView, bilevel_iterate
 from .trust_region import BilevelResult, TRModel, bilevel_learn, dogleg_box
@@ -11,6 +13,7 @@ __all__ = [
     "bilevel_iterate", "BilevelState", "LiveView",
     "single_loop_tv_learn", "single_loop_learn", "single_loop_sumregs_learn",
     "SingleLoopResult", "single_loop_tv_pallas", "single_loop_pallas",
+    "single_loop_pallas_tiled",
     "first_order_pallas",
     "bilevel_learn_fused", "FusedResult",
 ]
