@@ -290,16 +290,19 @@ def _kernel(model: DenoiseModel, K: int, patch: bool, batched: bool,
 
 
 # Mosaic's scoped VMEM limit is raised to the shared _VMEM_LIMIT
-# (pdps_pallas — 100 MiB of v5e's 128 MiB/core) with ~2x headroom between
-# our naive live-plane estimate and the limit (Mosaic's stack allocator
-# measured ~2x the estimate on this kernel: 25.9 MiB actual for a
-# 12.8 MiB estimate in recompute mode at batch-10 K=3).  The
-# persistent-pieces form is only chosen inside the original 16 MiB
-# envelope: measured on v5e, past that point the recompute form is
-# FASTER (0.148 s vs 0.177 s at batch-10 K=3, host-sync timing) —
-# high VMEM pressure costs more than the recomputed stencils.
+# (pdps_pallas — 100 MiB of v5e's 128 MiB/core).  Mosaic's stack
+# allocator measured 2.0–2.6x our naive live-plane estimate on this
+# kernel (25.9 MiB actual for a 12.8 MiB estimate at batch-10 K=3;
+# 105.4 MiB for a 41 MiB estimate at batch-32 K=3 patch), so the
+# routing budget keeps ~2.8x headroom under the limit — problems past
+# it go to the batch-tiled kernel, which measured faster at that scale
+# anyway.  The persistent-pieces form is only chosen inside the
+# original 16 MiB envelope: measured on v5e, past that point the
+# recompute form is FASTER (0.148 s vs 0.177 s at batch-10 K=3,
+# host-sync timing) — VMEM pressure costs more than the recomputed
+# stencils.
 _PERSIST_BUDGET = 16 * 1024 * 1024
-_VMEM_BUDGET = _VMEM_LIMIT // 2
+_VMEM_BUDGET = 36 * 1024 * 1024
 
 
 def _vmem_planes(K: int, persist: bool) -> int:
@@ -410,8 +413,9 @@ def _impl(utrue, f, x0, *, model, outer, n_inner, n_adj, lr, gamma, tau0,
 
 
 def _tiled_kernel(model: DenoiseModel, K: int, outer: int, n_inner: int,
-                  n_adj: int, n_tiles: int, traj_is_cost: bool):
-    """Batch-tiled one-kernel learner (scalar/vector parameterizations).
+                  n_adj: int, n_tiles: int, traj_is_cost: bool,
+                  patch: bool):
+    """Batch-tiled one-kernel learner (all four parameterizations).
 
     Grid = (outer, batch tiles), executed sequentially on the TensorCore.
     Each grid step DMAs one tile's solver state (u, duals, adjoint) from an
@@ -432,12 +436,20 @@ def _tiled_kernel(model: DenoiseModel, K: int, outer: int, n_inner: int,
     """
     S = 2 * K + 2   # state planes per image: u, 2K duals, adjoint p
 
-    def kernel(scalars_ref, f_ref, utrue_ref, state_in, x_out,
-               traj_ref, state_hbm, st, zms_ref, gacc_ref, cacc_ref, sem):
-        # state_in is aliased to state_hbm (donated buffer): Mosaic only
-        # allocates VMEM/SMEM scratch, so the HBM-carried state is an
-        # ANY-space input/output pair instead; all access goes through
-        # the output ref.
+    def kernel(*refs):
+        scalars_ref, f_ref, utrue_ref = refs[0], refs[1], refs[2]
+        i = 3
+        if patch:
+            z0_refs = refs[i:i + K]
+            pr_ref, pc_ref = refs[i + K], refs[i + K + 1]
+            i += K + 2
+        state_in = refs[i]            # aliased to state_hbm (donated)
+        x_out = refs[i + 1]           # (K,) SMEM | (K, m, n) VMEM
+        traj_ref = refs[i + 2]
+        state_hbm, st, zms_ref, gacc_ref, cacc_ref, sem = refs[i + 3:]
+        # state_in is aliased to state_hbm: Mosaic only allocates
+        # VMEM/SMEM scratch, so the HBM-carried state is an ANY-space
+        # input/output pair; all access goes through the output ref.
         del state_in
         o = pl.program_id(0)
         b = pl.program_id(1)
@@ -454,27 +466,47 @@ def _tiled_kernel(model: DenoiseModel, K: int, outer: int, n_inner: int,
         beta2 = scalars_ref[5]
         eps = scalars_ref[6]
 
+        if patch:
+            Pr = pr_ref[:]            # (M, m) block indicator
+            Pc = pc_ref[:]            # (N, n)
+
+            def upsample(z):
+                return jnp.dot(Pr, jnp.dot(z, Pc.T,
+                                           preferred_element_type=dtype),
+                               preferred_element_type=dtype)
+
+            def block_sum(g):
+                return jnp.dot(Pr.T, jnp.dot(g, Pc,
+                                             preferred_element_type=dtype),
+                               preferred_element_type=dtype)
+
         pd_step, reg_pieces, cg_steps = _learner_math(
             model, masks, dtype, gamma, tau, sigma, persist=False)
 
         @pl.when((o == 0) & (b == 0))
         def _init_opt():
             for k in range(K):
-                zms_ref[0, k] = scalars_ref[_N_SCALARS + k]   # z = log x0
-                zms_ref[1, k] = 0.0                           # Adam m
-                zms_ref[2, k] = 0.0                           # Adam v
+                if patch:
+                    zms_ref[0, k] = z0_refs[k][:]             # log x0 plane
+                    zms_ref[1, k] = jnp.zeros_like(z0_refs[k][:])
+                    zms_ref[2, k] = jnp.zeros_like(z0_refs[k][:])
+                else:
+                    zms_ref[0, k] = scalars_ref[_N_SCALARS + k]
+                    zms_ref[1, k] = 0.0                       # Adam m
+                    zms_ref[2, k] = 0.0                       # Adam v
 
         @pl.when(b == 0)
         def _reset_accumulators():
             for k in range(K):
-                gacc_ref[k] = 0.0
+                gacc_ref[k] = (jnp.zeros_like(gacc_ref[k]) if patch
+                               else 0.0)
             cacc_ref[0] = 0.0
 
         @pl.when(o == 0)
         def _cold_state():
             st[0] = f
-            for i in range(1, S):
-                st[i] = jnp.zeros_like(f)
+            for i_ in range(1, S):
+                st[i_] = jnp.zeros_like(f)
 
         @pl.when(o > 0)
         def _load_state():
@@ -482,13 +514,17 @@ def _tiled_kernel(model: DenoiseModel, K: int, outer: int, n_inner: int,
             dma.start()
             dma.wait()
 
-        alphas = [jnp.exp(zms_ref[0, k]) for k in range(K)]
+        if patch:
+            # exp of block-constant upsample == upsample of exp
+            alphas = [jnp.exp(upsample(zms_ref[0, k])) for k in range(K)]
+        else:
+            alphas = [jnp.exp(zms_ref[0, k]) for k in range(K)]
         u = st[0]
-        ys = tuple(st[1 + i] for i in range(2 * K))
+        ys = tuple(st[1 + i_] for i_ in range(2 * K))
         p = st[1 + 2 * K]
 
         u, ys = lax.fori_loop(
-            0, n_inner, lambda i, c: pd_step(alphas, f, c), (u, ys))
+            0, n_inner, lambda i_, c: pd_step(alphas, f, c), (u, ys))
         piece, M_apply, inv_diag = reg_pieces(u, alphas)
         p = cg_steps(M_apply, inv_diag, utrue - u, p, n_adj)
 
@@ -496,13 +532,16 @@ def _tiled_kernel(model: DenoiseModel, K: int, outer: int, n_inner: int,
             op, _, a, Gux, Guy, act, inv_den = piece(k)
             Gpx, Gpy = _grad_pair(op, p, masks)
             wfield = act * inv_den + gamma * (1.0 - act)
-            gacc_ref[k] = gacc_ref[k] + jnp.sum(
-                (Gpx * Gux + Gpy * Guy) * wfield)
+            gmap = (Gpx * Gux + Gpy * Guy) * wfield
+            if patch:
+                gacc_ref[k] = gacc_ref[k] + block_sum(jnp.sum(gmap, axis=0))
+            else:
+                gacc_ref[k] = gacc_ref[k] + jnp.sum(gmap)
         cacc_ref[0] = cacc_ref[0] + 0.5 * jnp.sum((u - utrue) ** 2)
 
         st[0] = u
-        for i in range(2 * K):
-            st[1 + i] = ys[i]
+        for i_ in range(2 * K):
+            st[1 + i_] = ys[i_]
         st[1 + 2 * K] = p
         # the final u rides out in state plane 0 — no dedicated output
         dma = pltpu.make_async_copy(st, state_hbm.at[b], sem)
@@ -560,9 +599,7 @@ def _tiled_learn_impl(utrue, f, x0, *, model, outer, n_inner, n_adj, lr,
     dtype = f.dtype
     K = model.K
     x0 = jnp.asarray(x0, dtype)
-    if x0.ndim >= 2:
-        raise ValueError("tiled one-kernel learner covers scalar/vector "
-                         "parameterizations; use the jnp scan for patch")
+    patch = x0.ndim >= 2
     B, M, N = f.shape
     planes = _vmem_planes(K, persist=False) + (2 * K + 2)
     if planes * M * N * dtype.itemsize > _VMEM_BUDGET:
@@ -582,11 +619,29 @@ def _tiled_learn_impl(utrue, f, x0, *, model, outer, n_inner, n_adj, lr,
         f = jnp.pad(f, pad)
         utrue = jnp.pad(utrue, pad)
 
-    scalars = _nonpatch_scalars(model, x0, dtype, lr, gamma, tau0, sigma0,
+    extra_args = []
+    extra_in_specs = []
+    if patch:
+        if K == 1:
+            zplanes = [jnp.log(x0)]
+            m, n = x0.shape
+        else:
+            zplanes = [jnp.log(x0[..., k]) for k in range(K)]
+            m, n = x0.shape[:2]
+        rows = np.minimum(np.arange(M) * m // M, m - 1)
+        cols = np.minimum(np.arange(N) * n // N, n - 1)
+        Pr = jnp.asarray(np.eye(m, dtype=np.float64)[rows], dtype)
+        Pc = jnp.asarray(np.eye(n, dtype=np.float64)[cols], dtype)
+        extra_args = zplanes + [Pr, Pc]
+        extra_in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * (K + 2)
+        scalars = _base_scalars(model, dtype, lr, gamma, tau0, sigma0,
                                 beta1, beta2, eps)
+    else:
+        scalars = _nonpatch_scalars(model, x0, dtype, lr, gamma, tau0,
+                                    sigma0, beta1, beta2, eps)
 
     S = 2 * K + 2
-    traj_is_cost = K > 1
+    traj_is_cost = patch or K > 1
     grid = (int(outer), int(n_tiles))
     tile_spec = pl.BlockSpec((tile_b, M, N), lambda o, b: (b, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -596,23 +651,33 @@ def _tiled_learn_impl(utrue, f, x0, *, model, outer, n_inner, n_adj, lr,
     state0 = jnp.zeros((n_tiles, S, tile_b, M, N), dtype)
     any_spec = pl.BlockSpec(memory_space=pl.ANY)
 
+    if patch:
+        x_shape = jax.ShapeDtypeStruct((K, m, n), dtype)
+        x_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+        opt_scratch = [pltpu.VMEM((3, K, m, n), dtype),  # z, Adam m, v
+                       pltpu.VMEM((K, m, n), dtype)]     # grad accumulator
+    else:
+        x_shape = jax.ShapeDtypeStruct((K,), dtype)
+        x_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        opt_scratch = [pltpu.SMEM((3, K), dtype),
+                       pltpu.SMEM((K,), dtype)]
+
     x, traj, state = pl.pallas_call(
         _tiled_kernel(model, K, int(outer), int(n_inner), int(n_adj),
-                      int(n_tiles), traj_is_cost),
+                      int(n_tiles), traj_is_cost, patch),
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  tile_spec, tile_spec, any_spec],
-        out_specs=(pl.BlockSpec(memory_space=pltpu.SMEM),
+                  tile_spec, tile_spec] + extra_in_specs + [any_spec],
+        out_specs=(x_spec,
                    pl.BlockSpec(memory_space=pltpu.SMEM),
                    any_spec),
-        out_shape=(jax.ShapeDtypeStruct((K,), dtype),
+        out_shape=(x_shape,
                    jax.ShapeDtypeStruct((int(outer),), dtype),
                    jax.ShapeDtypeStruct(state0.shape, dtype)),
-        input_output_aliases={3: 2},
+        input_output_aliases={3 + len(extra_args): 2},
         scratch_shapes=[
             pltpu.VMEM((S, tile_b, M, N), dtype),        # working tile
-            pltpu.SMEM((3, K), dtype),                   # z, Adam m, v
-            pltpu.SMEM((K,), dtype),                     # grad accumulator
+        ] + opt_scratch + [
             pltpu.SMEM((1,), dtype),                     # cost accumulator
             pltpu.SemaphoreType.DMA(()),
         ],
@@ -620,8 +685,11 @@ def _tiled_learn_impl(utrue, f, x0, *, model, outer, n_inner, n_adj, lr,
             dimension_semantics=("arbitrary", "arbitrary"),
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=bool(interpret),
-    )(scalars, f, utrue, state0)
-    x = x[0] if K == 1 else x
+    )(scalars, f, utrue, *extra_args, state0)
+    if patch:
+        x = x[0] if K == 1 else jnp.moveaxis(x, 0, -1)
+    else:
+        x = x[0] if K == 1 else x
     # the final reconstruction is state plane 0 — no dedicated output
     # (saves one (B, M, N) HBM write per grid step)
     u = state[:, 0].reshape(B_pad, M, N)
@@ -637,12 +705,17 @@ def single_loop_pallas_tiled(utrue, f, x0, model: DenoiseModel = None, *,
                              tile_b: int | None = None,
                              interpret: bool = False):
     """Batch-tiled one-kernel single-loop learner: any batch size
-    (HBM-bound), scalar or (K,)-vector parameterization.
+    (HBM-bound), all four parameterizations (scalar / patch / vector /
+    patch-stack ``x0``).
 
     Same algorithm as :func:`single_loop_pallas`; solver state for tiles
     not currently being advanced lives in an HBM scratch buffer and is
     DMA'd in/out per (outer step, tile) — ~(2K+2) plane copies each way
     against ``n_inner`` full PD sweeps of compute, a few percent overhead.
+    Patch optimizer state (log-parameter planes, Adam moments, gradient
+    accumulators) persists in VMEM scratch across grid steps; up/down-
+    sampling runs as the same MXU block-indicator matmuls the resident
+    kernel uses.
     """
     model = model if model is not None else _TV
     utrue = jnp.asarray(utrue)
@@ -675,10 +748,10 @@ def single_loop_pallas(utrue, f, x0, model: DenoiseModel = None, *,
     VMEM peak → larger batch×K fits in one kernel).  ``None`` picks the
     fastest form that fits the VMEM budget.
 
-    Scalar/vector problems whose whole-batch state exceeds even the
-    recompute budget route to :func:`single_loop_pallas_tiled`
-    automatically (per-tile CG dots — see its docstring); only patch
-    parameterizations past the budget must fall back to the jnp scan.
+    Problems whose whole-batch state exceeds even the recompute budget
+    route to :func:`single_loop_pallas_tiled` automatically (per-tile CG
+    dots — see its docstring); only a single image too large for one tile
+    raises.
 
     Returns ``(x, u, traj)``; ``traj`` is the α trajectory for scalar TV
     (back-compat) and the cost trajectory otherwise.
@@ -689,15 +762,21 @@ def single_loop_pallas(utrue, f, x0, model: DenoiseModel = None, *,
     squeeze = f.ndim == 2
     if squeeze:
         utrue, f = utrue[None], f[None]
-    if persist is None and jnp.asarray(x0).ndim < 2:
+    x0a = jnp.asarray(x0)
+    if persist is None:
         K = model.K
         M, N = f.shape[-2:]
+        if x0a.ndim >= 2:
+            m_, n_ = x0a.shape if K == 1 else x0a.shape[:2]
+            extra = (M * m_ + N * n_ + 5 * K * m_ * n_) * f.dtype.itemsize
+        else:
+            extra = 0
         # one tile (single image) must itself fit VMEM — the tiled kernel
         # tiles the batch, not the image plane
         tile_bytes = ((_vmem_planes(K, False) + 2 * K + 2)
                       * M * N * f.dtype.itemsize)
         try:
-            _choose_persist(f, K, 0)
+            _choose_persist(f, K, extra)
         except ValueError:
             if tile_bytes <= _VMEM_BUDGET:
                 return single_loop_pallas_tiled(

@@ -37,15 +37,14 @@ def test_single_image(rng):
 
 
 def test_vmem_guard_raises_for_large_problems(rng):
-    """Scalar/vector batches beyond VMEM now auto-route to the tiled
-    kernel; only a single image too large for one tile (the tiled kernel
-    tiles the batch, not the plane) or an oversized patch problem raise."""
+    """Batches beyond VMEM auto-route to the tiled kernel; only a single
+    image too large for one tile (the tiled kernel tiles the batch, not
+    the plane) raises — for any parameterization."""
     huge = jnp.zeros((1, 4096, 4096))
     with pytest.raises(ValueError, match="too large"):
         single_loop_tv_pallas(huge, huge, interpret=True)
-    big = jnp.zeros((64, 256, 256))
     with pytest.raises(ValueError, match="too large"):
-        single_loop_pallas(big, big, jnp.full((2, 2), 0.02), tv_model(),
+        single_loop_pallas(huge, huge, jnp.full((2, 2), 0.02), tv_model(),
                            interpret=True)
 
 
@@ -156,10 +155,11 @@ def test_auto_persist_fits_faces_sumregs():
     assert _choose_persist(f, K=3, extra_patch_bytes=0) is False
     # scalar TV at the same size keeps the fast persistent form
     assert _choose_persist(f, K=1, extra_patch_bytes=0) is True
-    f32 = jnp.zeros((32, 128, 128), jnp.float32)
-    assert _choose_persist(f32, K=3, extra_patch_bytes=0) is False
+    f16 = jnp.zeros((16, 128, 128), jnp.float32)
+    assert _choose_persist(f16, K=3, extra_patch_bytes=0) is False
+    # past the resident budget the caller routes to the tiled kernel
     with pytest.raises(ValueError, match="too large"):
-        _choose_persist(jnp.zeros((64, 128, 128), jnp.float32), K=3,
+        _choose_persist(jnp.zeros((32, 128, 128), jnp.float32), K=3,
                         extra_patch_bytes=0)
 
 
@@ -247,11 +247,36 @@ class TestTiledLearner:
         np.testing.assert_allclose(np.asarray(x2), np.asarray(ref2.alpha),
                                    rtol=5e-3)
 
-    def test_patch_rejected(self, rng):
-        utrue, f = small_ds(rng, O=2)
-        with pytest.raises(ValueError, match="scalar/vector"):
-            single_loop_pallas_tiled(utrue, f, jnp.full((2, 2), 0.02),
-                                     tv_model(), interpret=True)
+    @pytest.mark.parametrize("model_fn,x0_fn", [
+        (tv_model, lambda: jnp.full((2, 2), 0.02)),
+        (sumregs_model, lambda: jnp.full((2, 2, 3), 0.02)),
+    ], ids=["tv-patch", "sumregs-patch"])
+    def test_patch_single_tile_matches_scan(self, rng, model_fn, x0_fn):
+        """Patch parameterizations run in the tiled kernel too; a single
+        tile matches the scan oracle to roundoff."""
+        utrue, f = small_ds(rng, O=4)
+        model, x0 = model_fn(), x0_fn()
+        kw = dict(outer=20, n_inner=8, n_adj=4, lr=0.05)
+        ref = single_loop_learn(utrue, f, x0, model, **kw)
+        x, u, traj = single_loop_pallas_tiled(
+            utrue, f, x0, model, tile_b=4, interpret=True, **kw)
+        np.testing.assert_allclose(np.asarray(x), np.asarray(ref.alpha),
+                                   rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(u), np.asarray(ref.u),
+                                   atol=1e-10)
+        np.testing.assert_allclose(np.asarray(traj),
+                                   np.asarray(ref.cost_trajectory),
+                                   rtol=1e-10)
+
+    def test_patch_multi_tile_converges(self, rng):
+        utrue, f = small_ds(rng, O=4)
+        x0 = jnp.full((2, 2), 0.02)
+        kw = dict(outer=30, n_inner=10, n_adj=15, lr=0.05)
+        ref = single_loop_learn(utrue, f, x0, tv_model(), **kw)
+        x, _, _ = single_loop_pallas_tiled(
+            utrue, f, x0, tv_model(), tile_b=2, interpret=True, **kw)
+        np.testing.assert_allclose(np.asarray(x), np.asarray(ref.alpha),
+                                   rtol=5e-3)
 
 
 def test_explicit_persist_still_guarded(rng):
