@@ -55,6 +55,21 @@ def _bc(m):
     return m[..., None, :, :]
 
 
+def _check_positive_x0(x0):
+    """The parameter lives in log space (x = exp(z)); zero or negative
+    entries silently degenerate (log 0 = -inf freezes the parameter at 0,
+    negatives poison everything with NaN), so reject them up front.
+    No-op on traced values (entry points receive concrete x0)."""
+    try:
+        bad = bool(jnp.any(jnp.asarray(x0) <= 0))
+    except Exception:
+        return
+    if bad:
+        raise ValueError(
+            "x0 must be strictly positive: the parameter is optimized in "
+            "log space, so 0 freezes it and negatives produce NaN")
+
+
 def _param_layout(model: DenoiseModel, x0, image_shape):
     """→ (pop, split) where split maps a parameter pytree to K per-image α
     (scalar or map) and back-projects per-k gradient maps."""
@@ -257,6 +272,7 @@ def single_loop_learn(utrue, f, x0, model: DenoiseModel, *,
     if squeeze:
         utrue, f = utrue[None], f[None]
     x0 = jnp.asarray(x0, utrue.dtype)
+    _check_positive_x0(x0)
     pop, param_shape = _param_layout(model, x0, f.shape[-2:])
     kw = dict(model=model, outer=int(outer), n_inner=int(n_inner),
               n_adj=int(n_adj), pop=pop, param_shape=param_shape, lr=lr,

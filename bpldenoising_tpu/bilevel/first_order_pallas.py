@@ -33,6 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..models import DenoiseModel, sumregs_model, tv_model
+from .first_order import _check_positive_x0
 from ..solvers.pdps_pallas import (_div_pair, _grad_pair, _gram_axis,
                                    _stencil_kind, _VMEM_LIMIT,
                                    make_masks)
@@ -146,6 +147,34 @@ def _learner_math(model: DenoiseModel, masks, dtype, gamma, tau, sigma,
         return p
 
     return pd_step, reg_pieces, cg_steps
+
+
+def _patch_operators(x0, K: int, M: int, N: int, dtype):
+    """Patch log-planes + 0/1 block-indicator matrices (PatchOp as MXU
+    matmuls) — shared by the resident and tiled kernels."""
+    if K == 1:
+        zplanes = [jnp.log(x0)]
+        m, n = x0.shape
+    else:
+        zplanes = [jnp.log(x0[..., k]) for k in range(K)]
+        m, n = x0.shape[:2]
+    rows = np.minimum(np.arange(M) * m // M, m - 1)
+    cols = np.minimum(np.arange(N) * n // N, n - 1)
+    Pr = jnp.asarray(np.eye(m, dtype=np.float64)[rows], dtype)
+    Pc = jnp.asarray(np.eye(n, dtype=np.float64)[cols], dtype)
+    return zplanes, Pr, Pc, m, n
+
+
+def _patch_extra_bytes(M: int, N: int, m: int, n: int, K: int,
+                       itemsize: int) -> int:
+    """VMEM bytes of the patch-side state: Pr/Pc indicator matrices plus
+    ~5 (m, n) planes per k (z inputs + z/m/v/gacc scratch + temps).  The
+    single source of truth for every guard and routing estimate."""
+    return (M * m + N * n + 5 * K * m * n) * itemsize
+
+
+def _patch_dims(x0, K: int):
+    return x0.shape if K == 1 else x0.shape[:2]
 
 
 def _base_scalars(model: DenoiseModel, dtype, lr, gamma, tau0, sigma0,
@@ -347,20 +376,10 @@ def _impl(utrue, f, x0, *, model, outer, n_inner, n_adj, lr, gamma, tau0,
     args = [f, utrue]
     extra_bytes = 0
     if patch:
-        if K == 1:
-            zplanes = [jnp.log(x0)]
-            m, n = x0.shape
-        else:
-            zplanes = [jnp.log(x0[..., k]) for k in range(K)]
-            m, n = x0.shape[:2]
-        # 0/1 block-indicator matrices (PatchOp as MXU matmuls)
-        rows = np.minimum(np.arange(M) * m // M, m - 1)
-        cols = np.minimum(np.arange(N) * n // N, n - 1)
-        Pr = jnp.asarray(np.eye(m, dtype=np.float64)[rows], dtype)
-        Pc = jnp.asarray(np.eye(n, dtype=np.float64)[cols], dtype)
+        zplanes, Pr, Pc, m, n = _patch_operators(x0, K, M, N, dtype)
         args += zplanes + [Pr, Pc]
         in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * (K + 2)
-        extra_bytes = (M * m + N * n + 5 * K * m * n) * dtype.itemsize
+        extra_bytes = _patch_extra_bytes(M, N, m, n, K, dtype.itemsize)
         scalars = _base_scalars(model, dtype, lr, gamma, tau0, sigma0,
                                 beta1, beta2, eps)
     else:
@@ -602,10 +621,14 @@ def _tiled_learn_impl(utrue, f, x0, *, model, outer, n_inner, n_adj, lr,
     patch = x0.ndim >= 2
     B, M, N = f.shape
     planes = _vmem_planes(K, persist=False) + (2 * K + 2)
-    if planes * M * N * dtype.itemsize > _VMEM_BUDGET:
+    tile1_bytes = planes * M * N * dtype.itemsize
+    if patch:
+        m_, n_ = _patch_dims(x0, K)
+        tile1_bytes += _patch_extra_bytes(M, N, m_, n_, K, dtype.itemsize)
+    if tile1_bytes > _VMEM_BUDGET:
         raise ValueError(
             "problem too large for the tiled one-kernel learner (a single "
-            f"image's tile needs ~{planes * M * N * dtype.itemsize >> 20} "
+            f"image's tile needs ~{tile1_bytes >> 20} "
             "MiB of VMEM; batch tiling cannot split the image plane); use "
             "bilevel.single_loop_learn (jnp scan)")
     if tile_b is None:
@@ -622,16 +645,7 @@ def _tiled_learn_impl(utrue, f, x0, *, model, outer, n_inner, n_adj, lr,
     extra_args = []
     extra_in_specs = []
     if patch:
-        if K == 1:
-            zplanes = [jnp.log(x0)]
-            m, n = x0.shape
-        else:
-            zplanes = [jnp.log(x0[..., k]) for k in range(K)]
-            m, n = x0.shape[:2]
-        rows = np.minimum(np.arange(M) * m // M, m - 1)
-        cols = np.minimum(np.arange(N) * n // N, n - 1)
-        Pr = jnp.asarray(np.eye(m, dtype=np.float64)[rows], dtype)
-        Pc = jnp.asarray(np.eye(n, dtype=np.float64)[cols], dtype)
+        zplanes, Pr, Pc, m, n = _patch_operators(x0, K, M, N, dtype)
         extra_args = zplanes + [Pr, Pc]
         extra_in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * (K + 2)
         scalars = _base_scalars(model, dtype, lr, gamma, tau0, sigma0,
@@ -718,6 +732,7 @@ def single_loop_pallas_tiled(utrue, f, x0, model: DenoiseModel = None, *,
     kernel uses.
     """
     model = model if model is not None else _TV
+    _check_positive_x0(x0)
     utrue = jnp.asarray(utrue)
     f = jnp.asarray(f, utrue.dtype)
     squeeze = f.ndim == 2
@@ -757,6 +772,7 @@ def single_loop_pallas(utrue, f, x0, model: DenoiseModel = None, *,
     (back-compat) and the cost trajectory otherwise.
     """
     model = model if model is not None else _TV
+    _check_positive_x0(x0)
     utrue = jnp.asarray(utrue)
     f = jnp.asarray(f, utrue.dtype)
     squeeze = f.ndim == 2
@@ -767,14 +783,14 @@ def single_loop_pallas(utrue, f, x0, model: DenoiseModel = None, *,
         K = model.K
         M, N = f.shape[-2:]
         if x0a.ndim >= 2:
-            m_, n_ = x0a.shape if K == 1 else x0a.shape[:2]
-            extra = (M * m_ + N * n_ + 5 * K * m_ * n_) * f.dtype.itemsize
+            m_, n_ = _patch_dims(x0a, K)
+            extra = _patch_extra_bytes(M, N, m_, n_, K, f.dtype.itemsize)
         else:
             extra = 0
         # one tile (single image) must itself fit VMEM — the tiled kernel
-        # tiles the batch, not the image plane
+        # tiles the batch, not the image plane; patch scratch counts too
         tile_bytes = ((_vmem_planes(K, False) + 2 * K + 2)
-                      * M * N * f.dtype.itemsize)
+                      * M * N * f.dtype.itemsize) + extra
         try:
             _choose_persist(f, K, extra)
         except ValueError:

@@ -42,6 +42,7 @@ from jax import lax
 
 from ..models import DenoiseModel, tv_model
 from ..ops import PatchOp
+from .first_order import _check_positive_x0, _param_layout
 from ..solvers.hypergrad import HypergradConfig, exact_hypergrad, reg_hypergrad
 from ..solvers.hypergrad_pallas import exact_hypergrad_pallas
 from ..solvers.pdps_pallas import _VMEM_LIMIT as _HG_VMEM_LIMIT
@@ -58,22 +59,6 @@ class FusedResult(NamedTuple):
     g_norm: jnp.ndarray
     iterations: jnp.ndarray  # outer iterations actually run
     log: jnp.ndarray         # (maxiter, 4): cost, ‖g‖, Δ, ‖accepted step‖
-
-
-def _param_layout(model: DenoiseModel, x0, image_shape):
-    """Parameter shape → optional PatchOp (same contract as
-    first_order._param_layout)."""
-    x0 = jnp.asarray(x0)
-    K = model.K
-    if K == 1 and x0.ndim == 0:
-        return None
-    if K == 1 and x0.ndim == 2:
-        return PatchOp(tuple(x0.shape), tuple(image_shape))
-    if K > 1 and x0.ndim == 1 and x0.shape[0] == K:
-        return None
-    if K > 1 and x0.ndim == 3 and x0.shape[-1] == K:
-        return PatchOp(tuple(x0.shape[:2]), tuple(image_shape))
-    raise ValueError(f"unsupported parameter shape {x0.shape} for K={K}")
 
 
 @functools.partial(
@@ -323,7 +308,8 @@ def bilevel_learn_fused(ds, *, xinit, params, model: DenoiseModel = None,
         utrue, f = utrue[None], f[None]
     model = model if model is not None else tv_model()
     x0 = jnp.asarray(xinit, f.dtype)
-    pop = _param_layout(model, x0, f.shape[-2:])
+    _check_positive_x0(x0)
+    pop, _ = _param_layout(model, x0, f.shape[-2:])
     kw = dict(
         model=model, pop=pop, param_shape=tuple(x0.shape),
         maxiter=int(params.maxiter), tol=float(params.get("tol", 0.0)),

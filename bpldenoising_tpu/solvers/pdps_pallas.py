@@ -478,6 +478,17 @@ def _tiled_impl(f, alphas, state0=None, *, model, tau0, sigma0, gamma,
         # stopping criterion matches the batch-kernel/jnp granularity
         # instead of the much-stricter per-T-iteration change
         q = max(1, round(check_every / T))
+        # the tiled layout duplicates halo rows and carries padded rows
+        # past M (which evolve nonzero through the boundary stencils) —
+        # count each valid image row exactly once, like the batch kernel
+        ridx = np.arange(rows)
+        owned = (ridx >= H) & (ridx < H + tile_rows)
+        gl = (np.arange(n_tiles)[:, None] * tile_rows + (ridx - H)[None, :])
+        w_np = (owned[None, :] & (gl < M)).astype(np.float64)
+        w_valid = jnp.asarray(w_np[None, :, :, None], dtype)  # (1,nt,rows,1)
+
+        def _masked_sum(t4):
+            return jnp.sum(w_valid * t4)
 
         def cond(c):
             _, _, _, _, _, r, delta = c
@@ -488,8 +499,10 @@ def _tiled_impl(f, alphas, state0=None, *, model, tau0, sigma0, gamma,
             u_new, planes_t, tau, sigma = run_chunk(kernel, u_t, planes_t,
                                                     tau, sigma, T)
             check = (r + 1) % q == 0
-            num = jnp.sum((u_new - u_snap) ** 2)
-            den = jnp.maximum(jnp.sum(u_new ** 2),
+            u4 = u_new.reshape(O, n_tiles, rows, N)
+            s4 = u_snap.reshape(O, n_tiles, rows, N)
+            num = _masked_sum((u4 - s4) ** 2)
+            den = jnp.maximum(_masked_sum(u4 ** 2),
                               jnp.asarray(1e-24, dtype))
             delta = jnp.where(check, jnp.sqrt(num / den), delta)
             u_snap = jnp.where(check, u_new, u_snap)

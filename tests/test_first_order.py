@@ -108,3 +108,30 @@ class TestOptaxIntegration:
         assert np.isfinite(float(res.alpha)) and float(res.alpha) > 0
         costs = np.asarray(res.cost_trajectory)
         assert costs[-1] < costs[0]
+
+
+def test_nonpositive_x0_rejected(rng):
+    """log-space parameterization: zero/negative x0 silently degenerates,
+    so every single-loop entry point rejects it up front."""
+    import pytest
+    from bpldenoising_tpu.bilevel.first_order import single_loop_learn
+    from bpldenoising_tpu.bilevel.first_order_pallas import (
+        single_loop_pallas, single_loop_pallas_tiled)
+    from bpldenoising_tpu.bilevel.fused import bilevel_learn_fused
+    from bpldenoising_tpu.models import tv_model
+    from bpldenoising_tpu.utils.config import Params
+    utrue = jnp.zeros((2, 8, 8))
+    f = jnp.zeros((2, 8, 8))
+    for bad in (0.0, -0.1, jnp.asarray([0.1, 0.0, 0.1])):
+        with pytest.raises(ValueError, match="strictly positive"):
+            single_loop_learn(utrue, f, bad, tv_model())
+        with pytest.raises(ValueError, match="strictly positive"):
+            single_loop_pallas(utrue, f, bad, tv_model(), interpret=True)
+        with pytest.raises(ValueError, match="strictly positive"):
+            single_loop_pallas_tiled(utrue, f, bad, tv_model(),
+                                     interpret=True)
+    params = Params(eta1=0.25, eta2=0.75, beta1=0.25, beta2=1.9,
+                    delta0=0.1, maxiter=1, tol=1e-8, verbose_iter=0)
+    with pytest.raises(ValueError, match="strictly positive"):
+        bilevel_learn_fused((utrue, f), xinit=-0.1, params=params,
+                            inner_maxiter=5, backend="jnp")

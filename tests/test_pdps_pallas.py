@@ -307,3 +307,22 @@ def test_resident_budget_routing():
     assert pp._vmem_chunk(1, 2048, 2048, 1, 4,
                           budget=pp._RESIDENT_BUDGET) == 0
     assert _tile_plan(2048, 2048, 1, 4) is not None
+
+
+def test_tiled_early_stop_mask_excludes_pad_and_halo(rng):
+    """The tiled tol criterion must measure only owned, in-image rows —
+    a padded-rows case (M not divisible by the tile) must stop at the
+    same outcome as the jnp criterion on the assembled image."""
+    import bpldenoising_tpu.solvers.pdps_pallas as pp
+    model = tv_model()
+    f = noisy(rng, shape=(44, 16))     # 44 rows, tile 16 -> 4 pad rows
+    u_ref = denoise_pdps(f, (0.1,), model, maxiter=400, tol=1e-7,
+                         check_every=50)
+    u = pp._tiled_impl(
+        jnp.asarray(f)[None] if jnp.asarray(f).ndim == 2 else f,
+        (jnp.asarray(0.1, f.dtype),), None, model=model, tau0=5.0,
+        sigma0=0.99 / 5.0, gamma=1.0, maxiter=400, accel=True,
+        interpret=True, tol=1e-7, check_every=50, tile_rows=16,
+        chunk_iters=4, return_state=False)
+    np.testing.assert_allclose(np.asarray(u[0]), np.asarray(u_ref),
+                               atol=5e-7)
