@@ -44,7 +44,8 @@ from ..models import DenoiseModel, tv_model
 from ..ops import PatchOp
 from .first_order import _check_positive_x0, _param_layout
 from ..solvers.hypergrad import HypergradConfig, exact_hypergrad, reg_hypergrad
-from ..solvers.hypergrad_pallas import exact_hypergrad_pallas
+from ..solvers.hypergrad_pallas import (exact_hypergrad_pallas,
+                                        hypergrad_vmem_planes)
 from ..solvers.pdps_pallas import _VMEM_LIMIT as _HG_VMEM_LIMIT
 from ..solvers.pdps import _denoise_pdps_impl
 from ..solvers.pdps_pallas import _pallas_impl
@@ -122,12 +123,14 @@ def _fused_impl(utrue, f, x0, *, model: DenoiseModel, pop: Optional[PatchOp],
         return u, (u, ys)
 
     want_maps = pop is not None
-    # fused-kernel hypergradient (scalar/vector α, VMEM-resident AL + CG):
-    # closes the last HBM-bound per-evaluation stage; per-shard local solve
-    # is exact under data parallelism (the system is block-diagonal across
-    # images — only cost and pullback psum)
-    _hg_planes = 7 + 6 * K + 4
-    use_pallas_hg = (backend == "pallas" and not want_maps
+    # fused-kernel hypergradient (VMEM-resident AL + CG) for every
+    # parameterization: closes the last HBM-bound per-evaluation stage;
+    # per-shard local solve is exact under data parallelism (the system is
+    # block-diagonal across images — only cost and pullback psum).  Patch
+    # parameters pass upsampled (M, N) α maps and get per-image gradient
+    # maps back (the PatchOp pullback stays outside, two tiny matmuls).
+    _hg_planes = hypergrad_vmem_planes(K, K if want_maps else 0, want_maps)
+    use_pallas_hg = (backend == "pallas"
                      and _hg_planes * f.size * jnp.dtype(dtype).itemsize
                      <= _HG_VMEM_LIMIT // 2)
 
@@ -148,7 +151,8 @@ def _fused_impl(utrue, f, x0, *, model: DenoiseModel, pop: Optional[PatchOp],
         p_exact, p_reg = padjs
         if use_pallas_hg:
             def exact_branch(args):
-                return exact_hypergrad_pallas(*args, model, cfg, p0=p_exact,
+                return exact_hypergrad_pallas(*args, model, cfg, want_maps,
+                                              p0=p_exact,
                                               interpret=interpret)
         else:
             def exact_branch(args):

@@ -42,12 +42,16 @@ from .pdps_pallas import (_div_pair, _grad_pair, _gram_axis, _stencil_kind,
 __all__ = ["exact_hypergrad_pallas", "hypergrad_pallas_supported"]
 
 
-def _hg_kernel(model: DenoiseModel, K: int, al_iters: int, cg_maxiter: int):
+def _hg_kernel(model: DenoiseModel, K: int, al_iters: int, cg_maxiter: int,
+               alpha_is_map, want_maps: bool):
     ops = model.ops
     kinds = [_stencil_kind(op) for op in ops]
+    n_maps = sum(alpha_is_map)
 
-    def kernel(scalars_ref, u_ref, utrue_ref, p0_ref,
-               g_out, p_out, stats_out):
+    def kernel(*refs):
+        scalars_ref, u_ref, utrue_ref, p0_ref = refs[:4]
+        amap_refs = refs[4:4 + n_maps]
+        g_out, p_out, stats_out = refs[4 + n_maps:]
         u = u_ref[:]
         utrue = utrue_ref[:]
         dtype = u.dtype
@@ -56,7 +60,15 @@ def _hg_kernel(model: DenoiseModel, K: int, al_iters: int, cg_maxiter: int):
         act_tol = scalars_ref[0]
         mu = scalars_ref[1]
         cg_tol = scalars_ref[2]
-        alphas = [scalars_ref[3 + k] for k in range(K)]
+        alphas = []
+        i_s, i_m = 3, 0
+        for is_map in alpha_is_map:
+            if is_map:
+                alphas.append(amap_refs[i_m][:])   # (M, N), broadcasts
+                i_m += 1
+            else:
+                alphas.append(scalars_ref[i_s])
+                i_s += 1
 
         # active-set pieces (persisted: Gu, act, inv_den per k)
         pieces = []
@@ -150,8 +162,11 @@ def _hg_kernel(model: DenoiseModel, K: int, al_iters: int, cg_maxiter: int):
             inact = 1.0 - act
             Gpx, Gpy = _grad_pair(ops[k], p, masks)
             field_scale = inact * inv_den
-            g_out[k] = -jnp.sum(Gpx * Gux * field_scale
-                                + Gpy * Guy * field_scale)
+            gmap = -(Gpx * Gux * field_scale + Gpy * Guy * field_scale)
+            if want_maps:
+                g_out[k] = gmap        # per-image maps (caller pulls back)
+            else:
+                g_out[k] = jnp.sum(gmap)
         p_out[:] = p
         stats_out[0] = rr
         stats_out[1] = bb
@@ -160,53 +175,76 @@ def _hg_kernel(model: DenoiseModel, K: int, al_iters: int, cg_maxiter: int):
     return kernel
 
 
+def hypergrad_vmem_planes(K: int, n_maps: int, want_maps: bool) -> int:
+    """Live-plane estimate: u, ū, p + CG (r, z, d, Md) + per-k persisted
+    pieces (Gu 2, act, inv_den) + lams (2K) + temps (~4) + α maps and
+    per-k gradient-map outputs when requested."""
+    return 7 + 6 * K + 4 + n_maps + (K if want_maps else 0)
+
+
 def hypergrad_pallas_supported(alphas) -> bool:
-    """The kernel covers scalar/vector α (per-pixel maps and gradient maps
-    route to the jnp path)."""
-    return all(jnp.ndim(a) == 0 for a in alphas)
+    """True when every α is a scalar or a full-size per-pixel map (patch
+    parameters must be upsampled by the caller, as in the learning
+    functions and the fused loop)."""
+    return all(jnp.ndim(a) in (0, 2) for a in alphas)
 
 
-@functools.partial(jax.jit, static_argnames=("model", "cfg", "interpret"))
+@functools.partial(jax.jit, static_argnames=("model", "cfg", "want_maps",
+                                             "interpret"))
 def exact_hypergrad_pallas(u, utrue, alphas, model: DenoiseModel,
                            cfg: HypergradConfig = HypergradConfig(),
+                           want_maps: bool = False,
                            p0=None, interpret: bool = False):
-    """Drop-in for :func:`..solvers.hypergrad.exact_hypergrad` (scalar
-    gradients only, ``want_maps=False``) with the full AL iteration fused
-    into one VMEM-resident kernel.  Accepts the same (optionally batched)
-    ``u``/``utrue`` and returns ``(grads, p, KrylovInfo)``.
+    """Drop-in for :func:`..solvers.hypergrad.exact_hypergrad` with the
+    full AL iteration fused into one VMEM-resident kernel.  Accepts the
+    same (optionally batched) ``u``/``utrue``, scalar or full-size-map α,
+    and ``want_maps`` (per-image per-pixel gradient maps, for patch
+    parameters); returns ``(grads, p, KrylovInfo)``.
     """
     dtype = u.dtype
     K = model.K
     act_tol, mu, cg_tol = _defaults(dtype, cfg)
     alphas = tuple(jnp.asarray(a, dtype) for a in alphas)
     if not hypergrad_pallas_supported(alphas):
-        raise ValueError("pallas hypergradient covers scalar/vector α only")
+        raise ValueError(
+            "pallas hypergradient needs scalar or full-size (M, N) map α")
+    alpha_is_map = tuple(a.ndim == 2 for a in alphas)
+    n_maps = sum(alpha_is_map)
 
-    # VMEM estimate: u, ū, p + CG (r, z, d, Md) + per-k persisted pieces
-    # (Gu 2, act, inv_den) + lams (2K) + temps (~4)
-    planes = 7 + 6 * K + 4
+    planes = hypergrad_vmem_planes(K, n_maps, want_maps)
     if planes * u.size * dtype.itemsize > _VMEM_LIMIT // 2:
         raise ValueError("problem too large for the fused hypergradient "
                          "kernel; use exact_hypergrad (jnp)")
 
+    scalar_alphas = [a for a in alphas if a.ndim == 0]
+    map_alphas = [a for a in alphas if a.ndim == 2]
     scalars = jnp.concatenate(
-        [jnp.asarray([act_tol, mu, cg_tol], dtype), jnp.stack(alphas)])
+        [jnp.asarray([act_tol, mu, cg_tol], dtype)]
+        + ([jnp.stack(scalar_alphas)] if scalar_alphas else []))
     p0 = jnp.zeros_like(u) if p0 is None else p0
 
+    if want_maps:
+        g_shape = jax.ShapeDtypeStruct((K,) + u.shape, dtype)
+        g_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    else:
+        g_shape = jax.ShapeDtypeStruct((K,), dtype)
+        g_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+
     grads, p, stats = pl.pallas_call(
-        _hg_kernel(model, K, int(cfg.al_iters), int(cfg.cg_maxiter)),
+        _hg_kernel(model, K, int(cfg.al_iters), int(cfg.cg_maxiter),
+                   alpha_is_map, bool(want_maps)),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-                 + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
-        out_specs=(pl.BlockSpec(memory_space=pltpu.SMEM),
+                 + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (3 + n_maps),
+        out_specs=(g_spec,
                    pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.SMEM)),
-        out_shape=(jax.ShapeDtypeStruct((K,), dtype),
+        out_shape=(g_shape,
                    jax.ShapeDtypeStruct(u.shape, dtype),
                    jax.ShapeDtypeStruct((3,), dtype)),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=bool(interpret),
-    )(scalars, u, utrue, p0)
+    )(scalars, u, utrue, p0, *map_alphas)
 
     rr, bb, iters = stats[0], stats[1], stats[2]
     resnorm = jnp.sqrt(rr)

@@ -58,11 +58,47 @@ def test_warm_start_converges_faster(rng):
     assert int(info_warm.iters) < int(info_cold.iters) // 10
 
 
-def test_map_alphas_unsupported(rng):
+def test_map_alpha_and_want_maps_match_jnp(rng):
+    """Patch-family form: per-pixel α map in, per-image gradient maps out
+    — must match the jnp solver at convergence."""
     model = tv_model()
-    true_, noisy = problem(rng, O=1)
-    amap = jnp.full(noisy.shape[-2:], 0.08)
-    assert not hypergrad_pallas_supported((amap,))
-    with pytest.raises(ValueError, match="scalar/vector"):
-        exact_hypergrad_pallas(noisy, true_, (amap,), model,
-                               interpret=True)
+    true_, noisy = problem(rng)
+    amap = jnp.asarray(0.06 + 0.04 * rng.uniform(size=noisy.shape[-2:]))
+    u = denoise_pdps(noisy, (amap,), model, maxiter=2000)
+    cfg = HypergradConfig(al_iters=2, cg_maxiter=2000, cg_tol=1e-12)
+    al = (jnp.asarray(amap, u.dtype),)
+    g_ref, p_ref, _ = exact_hypergrad(u, true_, al, model, cfg,
+                                      want_maps=True)
+    g_pal, p_pal, info = exact_hypergrad_pallas(u, true_, al, model, cfg,
+                                                want_maps=True,
+                                                interpret=True)
+    assert bool(info.converged)
+    np.testing.assert_allclose(np.asarray(g_pal[0]), np.asarray(g_ref[0]),
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(p_pal), np.asarray(p_ref),
+                               atol=1e-10)
+
+
+def test_mixed_scalar_and_map_alphas(rng):
+    """K=3 with one map and two scalars exercises the mixed SMEM/VMEM
+    α packing."""
+    model = sumregs_model()
+    true_, noisy = problem(rng, O=2)
+    amap = jnp.asarray(jnp.full(noisy.shape[-2:], 0.05))
+    alphas = (amap, jnp.asarray(0.03), jnp.asarray(0.01))
+    u = denoise_pdps(noisy, alphas, model, maxiter=1500)
+    cfg = HypergradConfig(al_iters=2, cg_maxiter=3000, cg_tol=1e-12)
+    g_ref, _, _ = exact_hypergrad(u, true_, alphas, model, cfg)
+    g_pal, _, info = exact_hypergrad_pallas(u, true_, alphas, model, cfg,
+                                            interpret=True)
+    assert bool(info.converged)
+    np.testing.assert_allclose(np.asarray(jnp.stack(g_pal)),
+                               np.asarray(jnp.stack(g_ref)), rtol=1e-9)
+
+
+def test_supported_predicate():
+    # scalars and 2-D (full-size, caller-upsampled) maps are in-kernel;
+    # anything else routes to the jnp path
+    assert hypergrad_pallas_supported((jnp.asarray(0.1),))
+    assert hypergrad_pallas_supported((jnp.full((16, 16), 0.1),))
+    assert not hypergrad_pallas_supported((jnp.ones(3),))
