@@ -150,6 +150,10 @@ def _fused_impl(utrue, f, x0, *, model: DenoiseModel, pop: Optional[PatchOp],
         is_exact = delta > delta_t
         p_exact, p_reg = padjs
         if use_pallas_hg:
+            # Only the exact branch runs in-kernel: the reg branch is
+            # taken rarely (Δ ≤ Δt, near convergence) so it stays on the
+            # XLA path; reg_hypergrad_pallas is available as a standalone
+            # fused solver for callers that live in the reg regime.
             def exact_branch(args):
                 return exact_hypergrad_pallas(*args, model, cfg, want_maps,
                                               p0=p_exact,
@@ -158,12 +162,12 @@ def _fused_impl(utrue, f, x0, *, model: DenoiseModel, pop: Optional[PatchOp],
             def exact_branch(args):
                 return exact_hypergrad(*args, model, cfg, want_maps,
                                        p0=p_exact)
+
+        def reg_branch(args):
+            return reg_hypergrad(*args, model, cfg, want_maps, p0=p_reg)
+
         grads, p, _ = lax.cond(
-            is_exact,
-            exact_branch,
-            lambda args: reg_hypergrad(*args, model, cfg, want_maps,
-                                       p0=p_reg),
-            (u, utrue, alphas))
+            is_exact, exact_branch, reg_branch, (u, utrue, alphas))
         padjs = (jnp.where(is_exact, p, p_exact),
                  jnp.where(is_exact, p_reg, p))
         return u, cost, pullback(grads), state, padjs

@@ -39,11 +39,12 @@ from .krylov import KrylovInfo
 from .pdps_pallas import (_div_pair, _grad_pair, _gram_axis, _stencil_kind,
                           _VMEM_LIMIT, make_masks)
 
-__all__ = ["exact_hypergrad_pallas", "hypergrad_pallas_supported"]
+__all__ = ["exact_hypergrad_pallas", "reg_hypergrad_pallas",
+           "hypergrad_pallas_supported"]
 
 
 def _hg_kernel(model: DenoiseModel, K: int, al_iters: int, cg_maxiter: int,
-               alpha_is_map, want_maps: bool):
+               alpha_is_map, want_maps: bool, reg: bool = False):
     ops = model.ops
     kinds = [_stencil_kind(op) for op in ops]
     n_maps = sum(alpha_is_map)
@@ -57,7 +58,8 @@ def _hg_kernel(model: DenoiseModel, K: int, al_iters: int, cg_maxiter: int,
         dtype = u.dtype
         masks = make_masks(u.shape)
 
-        act_tol = scalars_ref[0]
+        # slot 0 is act_tol for the exact form, gamma for the reg form
+        act_tol = gamma = scalars_ref[0]
         mu = scalars_ref[1]
         cg_tol = scalars_ref[2]
         alphas = []
@@ -70,14 +72,24 @@ def _hg_kernel(model: DenoiseModel, K: int, al_iters: int, cg_maxiter: int,
                 alphas.append(scalars_ref[i_s])
                 i_s += 1
 
-        # active-set pieces (persisted: Gu, act, inv_den per k)
+        # per-k pieces (persisted: Gu, act, inv_den).  Exact form: the
+        # active set is |∇u| < act_tol and its dual block carries the
+        # penalty μ.  Reg (γ-Huber) form: roles swap — "active" means
+        # |∇u| > 1/γ (the non-smoothed region) and α multiplies the whole
+        # block (dual-space form; see solvers/hypergrad.py).
         pieces = []
         for k in range(K):
             Gux, Guy = _grad_pair(ops[k], u, masks)
             nGu = jnp.sqrt(Gux * Gux + Guy * Guy)
-            act = (nGu < act_tol).astype(dtype)
-            inv_den = jnp.where(act > 0, 1.0, 1.0 / jnp.maximum(
-                nGu, jnp.asarray(jnp.finfo(dtype).tiny, dtype)))
+            tiny_ = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+            if reg:
+                act = (nGu > 1.0 / gamma).astype(dtype)
+                inv_den = jnp.where(act > 0,
+                                    1.0 / jnp.maximum(nGu, tiny_), 1.0)
+            else:
+                act = (nGu < act_tol).astype(dtype)
+                inv_den = jnp.where(act > 0, 1.0,
+                                    1.0 / jnp.maximum(nGu, tiny_))
             pieces.append((k, Gux, Guy, act, inv_den))
 
         def M_apply(p):
@@ -86,10 +98,16 @@ def _hg_kernel(model: DenoiseModel, K: int, al_iters: int, cg_maxiter: int,
                 Gpx, Gpy = _grad_pair(ops[k], p, masks)
                 dot3 = (Gux * Gpx + Guy * Gpy) * inv_den ** 3
                 inact = 1.0 - act
-                wx = mu * act * Gpx + inact * alphas[k] * (
-                    Gpx * inv_den - Gux * dot3)
-                wy = mu * act * Gpy + inact * alphas[k] * (
-                    Gpy * inv_den - Guy * dot3)
+                if reg:
+                    wx = alphas[k] * (gamma * inact * Gpx
+                                      + act * (Gpx * inv_den - Gux * dot3))
+                    wy = alphas[k] * (gamma * inact * Gpy
+                                      + act * (Gpy * inv_den - Guy * dot3))
+                else:
+                    wx = mu * act * Gpx + inact * alphas[k] * (
+                        Gpx * inv_den - Gux * dot3)
+                    wy = mu * act * Gpy + inact * alphas[k] * (
+                        Gpy * inv_den - Guy * dot3)
                 out = out + _div_pair(ops[k], wx, wy, masks)
             return out
 
@@ -98,10 +116,14 @@ def _hg_kernel(model: DenoiseModel, K: int, al_iters: int, cg_maxiter: int,
         for k, Gux, Guy, act, inv_den in pieces:
             inact = 1.0 - act
             inv_den3 = inv_den ** 3
-            wdx = mu * act + inact * alphas[k] * (
-                inv_den - Gux * Gux * inv_den3)
-            wdy = mu * act + inact * alphas[k] * (
-                inv_den - Guy * Guy * inv_den3)
+            hdx = inv_den - Gux * Gux * inv_den3
+            hdy = inv_den - Guy * Guy * inv_den3
+            if reg:
+                wdx = alphas[k] * (gamma * inact + act * hdx)
+                wdy = alphas[k] * (gamma * inact + act * hdy)
+            else:
+                wdx = mu * act + inact * alphas[k] * hdx
+                wdy = mu * act + inact * alphas[k] * hdy
             diag = diag + _gram_axis(kinds[k], wdx, -2, masks) \
                         + _gram_axis(kinds[k], wdy, -1, masks)
         inv_diag = 1.0 / diag
@@ -140,29 +162,39 @@ def _hg_kernel(model: DenoiseModel, K: int, al_iters: int, cg_maxiter: int,
                 cond, body, (p, r, z, d, rz, jnp.int32(0)))
             return p, jnp.sum(r * r), bb, it
 
-        rhs0 = u - utrue
         p = p0_ref[:]
-        lams = [(jnp.zeros_like(u), jnp.zeros_like(u)) for _ in range(K)]
-        rr = bb = jnp.asarray(0.0, dtype)
-        it = jnp.int32(0)
-        for i in range(max(1, al_iters)):   # static unroll
-            b = rhs0
-            for (k, _, _, act, _), (lx, ly) in zip(pieces, lams):
-                b = b - _div_pair(ops[k], act * lx, act * ly, masks)
-            p, rr, bb, it = cg_solve(b, p)
-            if i < max(1, al_iters) - 1:
-                new_lams = []
+        if reg:
+            # single SPD solve, rhs = ū − u, no multipliers
+            p, rr, bb, it = cg_solve(utrue - u, p)
+        else:
+            rhs0 = u - utrue
+            lams = [(jnp.zeros_like(u), jnp.zeros_like(u))
+                    for _ in range(K)]
+            rr = bb = jnp.asarray(0.0, dtype)
+            it = jnp.int32(0)
+            for i in range(max(1, al_iters)):   # static unroll
+                b = rhs0
                 for (k, _, _, act, _), (lx, ly) in zip(pieces, lams):
-                    Gpx, Gpy = _grad_pair(ops[k], p, masks)
-                    new_lams.append((lx + mu * act * Gpx,
-                                     ly + mu * act * Gpy))
-                lams = new_lams
+                    b = b - _div_pair(ops[k], act * lx, act * ly, masks)
+                p, rr, bb, it = cg_solve(b, p)
+                if i < max(1, al_iters) - 1:
+                    new_lams = []
+                    for (k, _, _, act, _), (lx, ly) in zip(pieces, lams):
+                        Gpx, Gpy = _grad_pair(ops[k], p, masks)
+                        new_lams.append((lx + mu * act * Gpx,
+                                         ly + mu * act * Gpy))
+                    lams = new_lams
 
         for k, Gux, Guy, act, inv_den in pieces:
             inact = 1.0 - act
             Gpx, Gpy = _grad_pair(ops[k], p, masks)
-            field_scale = inact * inv_den
-            gmap = -(Gpx * Gux * field_scale + Gpy * Guy * field_scale)
+            if reg:
+                field_scale = act * inv_den + gamma * inact
+                gmap = Gpx * Gux * field_scale + Gpy * Guy * field_scale
+            else:
+                field_scale = inact * inv_den
+                gmap = -(Gpx * Gux * field_scale
+                         + Gpy * Guy * field_scale)
             if want_maps:
                 g_out[k] = gmap        # per-image maps (caller pulls back)
             else:
@@ -216,10 +248,49 @@ def exact_hypergrad_pallas(u, utrue, alphas, model: DenoiseModel,
         raise ValueError("problem too large for the fused hypergradient "
                          "kernel; use exact_hypergrad (jnp)")
 
+    return _run(u, utrue, alphas, model, cfg,
+                jnp.asarray([act_tol, mu, cg_tol], dtype),
+                cg_tol, want_maps, p0, interpret, reg=False)
+
+
+@functools.partial(jax.jit, static_argnames=("model", "cfg", "want_maps",
+                                             "interpret"))
+def reg_hypergrad_pallas(u, utrue, alphas, model: DenoiseModel,
+                         cfg: HypergradConfig = HypergradConfig(),
+                         want_maps: bool = False,
+                         p0=None, interpret: bool = False):
+    """Drop-in for :func:`..solvers.hypergrad.reg_hypergrad` — the
+    γ-smoothed (Huber/implicit-differentiation) branch as one
+    VMEM-resident solve (same skeleton as the exact kernel with the
+    act/inact roles swapped, α multiplying the whole dual block, a single
+    CG solve on ū − u, and positive-sign gradients)."""
+    dtype = u.dtype
+    K = model.K
+    _, _, cg_tol = _defaults(dtype, cfg)
+    alphas = tuple(jnp.asarray(a, dtype) for a in alphas)
+    if not hypergrad_pallas_supported(alphas):
+        raise ValueError(
+            "pallas hypergradient needs scalar or full-size (M, N) map α")
+    n_maps = sum(a.ndim == 2 for a in alphas)
+    planes = hypergrad_vmem_planes(K, n_maps, want_maps)
+    if planes * u.size * dtype.itemsize > _VMEM_LIMIT // 2:
+        raise ValueError("problem too large for the fused hypergradient "
+                         "kernel; use reg_hypergrad (jnp)")
+    return _run(u, utrue, alphas, model, cfg,
+                jnp.asarray([cfg.gamma, 0.0, cg_tol], dtype),
+                cg_tol, want_maps, p0, interpret, reg=True)
+
+
+def _run(u, utrue, alphas, model, cfg, base_scalars, cg_tol, want_maps,
+         p0, interpret, reg):
+    dtype = u.dtype
+    K = model.K
+    alpha_is_map = tuple(a.ndim == 2 for a in alphas)
+    n_maps = sum(alpha_is_map)
     scalar_alphas = [a for a in alphas if a.ndim == 0]
     map_alphas = [a for a in alphas if a.ndim == 2]
     scalars = jnp.concatenate(
-        [jnp.asarray([act_tol, mu, cg_tol], dtype)]
+        [base_scalars]
         + ([jnp.stack(scalar_alphas)] if scalar_alphas else []))
     p0 = jnp.zeros_like(u) if p0 is None else p0
 
@@ -232,7 +303,7 @@ def exact_hypergrad_pallas(u, utrue, alphas, model: DenoiseModel,
 
     grads, p, stats = pl.pallas_call(
         _hg_kernel(model, K, int(cfg.al_iters), int(cfg.cg_maxiter),
-                   alpha_is_map, bool(want_maps)),
+                   alpha_is_map, bool(want_maps), reg=bool(reg)),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
                  + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (3 + n_maps),
         out_specs=(g_spec,

@@ -102,3 +102,42 @@ def test_supported_predicate():
     assert hypergrad_pallas_supported((jnp.asarray(0.1),))
     assert hypergrad_pallas_supported((jnp.full((16, 16), 0.1),))
     assert not hypergrad_pallas_supported((jnp.ones(3),))
+
+
+from bpldenoising_tpu.solvers.hypergrad import reg_hypergrad
+from bpldenoising_tpu.solvers.hypergrad_pallas import reg_hypergrad_pallas
+
+
+@pytest.mark.parametrize("model_fn,alphas", [
+    (tv_model, (0.08,)),
+    (sumregs_model, (0.05, 0.03, 0.01)),
+], ids=["tv", "sumregs"])
+def test_reg_matches_jnp(rng, model_fn, alphas):
+    model = model_fn()
+    true_, noisy = problem(rng)
+    u = denoise_pdps(noisy, alphas, model, maxiter=2000)
+    cfg = HypergradConfig(cg_maxiter=3000, cg_tol=1e-12, gamma=1e6)
+    al = tuple(jnp.asarray(a, u.dtype) for a in alphas)
+    g_ref, p_ref, info_ref = reg_hypergrad(u, true_, al, model, cfg)
+    g_pal, p_pal, info = reg_hypergrad_pallas(u, true_, al, model, cfg,
+                                              interpret=True)
+    assert bool(info_ref.converged) and bool(info.converged)
+    np.testing.assert_allclose(np.asarray(jnp.stack(g_pal)),
+                               np.asarray(jnp.stack(g_ref)), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(p_pal), np.asarray(p_ref),
+                               atol=1e-10)
+
+
+def test_reg_map_alpha_want_maps(rng):
+    model = tv_model()
+    true_, noisy = problem(rng)
+    amap = jnp.asarray(0.06 + 0.04 * rng.uniform(size=noisy.shape[-2:]))
+    u = denoise_pdps(noisy, (amap,), model, maxiter=1500)
+    cfg = HypergradConfig(cg_maxiter=3000, cg_tol=1e-12, gamma=1e6)
+    al = (jnp.asarray(amap, u.dtype),)
+    g_ref, _, _ = reg_hypergrad(u, true_, al, model, cfg, want_maps=True)
+    g_pal, _, info = reg_hypergrad_pallas(u, true_, al, model, cfg,
+                                          want_maps=True, interpret=True)
+    assert bool(info.converged)
+    np.testing.assert_allclose(np.asarray(g_pal[0]), np.asarray(g_ref[0]),
+                               atol=1e-10)
