@@ -1,5 +1,6 @@
 from .hypergrad import HypergradConfig, exact_hypergrad, reg_hypergrad
-from .hypergrad_pallas import exact_hypergrad_pallas
+from .hypergrad_pallas import (exact_hypergrad_pallas,
+                              reg_hypergrad_pallas)
 from .implicit import diff_denoise, diff_tv_denoise, make_diff_denoise
 from .pdps import denoise_pdps, tv_denoise, sumregs_denoise, PDPS_DEFAULTS
 from .pdps_pallas import denoise_pdps_pallas
@@ -7,5 +8,5 @@ from .pdps_pallas import denoise_pdps_pallas
 __all__ = ["denoise_pdps", "denoise_pdps_pallas", "tv_denoise",
            "sumregs_denoise", "PDPS_DEFAULTS",
            "HypergradConfig", "exact_hypergrad", "exact_hypergrad_pallas",
-           "reg_hypergrad",
+           "reg_hypergrad", "reg_hypergrad_pallas",
            "diff_tv_denoise", "diff_denoise", "make_diff_denoise"]
