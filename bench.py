@@ -39,9 +39,13 @@ import time
 
 # Measured on the build host (see BASELINE.md "Measured baselines"):
 # CPU f64, jnp path, full bilevel learn on faces_train_128_10 (maxiter=20,
-# converged at 13 outer iterations via Δ < tol; learned α = 0.070185,
-# final cost 152.335, mean PSNR 27.387 dB).
-CPU_BASELINE_SECONDS = 214.63  # updated by --measure-baseline runs
+# stop via Δ < tol).  The round-1 constant was measured with the cheaper
+# penalty hypergradient; the current code (bias-free augmented-Lagrangian
+# hypergradient) costs more on CPU, so both ratios are reported:
+# ``vs_baseline`` against the current-code CPU time, ``vs_baseline_r1``
+# against the historical round-1 constant (keeps rounds comparable).
+CPU_BASELINE_SECONDS = 354.76   # round-3 re-measure (AL hypergradient)
+CPU_BASELINE_R1_SECONDS = 214.63  # round-1 (penalty hypergradient)
 
 FLAGSHIP_ALPHA = 0.069788      # round-1 f32 reference value (parity target)
 
@@ -60,20 +64,40 @@ def _dataset(dtype_name: str):
     return (jnp.asarray(true_, dt), jnp.asarray(noisy, dt))
 
 
+def _sync(out):
+    """Barrier that is trustworthy through the tunneled device.
+
+    ``jax.block_until_ready`` has been observed to under-wait for some
+    Pallas executables here (BASELINE.md "tunnel timing" note); an
+    on-device scalar reduction + 4-byte host transfer of the first
+    floating-point leaf cannot lie.  Costs one dispatch (~the
+    ``dispatch_latency_s`` floor), which is why every timed region below
+    ends with exactly one of these.
+    """
+    import jax
+    import jax.numpy as jnp
+    jax.block_until_ready(out)   # all leaves
+    for leaf in jax.tree_util.tree_leaves(out):
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype,
+                                                     jnp.inexact):
+            float(jnp.sum(leaf))
+            break
+    return out
+
+
 def _best_of(fn, n=2):
     """The tunneled device shows large run-to-run contention variance; the
     min over repeated runs measures capability, not interference.  ``fn``
     must build any warm-start state itself (cold-state semantics are the
     caller's responsibility — see the host-TR metric, which rebuilds its
-    learning function per run)."""
-    import jax
-    out = fn()           # compile + warm the dispatch path
-    jax.block_until_ready(out)   # all leaves, not just the first
+    learning function per run).  Timed regions end with a scalar-reduce
+    sync (see ``_sync``); each reported walltime therefore includes one
+    extra sync dispatch on top of the work itself."""
+    out = _sync(fn())    # compile + warm the dispatch path
     best = float("inf")
     for _ in range(n):
         t0 = time.perf_counter()
-        out = fn()
-        jax.block_until_ready(out)
+        out = _sync(fn())
         best = min(best, time.perf_counter() - t0)
     return out, best
 
@@ -151,6 +175,18 @@ def run(quick: bool = False, backend: str = "pallas",
 
     res_sr, wall_sumregs = _best_of(run_sumregs)
 
+    # sumregs quality at the learned α (VERDICT r2 item 3): evaluate with a
+    # full cold 5000-iter solve so the tr_fused and one-kernel αs are scored
+    # by the same oracle-grade solve, not their own (warm/approximate) u
+    ksolve = (denoise_pdps_pallas if backend == "pallas" else denoise_pdps)
+
+    def _sumregs_eval(x):
+        u = ksolve(ds[1], np.asarray(x), sumregs_model(), maxiter=inner)
+        cost = 0.5 * float(jnp.sum((u - ds[0]) ** 2))
+        return cost, float(np.mean(np.asarray(psnr(ds[0], u))))
+
+    sumregs_cost, sumregs_psnr = _sumregs_eval(res_sr.x)
+
     # --- single-loop first-order + fully-fused one-kernel ------------------
     from bpldenoising_tpu.bilevel.first_order import single_loop_tv_learn
 
@@ -193,10 +229,12 @@ def run(quick: bool = False, backend: str = "pallas",
 
         x_sr, one_kernel_sr_wall = _best_of(run_ok_sr)
         one_kernel_sr_alpha = [round(float(v), 6) for v in np.asarray(x_sr)]
+        ok_sr_cost, ok_sr_psnr = _sumregs_eval(x_sr)
     except Exception as e:
         print(f"one-kernel sumregs unavailable: {e}", file=sys.stderr)
         one_kernel_sr_wall = None
         one_kernel_sr_alpha = None
+        ok_sr_cost = ok_sr_psnr = None
 
     # batch-tiled one-kernel at scale: batch-64 K=3 — beyond any
     # VMEM-resident capacity; solver state rides an HBM buffer, DMA'd
@@ -246,7 +284,6 @@ def run(quick: bool = False, backend: str = "pallas",
 
     # --- raw fused-kernel PD throughput ------------------------------------
     bench_iters = 1000 if quick else 5000
-    ksolve = (denoise_pdps_pallas if backend == "pallas" else denoise_pdps)
     _, pd_wall = _best_of(
         lambda: ksolve(ds[1], (0.1,), model, maxiter=bench_iters))
     pd_rate = bench_iters / pd_wall
@@ -259,12 +296,36 @@ def run(quick: bool = False, backend: str = "pallas",
         lambda: ksolve(big, (0.1,), model, maxiter=scale_iters))
     gpix_iter_rate = 256 * 128 * 128 * scale_iters / big_wall / 1e9
 
+    # roofline: the fused PDPS iteration is pure elementwise/stencil work
+    # (VPU-bound, VMEM-resident).  flops per pixel-iteration from the
+    # kernel's cost model ((20+30K)·M·N, pdps_pallas._pallas_impl);
+    # v5e VPU f32 peak ≈ 8×128 lanes × 4 ALUs × ~0.94 GHz ≈ 3.85 Tflop/s.
+    # Derivation + op-count audit in BASELINE.md "Roofline".
+    VPU_PEAK_F32 = 3.85e12
+    flops_per_pix_iter = 50.0   # K=1
+    vpu_util_pct = 100.0 * gpix_iter_rate * 1e9 * flops_per_pix_iter \
+        / VPU_PEAK_F32
+
+    # routing-ladder scaling points (VERDICT r2 item 9): whole-image VMEM
+    # residency at 1024² and the spatially-tiled trapezoid kernel at 2048²
+    # (state too large even for residency).  Regressions in the dispatch
+    # ladder (8 MiB chunking → 48 MiB residency → tiling → jnp) move these.
+    resident_1024_wall = tiled_2048_wall = None
+    if not quick and backend == "pallas":
+        img1024 = jnp.tile(ds[1][:1], (1, 8, 8))
+        _, resident_1024_wall = _best_of(
+            lambda: ksolve(img1024, (0.1,), model, maxiter=5000))
+        img2048 = jnp.tile(ds[1][:1], (1, 16, 16))
+        _, tiled_2048_wall = _best_of(
+            lambda: ksolve(img2048, (0.1,), model, maxiter=1000))
+
     scale = 1.0 if not quick else (5000 / inner) * (20 / outer)
     return {
         "metric": "bilevel_tv_walltime_faces_train_128_10",
         "value": round(wall, 4),
         "unit": "s",
         "vs_baseline": round(CPU_BASELINE_SECONDS / (wall * scale), 2),
+        "vs_baseline_r1": round(CPU_BASELINE_R1_SECONDS / (wall * scale), 2),
         "learned_alpha": round(learned_alpha, 6),
         "alpha_vs_parity_target": round(
             abs(learned_alpha - FLAGSHIP_ALPHA), 8),
@@ -279,24 +340,38 @@ def run(quick: bool = False, backend: str = "pallas",
         "patch_tv_iterations": int(res_patch.iterations),
         "sumregs_walltime_s": round(wall_sumregs, 4),
         "sumregs_alpha": [round(float(a), 6) for a in np.asarray(res_sr.x)],
+        "sumregs_final_cost": round(sumregs_cost, 4),
+        "sumregs_psnr_db": round(sumregs_psnr, 3),
         "single_loop_walltime_s": round(single_loop_wall, 4),
         "single_loop_alpha": round(float(r_sl.alpha), 6),
         "single_loop_mean_psnr_db": round(float(np.mean(np.asarray(
             psnr(ds[0], r_sl.u)))), 3),
         "one_kernel_walltime_s": (round(one_kernel_wall, 4)
-                                  if one_kernel_wall else None),
+                                  if one_kernel_wall is not None else None),
         "one_kernel_alpha": one_kernel_alpha,
-        "one_kernel_sumregs_walltime_s": (round(one_kernel_sr_wall, 4)
-                                          if one_kernel_sr_wall else None),
+        "one_kernel_sumregs_walltime_s": (
+            round(one_kernel_sr_wall, 4)
+            if one_kernel_sr_wall is not None else None),
         "one_kernel_sumregs_alpha": one_kernel_sr_alpha,
-        "one_kernel_tiled_batch64_sumregs_s": (round(tiled64_wall, 4)
-                                               if tiled64_wall else None),
+        "one_kernel_sumregs_final_cost": (
+            round(ok_sr_cost, 4) if ok_sr_cost is not None else None),
+        "one_kernel_sumregs_psnr_db": (
+            round(ok_sr_psnr, 3) if ok_sr_psnr is not None else None),
+        "one_kernel_tiled_batch64_sumregs_s": (
+            round(tiled64_wall, 4) if tiled64_wall is not None else None),
         "dispatch_latency_s": round(dispatch_s, 4),
         "phase_solve_cold_s": round(solve_cold_s, 4),
         "phase_solve_warm_s": round(solve_warm_s, 4),
         "phase_hypergrad_s": round(hypergrad_s, 4),
         "pd_iters_per_sec_batch10_128": round(pd_rate, 1),
         "gpix_iter_per_sec_batch256_128": round(gpix_iter_rate, 2),
+        "vpu_util_pct_batch256": round(vpu_util_pct, 1),
+        "resident_1024_walltime_s": (
+            round(resident_1024_wall, 4)
+            if resident_1024_wall is not None else None),
+        "tiled_2048_walltime_s": (
+            round(tiled_2048_wall, 4)
+            if tiled_2048_wall is not None else None),
         "backend": backend,
         "dtype": dtype_name,
         "device": str(jax.devices()[0]),

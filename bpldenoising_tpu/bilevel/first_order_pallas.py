@@ -602,10 +602,16 @@ def _tiled_kernel(model: DenoiseModel, K: int, outer: int, n_inner: int,
 _TILE_BUDGET = 8 * 1024 * 1024
 
 
-def _tile_batch(B: int, M: int, N: int, K: int, itemsize: int) -> int:
-    """Images per tile: recompute-mode live planes within _TILE_BUDGET."""
+def _tile_batch(B: int, M: int, N: int, K: int, itemsize: int,
+                fixed_bytes: int = 0) -> int:
+    """Images per tile: recompute-mode live planes within _TILE_BUDGET.
+
+    ``fixed_bytes`` is per-kernel overhead independent of the tile size
+    (patch-operator planes/matrices) and is carved out of the budget first.
+    """
     planes = _vmem_planes(K, persist=False) + (2 * K + 2)  # + state copy
-    return max(1, min(B, _TILE_BUDGET // (planes * M * N * itemsize)))
+    budget = max(_TILE_BUDGET - fixed_bytes, planes * M * N * itemsize)
+    return max(1, min(B, budget // (planes * M * N * itemsize)))
 
 
 @functools.partial(
@@ -622,9 +628,11 @@ def _tiled_learn_impl(utrue, f, x0, *, model, outer, n_inner, n_adj, lr,
     B, M, N = f.shape
     planes = _vmem_planes(K, persist=False) + (2 * K + 2)
     tile1_bytes = planes * M * N * dtype.itemsize
+    patch_bytes = 0
     if patch:
         m_, n_ = _patch_dims(x0, K)
-        tile1_bytes += _patch_extra_bytes(M, N, m_, n_, K, dtype.itemsize)
+        patch_bytes = _patch_extra_bytes(M, N, m_, n_, K, dtype.itemsize)
+        tile1_bytes += patch_bytes
     if tile1_bytes > _VMEM_BUDGET:
         raise ValueError(
             "problem too large for the tiled one-kernel learner (a single "
@@ -632,7 +640,8 @@ def _tiled_learn_impl(utrue, f, x0, *, model, outer, n_inner, n_adj, lr,
             "MiB of VMEM; batch tiling cannot split the image plane); use "
             "bilevel.single_loop_learn (jnp scan)")
     if tile_b is None:
-        tile_b = _tile_batch(B, M, N, K, dtype.itemsize)
+        tile_b = _tile_batch(B, M, N, K, dtype.itemsize,
+                             fixed_bytes=patch_bytes)
     n_tiles = -(-B // tile_b)
     B_pad = n_tiles * tile_b
     if B_pad != B:

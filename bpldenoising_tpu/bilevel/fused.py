@@ -25,14 +25,25 @@ The exact↔regularized gradient switch at Δ ≤ Δt
 (ref ``src/TVLearningFunctionVec.jl:21-25``) is a ``lax.cond`` on the
 traced radius.
 
-Per-iteration wall-clock cannot be measured on device; the returned log
-carries (iter, cost, ‖g‖, Δ, ‖step‖) with the time column zeroed — the
-host records total wall time only.
+Above ``lbfgs_threshold`` parameters the dense BFGS model in the carry is
+replaced by a fixed-history L-BFGS state (two-loop Newton step, compact-form
+B·v — matching the reference's ``LBFGSOperator`` for array parameters,
+``src/TRBox.jl:44-52``), so large patch grids never pay an O(n³) dense
+solve inside the while loop.
+
+Chunked dispatch (``log_every=j``): the same while loop can be driven in
+segments of j outer iterations with a host hop between segments.  This
+restores per-segment wall-clock logging and enables checkpoint/resume and
+per-iterate snapshots on the fused path (the reference logs per-iteration
+wall seconds, ``src/BilevelVisualise.jl:192-243``) at a cost of
+~(iters/j) dispatch round-trips.  In single-dispatch mode the returned
+log's time column is zeroed — the host records total wall time only.
 """
 
 from __future__ import annotations
 
 import functools
+import time
 from typing import NamedTuple, Optional
 
 import jax
@@ -45,7 +56,10 @@ from ..ops import PatchOp
 from .first_order import _check_positive_x0, _param_layout
 from ..solvers.hypergrad import HypergradConfig, exact_hypergrad, reg_hypergrad
 from ..solvers.hypergrad_pallas import (exact_hypergrad_pallas,
-                                        hypergrad_vmem_planes)
+                                        hypergrad_vmem_planes,
+                                        reg_hypergrad_pallas)
+from ..solvers.lbfgs import (lbfgs_apply, lbfgs_init, lbfgs_solve,
+                             lbfgs_update)
 from ..solvers.pdps_pallas import _VMEM_LIMIT as _HG_VMEM_LIMIT
 from ..solvers.pdps import _denoise_pdps_impl
 from ..solvers.pdps_pallas import _pallas_impl
@@ -60,21 +74,30 @@ class FusedResult(NamedTuple):
     g_norm: jnp.ndarray
     iterations: jnp.ndarray  # outer iterations actually run
     log: jnp.ndarray         # (maxiter, 4): cost, ‖g‖, Δ, ‖accepted step‖
+    times: Optional[np.ndarray] = None  # per-iteration elapsed seconds
+    # (populated only by chunked-dispatch mode; each iteration carries its
+    # segment-end cumulative wall time — no sub-segment times are invented)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("model", "pop", "param_shape", "maxiter",
-                     "inner_maxiter", "inner_tol", "check_every", "delta_t",
-                     "cfg", "backend", "interpret", "axis_name"))
-def _fused_impl(utrue, f, x0, *, model: DenoiseModel, pop: Optional[PatchOp],
-                param_shape: tuple, maxiter: int, tol, eta1, eta2, beta1,
-                beta2, delta0, inner_maxiter: int, inner_tol, check_every: int,
-                delta_t: float, cfg: HypergradConfig, backend: str,
-                interpret: bool, axis_name: Optional[str] = None):
+# static (hashable/python) keyword names shared by the jitted entry points
+_STATIC = ("model", "pop", "param_shape", "maxiter", "inner_maxiter",
+           "inner_tol", "check_every", "delta_t", "cfg", "backend",
+           "interpret", "axis_name", "lbfgs_threshold", "lbfgs_memory")
+
+
+def _machinery(utrue, f, *, model: DenoiseModel, pop: Optional[PatchOp],
+               param_shape: tuple, maxiter: int, tol, eta1, eta2, beta1,
+               beta2, inner_maxiter: int, inner_tol, check_every: int,
+               delta_t: float, cfg: HypergradConfig, backend: str,
+               interpret: bool, axis_name: Optional[str],
+               lbfgs_threshold: int, lbfgs_memory: int):
+    """Build the trust-region loop pieces shared by the single-dispatch and
+    segmented entry points: ``(init_carry, cond, body)``.  Must be called
+    inside a jit trace."""
     dtype = f.dtype
     K = model.K
     n = int(np.prod(param_shape, dtype=int)) if param_shape else 1
+    use_lbfgs = n > int(lbfgs_threshold)
     eps_pos = jnp.asarray(jnp.finfo(dtype).eps, dtype)
     tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
     tol = jnp.asarray(tol, dtype)
@@ -82,6 +105,38 @@ def _fused_impl(utrue, f, x0, *, model: DenoiseModel, pop: Optional[PatchOp],
     eta2 = jnp.asarray(eta2, dtype)
     beta1 = jnp.asarray(beta1, dtype)
     beta2 = jnp.asarray(beta2, dtype)
+
+    # ---- quadratic model (dense BFGS or fixed-history L-BFGS) ------------
+    if use_lbfgs:
+        def model_init():
+            return lbfgs_init(n, int(lbfgs_memory), dtype, init_scale=0.1)
+
+        def model_newton(ms, g):
+            return -lbfgs_solve(ms, g)
+
+        model_apply = lbfgs_apply
+        model_update = lbfgs_update
+    else:
+        def model_init():
+            return jnp.eye(n, dtype=dtype) * 0.1
+
+        def model_newton(B, g):
+            return jnp.linalg.solve(B, -g[:, None])[:, 0]
+
+        def model_apply(B, v):
+            return B @ v
+
+        def model_update(B, y, s):
+            sy = s @ y
+            ok = sy > 1e-12 * jnp.linalg.norm(s) * jnp.linalg.norm(y)
+            Bs = B @ s
+            sBs = s @ Bs
+            Bp = B + jnp.outer(y, y) / jnp.where(sy == 0, 1.0, sy)
+            Bp = jnp.where(sBs > 0,
+                           Bp - jnp.outer(Bs, Bs) / jnp.where(sBs == 0, 1.0,
+                                                              sBs),
+                           Bp)
+            return jnp.where(ok, Bp, B)
 
     # ---- parameterization ------------------------------------------------
     def alphas_of(xflat):
@@ -150,21 +205,23 @@ def _fused_impl(utrue, f, x0, *, model: DenoiseModel, pop: Optional[PatchOp],
         is_exact = delta > delta_t
         p_exact, p_reg = padjs
         if use_pallas_hg:
-            # Only the exact branch runs in-kernel: the reg branch is
-            # taken rarely (Δ ≤ Δt, near convergence) so it stays on the
-            # XLA path; reg_hypergrad_pallas is available as a standalone
-            # fused solver for callers that live in the reg regime.
+            # both gradient branches run in-kernel (the reg branch fires
+            # near convergence — parity mode's Δ ≤ Δt evaluations)
             def exact_branch(args):
                 return exact_hypergrad_pallas(*args, model, cfg, want_maps,
                                               p0=p_exact,
                                               interpret=interpret)
+
+            def reg_branch(args):
+                return reg_hypergrad_pallas(*args, model, cfg, want_maps,
+                                            p0=p_reg, interpret=interpret)
         else:
             def exact_branch(args):
                 return exact_hypergrad(*args, model, cfg, want_maps,
                                        p0=p_exact)
 
-        def reg_branch(args):
-            return reg_hypergrad(*args, model, cfg, want_maps, p0=p_reg)
+            def reg_branch(args):
+                return reg_hypergrad(*args, model, cfg, want_maps, p0=p_reg)
 
         grads, p, _ = lax.cond(
             is_exact, exact_branch, reg_branch, (u, utrue, alphas))
@@ -194,12 +251,12 @@ def _fused_impl(utrue, f, x0, *, model: DenoiseModel, pop: Optional[PatchOp],
                        jnp.where(d < 0, (lb - p0) / d_safe, jnp.inf))
         return jnp.clip(jnp.min(hi), 0.0, 1.0)
 
-    def dogleg(x, g, B, delta):
+    def dogleg(x, g, Bst, delta):
         lb, ub = bounds(x, delta)
-        pn = jnp.linalg.solve(B, -g[:, None])[:, 0]
+        pn = model_newton(Bst, g)
         pn_ok = jnp.all(jnp.isfinite(pn))
         pn_in = jnp.logical_and(pn_ok, in_bounds(pn, lb, ub))
-        gBg = g @ (B @ g)
+        gBg = g @ model_apply(Bst, g)
         gg = g @ g
         pc = jnp.where(gBg <= jnp.finfo(dtype).eps * gg,
                        -g * 1e12, -(gg / jnp.where(gBg == 0, 1.0, gBg)) * g)
@@ -213,25 +270,16 @@ def _fused_impl(utrue, f, x0, *, model: DenoiseModel, pop: Optional[PatchOp],
                          jnp.where(~pc_in, pc_clip,
                                    jnp.where(pn_ok, p_seg, pc)))
 
-    def bfgs_update(B, y, s):
-        sy = s @ y
-        ok = sy > 1e-12 * jnp.linalg.norm(s) * jnp.linalg.norm(y)
-        Bs = B @ s
-        sBs = s @ Bs
-        Bp = B + jnp.outer(y, y) / jnp.where(sy == 0, 1.0, sy)
-        Bp = jnp.where(sBs > 0,
-                       Bp - jnp.outer(Bs, Bs) / jnp.where(sBs == 0, 1.0,
-                                                          sBs),
-                       Bp)
-        return jnp.where(ok, Bp, B)
-
     # ---- init (ref init_rest, src/TRBox.jl:34-52) ------------------------
-    x = jnp.asarray(x0, dtype).reshape(-1)
-    delta = jnp.asarray(delta0, dtype)
-    p0_cold = (jnp.zeros_like(f), jnp.zeros_like(f))
-    u, fx, gx, state, padj = eval_lf(x, delta, None, p0_cold)
-    B = jnp.eye(n, dtype=dtype) * 0.1
-    log0 = jnp.zeros((maxiter, 4), dtype)
+    def init_carry(x0, delta0):
+        x = jnp.asarray(x0, dtype).reshape(-1)
+        delta = jnp.asarray(delta0, dtype)
+        p0_cold = (jnp.zeros_like(f), jnp.zeros_like(f))
+        u, fx, gx, state, padj = eval_lf(x, delta, None, p0_cold)
+        Bst = model_init()
+        log0 = jnp.zeros((maxiter, 4), dtype)
+        return (jnp.asarray(0, jnp.int32), x, Bst, delta, fx, gx, u, state,
+                padj, log0)
 
     def cond(carry):
         it = carry[0]
@@ -239,16 +287,16 @@ def _fused_impl(utrue, f, x0, *, model: DenoiseModel, pop: Optional[PatchOp],
         return jnp.logical_and(it < maxiter, delta >= tol)
 
     def body(carry):
-        (it, x, B, delta, fx, gx, u, state, padj, log) = carry
-        p = dogleg(x, gx, B, delta)
+        (it, x, Bst, delta, fx, gx, u, state, padj, log) = carry
+        p = dogleg(x, gx, Bst, delta)
         x_new = x + p
         u_new, fx_new, gx_new, state_new, padj_new = eval_lf(
             x_new, delta, state, padj)
 
-        predf = -(p @ gx) - 0.5 * (p @ (B @ p))
+        predf = -(p @ gx) - 0.5 * (p @ model_apply(Bst, p))
         rho = jnp.where(predf == 0, -jnp.inf, (fx - fx_new) / predf)
 
-        B = bfgs_update(B, gx_new - gx, p)
+        Bst = model_update(Bst, gx_new - gx, p)
 
         pnorm = jnp.linalg.norm(p)
         delta_new = jnp.where(
@@ -271,15 +319,85 @@ def _fused_impl(utrue, f, x0, *, model: DenoiseModel, pop: Optional[PatchOp],
             (it, jnp.asarray(0, it.dtype)))
         # solver/adjoint warm states always advance to the latest evaluation
         # (a rejected step's state is still a near-solution warm start)
-        return (it + 1, x, B, delta_new, fx, gx, u, state_new, padj_new,
+        return (it + 1, x, Bst, delta_new, fx, gx, u, state_new, padj_new,
                 log)
 
-    carry = (jnp.asarray(0, jnp.int32), x, B, delta, fx, gx, u, state, padj,
-             log0)
-    it, x, B, delta, fx, gx, u, state, padj, log = lax.while_loop(
-        cond, body, carry)
+    return init_carry, cond, body
+
+
+def _finalize(carry, param_shape) -> FusedResult:
+    it, x, _, _, fx, gx, u, _, _, log = carry
     return FusedResult(x=x.reshape(param_shape), u=u, cost=fx,
                        g_norm=jnp.linalg.norm(gx), iterations=it, log=log)
+
+
+@functools.partial(jax.jit, static_argnames=_STATIC)
+def _fused_impl(utrue, f, x0, *, tol, eta1, eta2, beta1, beta2, delta0,
+                axis_name=None, **static_kw):
+    init_carry, cond, body = _machinery(
+        utrue, f, tol=tol, eta1=eta1, eta2=eta2, beta1=beta1, beta2=beta2,
+        axis_name=axis_name, **static_kw)
+    carry = lax.while_loop(cond, body, init_carry(x0, delta0))
+    return _finalize(carry, static_kw["param_shape"])
+
+
+@functools.partial(jax.jit, static_argnames=_STATIC)
+def _fused_init_impl(utrue, f, x0, *, tol, eta1, eta2, beta1, beta2, delta0,
+                     axis_name=None, **static_kw):
+    init_carry, _, _ = _machinery(
+        utrue, f, tol=tol, eta1=eta1, eta2=eta2, beta1=beta1, beta2=beta2,
+        axis_name=axis_name, **static_kw)
+    return init_carry(x0, delta0)
+
+
+@functools.partial(jax.jit, static_argnames=_STATIC + ("seg",),
+                   donate_argnums=(2,))
+def _fused_segment_impl(utrue, f, carry, *, seg: int, tol, eta1, eta2,
+                        beta1, beta2, delta0, axis_name=None, **static_kw):
+    """Advance the trust-region while loop by at most ``seg`` iterations
+    (same body; an extra iteration bound on the loop condition)."""
+    del delta0  # lives in the carry after init
+    _, cond, body = _machinery(
+        utrue, f, tol=tol, eta1=eta1, eta2=eta2, beta1=beta1, beta2=beta2,
+        axis_name=axis_name, **static_kw)
+    it_end = carry[0] + jnp.asarray(int(seg), jnp.int32)
+
+    def cond_seg(c):
+        return jnp.logical_and(cond(c), c[0] < it_end)
+
+    return lax.while_loop(cond_seg, body, carry)
+
+
+def _run_segmented(utrue, f, x0, kw, *, log_every: int,
+                   segment_callback=None, init_B=None):
+    """Host driver for chunked dispatch: one device program per ``log_every``
+    outer iterations, wall-clock recorded at every hop."""
+    maxiter = kw["maxiter"]
+    tol_f = kw["tol"]
+    carry = _fused_init_impl(utrue, f, x0, **kw)
+    if init_B is not None:
+        B = jnp.asarray(init_B, f.dtype)
+        if B.shape == carry[2].shape:   # dense model only
+            carry = carry[:2] + (B,) + carry[3:]
+    times = np.zeros((maxiter,), np.float64)
+    prev_it = 0
+    t0 = time.perf_counter()
+    while True:
+        carry = _fused_segment_impl(utrue, f, carry, seg=int(log_every),
+                                    **kw)
+        it, delta = jax.device_get((carry[0], carry[3]))
+        it = int(it)
+        elapsed = time.perf_counter() - t0
+        # every iteration of this segment gets the segment-end cumulative
+        # time: no invented sub-segment precision (module docstring)
+        times[prev_it:it] = elapsed
+        if segment_callback is not None:
+            segment_callback(it, carry)
+        if it >= maxiter or float(delta) < tol_f or it == prev_it:
+            break
+        prev_it = it
+    res = _finalize(carry, kw["param_shape"])
+    return res._replace(times=times[:int(res.iterations)])
 
 
 def bilevel_learn_fused(ds, *, xinit, params, model: DenoiseModel = None,
@@ -288,14 +406,17 @@ def bilevel_learn_fused(ds, *, xinit, params, model: DenoiseModel = None,
                         check_every: int = 250, delta_t: float = 1e-6,
                         cfg: HypergradConfig = HypergradConfig(),
                         backend: str = "pallas", mesh=None,
-                        interpret: bool = False) -> FusedResult:
+                        interpret: bool = False,
+                        log_every: int | None = None,
+                        segment_callback=None,
+                        init_B=None) -> FusedResult:
     """Run the full trust-region bilevel learning as one device program.
 
     Args:
       ds: ``(true_images, noisy_images)`` stacks, (O, M, N) or (M, N).
       xinit: scalar / (K,) / (m, n) / (m, n, K) parameter initialization.
       params: same knobs as :func:`bilevel_learn` (eta1/eta2/beta1/beta2,
-        delta0, maxiter, tol).
+        delta0, maxiter, tol, lbfgs_threshold, lbfgs_memory).
       inner_tol: PDPS early-stop tolerance; ``None`` runs the reference's
         fixed budget every evaluation (parity mode — slower, identical
         semantics to the host path).
@@ -306,6 +427,15 @@ def bilevel_learn_fused(ds, *, xinit, params, model: DenoiseModel = None,
         logic is identical on every device and the entire MULTI-CHIP
         training run is still one dispatch.  Zero-padded images (uneven
         batches) contribute exactly nothing.
+      log_every: chunked-dispatch mode — run the loop in segments of this
+        many outer iterations with a host hop between segments; the result
+        gains per-iteration (segment-granular) wall times and
+        ``segment_callback(it, carry)`` fires after every segment
+        (checkpointing, per-iterate snapshots).  Adds one dispatch
+        round-trip per segment.  Not combinable with ``mesh``.
+      init_B: optional dense BFGS matrix restored into the carry
+        (checkpoint resume; ignored for the L-BFGS model).  Segmented
+        mode only.
 
     Returns a :class:`FusedResult`; ``iterations`` rows of ``log`` are
     populated.
@@ -326,7 +456,17 @@ def bilevel_learn_fused(ds, *, xinit, params, model: DenoiseModel = None,
         delta0=float(params.delta0), inner_maxiter=int(inner_maxiter),
         inner_tol=None if inner_tol is None else float(inner_tol),
         check_every=int(check_every), delta_t=float(delta_t), cfg=cfg,
-        backend=backend, interpret=bool(interpret))
+        backend=backend, interpret=bool(interpret),
+        lbfgs_threshold=int(params.get("lbfgs_threshold", 64)),
+        lbfgs_memory=int(params.get("lbfgs_memory", 10)))
+    if log_every is not None:
+        if mesh is not None:
+            raise ValueError("log_every (chunked dispatch) does not "
+                             "compose with mesh= data parallelism; drive "
+                             "segments from the host or drop log_every")
+        return _run_segmented(utrue, f, x0, kw, log_every=int(log_every),
+                              segment_callback=segment_callback,
+                              init_B=init_B)
     if mesh is None:
         return _fused_impl(utrue, f, x0, **kw)
 
@@ -341,7 +481,7 @@ def bilevel_learn_fused(ds, *, xinit, params, model: DenoiseModel = None,
     f_p, _ = pad_batch(f, n_shards)
     b, r = P(BATCH_AXIS), P()
     out_specs = FusedResult(x=r, u=b, cost=r, g_norm=r, iterations=r,
-                            log=r)
+                            log=r, times=None)
     fn = shard_map(
         lambda ut, ff: _fused_impl(ut, ff, x0, axis_name=BATCH_AXIS, **kw),
         mesh=mesh, in_specs=(b, b), out_specs=out_specs, check_vma=False)

@@ -23,22 +23,27 @@ __all__ = ["initialize_distributed"]
 
 # environment markers that indicate a multi-process launch; JAX's own
 # auto-detection (TPU metadata, Slurm, OpenMPI) covers the rest once we
-# decide to call initialize()
-_CLUSTER_ENV_VARS = (
+# decide to call initialize().  Address-style markers count by presence;
+# count-style markers only count when the process/node count exceeds 1
+# (a single-process `mpirun`/1-node Slurm job needs no coordinator).
+_CLUSTER_ADDRESS_VARS = (
     "JAX_COORDINATOR_ADDRESS",
     "COORDINATOR_ADDRESS",
+    "MEGASCALE_COORDINATOR_ADDRESS",
+)
+_CLUSTER_COUNT_VARS = (
     "SLURM_JOB_NUM_NODES",
     "OMPI_COMM_WORLD_SIZE",
-    "MEGASCALE_COORDINATOR_ADDRESS",
 )
 
 
 def _cluster_env_present() -> bool:
-    if any(os.environ.get(v) for v in _CLUSTER_ENV_VARS):
-        n = os.environ.get("SLURM_JOB_NUM_NODES")
-        if n is not None and n.isdigit() and int(n) <= 1:
-            return False
+    if any(os.environ.get(v) for v in _CLUSTER_ADDRESS_VARS):
         return True
+    for v in _CLUSTER_COUNT_VARS:
+        n = os.environ.get(v)
+        if n and n.isdigit() and int(n) > 1:
+            return True
     return False
 
 

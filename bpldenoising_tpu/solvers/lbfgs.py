@@ -9,19 +9,30 @@ must support *both* directions used by the dogleg —
 * ``B⁻¹ @ g``     (Newton step) — via the standard two-loop recursion on the
   inverse Hessian (replacing the reference's ``Krylov.cg_lanczos`` solve).
 
-Used by the trust region when the parameter dimension is large (big patch
-grids); small dimensions use the exact dense BFGS in
-:mod:`bpldenoising_tpu.bilevel.trust_region`.  Host-side NumPy — the model
-dimension is the *parameter* count, never image-sized state.
+Two implementations of the same model:
+
+* :class:`LBFGSModel` — host-side NumPy (deque history), used by the
+  host-driven trust region for large patch grids;
+* the ``lbfgs_*`` functions on :class:`LBFGSState` — pure-jnp fixed-size
+  history buffers with a validity mask, traceable inside ``lax.while_loop``
+  — used by the fused on-device trust region
+  (:mod:`bpldenoising_tpu.bilevel.fused`) above its dense-B threshold.
+  Invalid (not-yet-filled) slots are zeros; they drop out of the two-loop
+  recursion via ρ = 0 and out of the compact W system via identity
+  rows/columns.
 """
 
 from __future__ import annotations
 
 from collections import deque
+from typing import NamedTuple
 
+import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
-__all__ = ["LBFGSModel"]
+__all__ = ["LBFGSModel", "LBFGSState", "lbfgs_init", "lbfgs_update",
+           "lbfgs_solve", "lbfgs_apply"]
 
 
 class LBFGSModel:
@@ -97,3 +108,98 @@ class LBFGSModel:
 
     def pred(self, p: np.ndarray, g: np.ndarray) -> float:
         return float(-p @ g - 0.5 * p @ self.apply(p))
+
+
+# ---------------------------------------------------------------------------
+# jnp / traceable L-BFGS (fixed-size masked history, for lax.while_loop)
+# ---------------------------------------------------------------------------
+
+class LBFGSState(NamedTuple):
+    """Fixed-shape L-BFGS model state for device-resident loops.
+
+    Slots along axis 0 are ordered oldest → newest; the last ``count``
+    slots are valid, earlier ones are zero-filled placeholders.
+    """
+    S: jnp.ndarray       # (memory, n) steps
+    Y: jnp.ndarray       # (memory, n) gradient differences
+    count: jnp.ndarray   # int32, number of valid pairs
+    gamma: jnp.ndarray   # scalar, B₀ = γ I
+
+
+def lbfgs_init(n: int, memory: int, dtype, init_scale: float = 0.1
+               ) -> LBFGSState:
+    return LBFGSState(S=jnp.zeros((memory, n), dtype),
+                      Y=jnp.zeros((memory, n), dtype),
+                      count=jnp.zeros((), jnp.int32),
+                      gamma=jnp.asarray(init_scale, dtype))
+
+
+def _valid_mask(st: LBFGSState):
+    m = st.S.shape[0]
+    return (jnp.arange(m) >= m - st.count).astype(st.S.dtype)
+
+
+def lbfgs_update(st: LBFGSState, y, s) -> LBFGSState:
+    """Curvature-gated push (same damped-skip policy as the host models)."""
+    sy = s @ y
+    ok = sy > 1e-12 * jnp.linalg.norm(s) * jnp.linalg.norm(y)
+    S2 = jnp.roll(st.S, -1, axis=0).at[-1].set(s)
+    Y2 = jnp.roll(st.Y, -1, axis=0).at[-1].set(y)
+    gamma2 = (y @ y) / jnp.where(sy == 0, 1.0, sy)
+    count2 = jnp.minimum(st.count + 1, st.S.shape[0])
+    return LBFGSState(
+        S=jnp.where(ok, S2, st.S), Y=jnp.where(ok, Y2, st.Y),
+        count=jnp.where(ok, count2, st.count),
+        gamma=jnp.where(ok, gamma2, st.gamma))
+
+
+def lbfgs_solve(st: LBFGSState, g):
+    """H g = B⁻¹ g via the two-loop recursion (masked history)."""
+    m = st.S.shape[0]
+    valid = _valid_mask(st)
+    sy = jnp.sum(st.S * st.Y, axis=1)
+    rho = jnp.where((sy != 0) & (valid > 0), 1.0 / jnp.where(sy == 0, 1.0,
+                                                             sy), 0.0)
+
+    def bwd(i, c):
+        q, alphas = c
+        idx = m - 1 - i                      # newest → oldest
+        a = rho[idx] * (st.S[idx] @ q)       # 0 for invalid slots
+        return q - a * st.Y[idx], alphas.at[idx].set(a)
+
+    q, alphas = lax.fori_loop(
+        0, m, bwd, (g, jnp.zeros((m,), g.dtype)))
+    q = q / st.gamma                         # H₀ = γ⁻¹ I
+
+    def fwd(i, q):
+        b = rho[i] * (st.Y[i] @ q)
+        return q + (alphas[i] - b) * st.S[i]
+
+    return lax.fori_loop(0, m, fwd, q)
+
+
+def lbfgs_apply(st: LBFGSState, v):
+    """B v via the compact representation (masked history).
+
+    B = γI − [γS Y] W⁻¹ [γS Y]ᵀ with W = [[γSᵀS, L], [Lᵀ, −D]]; invalid
+    slots get identity rows/columns in W and zero right-hand sides, so
+    their solution components are exactly zero.
+    """
+    m = st.S.shape[0]
+    valid = _valid_mask(st)
+    g = st.gamma
+    S = st.S * valid[:, None]
+    Y = st.Y * valid[:, None]
+    StS = S @ S.T
+    SY = S @ Y.T                  # SY[i, j] = s_i · y_j (oldest first)
+    L = jnp.tril(SY, k=-1)
+    D = jnp.diag(jnp.diag(SY))
+    W = jnp.block([[g * StS, L], [L.T, -D]])
+    valid2 = jnp.concatenate([valid, valid])
+    W = W * jnp.outer(valid2, valid2) + jnp.diag(1.0 - valid2)
+    rhs = jnp.concatenate([g * (S @ v), Y @ v]) * valid2
+    sol = jnp.linalg.solve(W, rhs)
+    out = g * v - (g * (S.T @ sol[:m]) + Y.T @ sol[m:])
+    # singular W (numerically degenerate history) → fall back to B₀ v,
+    # mirroring the host model's LinAlgError fallback
+    return jnp.where(jnp.all(jnp.isfinite(out)), out, g * v)
