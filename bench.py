@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -103,7 +104,13 @@ def _best_of(fn, n=2):
 
 
 def run(quick: bool = False, backend: str = "pallas",
-        dtype_name: str = "float32") -> dict:
+        dtype_name: str = "float32", flagship_only: bool = False) -> dict:
+    # pinned executables: reload the known-fast serialized binaries (and the
+    # schedule salt that selects them) instead of re-drawing Mosaic's
+    # compile lottery — see utils/compile_cache.py + scripts/pin_schedule.py
+    from bpldenoising_tpu.utils.compile_cache import enable
+    cache_dir = enable()
+
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -138,9 +145,24 @@ def run(quick: bool = False, backend: str = "pallas",
                                 check_every=100, cfg=cfg, backend=backend)
         return r
 
-    res, wall = _best_of(lambda: run_fused(1e-6, fast_cfg))
+    res, wall = _best_of(lambda: run_fused(1e-6, fast_cfg),
+                         n=4 if flagship_only else 2)
     learned_alpha = float(res.x)
     mean_psnr = float(np.mean(np.asarray(psnr(ds[0], res.u))))
+
+    if flagship_only:
+        # scripts/pin_schedule.py uses this mode: the flagship executable is
+        # compiled and measured at EXACTLY the call sites the full bench
+        # uses (the persistent-cache key is call-site-sensitive), so the
+        # cache entries it leaves behind are the ones bench.py will reload
+        return {
+            "metric": "bilevel_tv_walltime_faces_train_128_10",
+            "value": round(wall, 4), "unit": "s",
+            "learned_alpha": round(learned_alpha, 6),
+            "mean_psnr_db": round(mean_psnr, 3),
+            "mosaic_salt": os.environ.get("BPL_MOSAIC_SALT", ""),
+            "flagship_only": True,
+        }
 
     # --- parity mode: cold fixed-budget solves (reference semantics) ------
     res_par, wall_parity = _best_of(
@@ -297,12 +319,12 @@ def run(quick: bool = False, backend: str = "pallas",
     gpix_iter_rate = 256 * 128 * 128 * scale_iters / big_wall / 1e9
 
     # roofline: the fused PDPS iteration is pure elementwise/stencil work
-    # (VPU-bound, VMEM-resident).  flops per pixel-iteration from the
-    # kernel's cost model ((20+30K)·M·N, pdps_pallas._pallas_impl);
-    # v5e VPU f32 peak ≈ 8×128 lanes × 4 ALUs × ~0.94 GHz ≈ 3.85 Tflop/s.
-    # Derivation + op-count audit in BASELINE.md "Roofline".
+    # (VPU-bound, VMEM-resident).  Audited op count per pixel-iteration for
+    # K=1 (BASELINE.md "Roofline"): 32 arithmetic/select VPU ops + 6
+    # roll shifts = 38; v5e VPU f32 peak ≈ 8×128 lanes × 4 ALUs ×
+    # ~0.94 GHz ≈ 3.85 Top/s.
     VPU_PEAK_F32 = 3.85e12
-    flops_per_pix_iter = 50.0   # K=1
+    flops_per_pix_iter = 38.0   # K=1, audited
     vpu_util_pct = 100.0 * gpix_iter_rate * 1e9 * flops_per_pix_iter \
         / VPU_PEAK_F32
 
@@ -375,6 +397,8 @@ def run(quick: bool = False, backend: str = "pallas",
         "backend": backend,
         "dtype": dtype_name,
         "device": str(jax.devices()[0]),
+        "mosaic_salt": os.environ.get("BPL_MOSAIC_SALT", ""),
+        "compile_cache": os.path.basename(cache_dir),
         "quick": quick,
     }
 
@@ -403,12 +427,15 @@ def main():
     ap.add_argument("--backend", default="pallas", choices=["pallas", "jnp"])
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--measure-baseline", action="store_true")
+    ap.add_argument("--flagship-only", action="store_true",
+                    help="measure only the headline fused-TR walltime "
+                         "(used by scripts/pin_schedule.py)")
     args = ap.parse_args()
     if args.measure_baseline:
         measure_baseline()
         return
     result = run(quick=args.quick, backend=args.backend,
-                 dtype_name=args.dtype)
+                 dtype_name=args.dtype, flagship_only=args.flagship_only)
     print(json.dumps(result))
 
 

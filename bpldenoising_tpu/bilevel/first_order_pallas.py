@@ -36,7 +36,8 @@ from ..models import DenoiseModel, sumregs_model, tv_model
 from .first_order import _check_positive_x0
 from ..solvers.pdps_pallas import (_div_pair, _grad_pair, _gram_axis,
                                    _stencil_kind, _VMEM_LIMIT,
-                                   make_masks)
+                                   make_masks,
+                                   schedule_salt)
 
 __all__ = ["single_loop_pallas", "single_loop_pallas_tiled",
            "single_loop_tv_pallas"]
@@ -315,7 +316,7 @@ def _kernel(model: DenoiseModel, K: int, patch: bool, batched: bool,
             for k in range(K):
                 alpha_outs[0][k] = jnp.exp(zs[k])
 
-    return kernel
+    return schedule_salt(kernel)
 
 
 # Mosaic's scoped VMEM limit is raised to the shared _VMEM_LIMIT
@@ -592,7 +593,7 @@ def _tiled_kernel(model: DenoiseModel, K: int, outer: int, n_inner: int,
             for k in range(K):
                 x_out[k] = jnp.exp(zms_ref[0, k])
 
-    return kernel
+    return schedule_salt(kernel)
 
 
 # Tile sizing targets the same ~8 MiB working set the PDPS batch chunker

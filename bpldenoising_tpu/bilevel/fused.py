@@ -392,7 +392,7 @@ def _run_segmented(utrue, f, x0, kw, *, log_every: int,
         # time: no invented sub-segment precision (module docstring)
         times[prev_it:it] = elapsed
         if segment_callback is not None:
-            segment_callback(it, carry)
+            segment_callback(it, carry, elapsed)
         if it >= maxiter or float(delta) < tol_f or it == prev_it:
             break
         prev_it = it
@@ -430,9 +430,11 @@ def bilevel_learn_fused(ds, *, xinit, params, model: DenoiseModel = None,
       log_every: chunked-dispatch mode — run the loop in segments of this
         many outer iterations with a host hop between segments; the result
         gains per-iteration (segment-granular) wall times and
-        ``segment_callback(it, carry)`` fires after every segment
-        (checkpointing, per-iterate snapshots).  Adds one dispatch
-        round-trip per segment.  Not combinable with ``mesh``.
+        ``segment_callback(it, carry, elapsed_s)`` fires after every
+        segment (checkpointing, per-iterate snapshots; carry layout:
+        ``(it, x_flat, Bst, delta, fx, gx, u, state, padj, log)``).
+        Adds one dispatch round-trip per segment.  Not combinable with
+        ``mesh``.
       init_B: optional dense BFGS matrix restored into the carry
         (checkpoint resume; ignored for the L-BFGS model).  Segmented
         mode only.

@@ -426,15 +426,22 @@ def _run_fused(params, model_kind, stretch_all=False):
     """Fused on-device trust-region path (method='tr_fused'): identical TR
     semantics to method='tr' but the whole outer loop is one device program
     — no per-iteration host round trips.  Fastest path on remote/tunneled
-    accelerators; per-iteration wall times are unavailable (one total)."""
-    _reject_flags(params, "tr_fused",
-                  ("checkpoint", "resume", "save_iterations"))
+    accelerators.  With ``log_every=j`` (implied by checkpoint/resume/
+    save_iterations) the loop runs in j-iteration segments with a host hop
+    between them, restoring per-segment wall-clock logging, npz
+    checkpointing and per-iterate PNG snapshots at ~1/j of the
+    latency saving."""
     from ..bilevel.fused import bilevel_learn_fused
     from ..bilevel.harness import BilevelState
     from ..bilevel.trust_region import BilevelResult
     from ..models import sumregs_model, tv_model
     from ..viz.log import BilevelLogEntry
 
+    log_every = params.get("log_every")
+    wants_hops = any(params.get(k) for k in
+                     ("checkpoint", "resume", "save_iterations"))
+    if log_every is None and wants_hops:
+        log_every = 5   # default segment length for observable runs
     backend = params.get("backend", "auto")
     if backend == "auto":
         backend = "pallas" if jax.default_backend() != "cpu" else "jnp"
@@ -447,21 +454,86 @@ def _run_fused(params, model_kind, stretch_all=False):
     # exact/regularized switch radius matches the host path per family
     # (ref: TV Δt=1e-6, sumregs Δt=1e-3 — src/SumRegsLearningFunction.jl:14)
     delta_t = 1e-6 if model_kind == "tv" else 1e-3
+
+    # -- resume / checkpoint / per-iterate snapshots (segmented mode) ------
+    out_dir = _out_dir(params)
+    ckpt_path = os.path.join(out_dir, params.save_prefix + "_ckpt.npz")
+    init_B = None
+    init_entries: list = []
+    it_offset = 0
+    if params.get("resume"):
+        from ..utils.checkpoint import load_checkpoint
+        state = load_checkpoint(ckpt_path)
+        if state is not None:
+            params = params | dict(alpha0=state["x"],
+                                   delta0=float(state["delta"]))
+            it_offset = int(state["iteration"])
+            if state.get("B") is not None and np.asarray(state["B"]).ndim == 2:
+                init_B = state["B"]
+            rows = state.get("log")
+            if rows is not None and np.asarray(rows).size:
+                init_entries = [BilevelLogEntry(int(r[0]), *map(float, r[1:]))
+                                for r in np.asarray(rows)]
+            print(f"resuming from {ckpt_path} (iteration {it_offset})",
+                  file=sys.stderr)
+            params = params | dict(
+                maxiter=max(0, int(params.maxiter) - it_offset))
+    writer = None
+    if params.get("checkpoint") or params.get("resume"):
+        writer = CheckpointWriter(ckpt_path)
+    save_iter_fn = None
+    if params.get("save_iterations"):
+        def save_iter_fn(it, img):
+            write_png_gray(
+                os.path.join(out_dir, f"{params.save_prefix}_iter_{it}.png"),
+                np.clip(img, 0, 1))
+
+    param_shape = tuple(np.asarray(params.alpha0).shape)
+    seg_cb = None
+    if log_every is not None and (writer or save_iter_fn):
+        def seg_cb(it, carry, elapsed):
+            it_abs = it + it_offset
+            if writer is not None:
+                x_d, bst, delta_d, log_d = (carry[1], carry[2], carry[3],
+                                            carry[9])
+                x_h, delta_h, log_h = jax.device_get((x_d, delta_d, log_d))
+                rows = [[e.iter, e.time, e.function_value, e.g_norm,
+                         e.delta, e.step_norm] for e in init_entries]
+                rows += [[i + 1 + it_offset, elapsed, float(log_h[i, 0]),
+                          float(log_h[i, 1]), float(log_h[i, 2]),
+                          float(log_h[i, 3])] for i in range(it)]
+                # dense BFGS matrix is checkpointed; the L-BFGS state
+                # (NamedTuple) is skipped, matching the host path
+                B = (np.asarray(jax.device_get(bst))
+                     if isinstance(bst, jnp.ndarray) else None)
+                from ..utils.checkpoint import save_checkpoint
+                save_checkpoint(ckpt_path,
+                                x=np.asarray(x_h).reshape(param_shape),
+                                delta=float(delta_h), B=B, log_rows=rows,
+                                iteration=it_abs)
+            if save_iter_fn is not None:
+                save_iter_fn(it_abs, np.asarray(jax.device_get(carry[6][0])))
+
     res = bilevel_learn_fused(
         ds, xinit=jnp.asarray(params.alpha0, ds[0].dtype), params=params,
         model=model, inner_maxiter=int(params.inner_maxiter),
         inner_tol=params.get("inner_tol"), backend=backend, mesh=mesh,
-        delta_t=delta_t)
+        delta_t=delta_t,
+        log_every=None if log_every is None else int(log_every),
+        segment_callback=seg_cb, init_B=init_B)
     st = BilevelState()
+    st.log.extend(init_entries)
     k = int(res.iterations)
     log = np.asarray(res.log)
+    times = (np.asarray(res.times) if res.times is not None
+             else np.zeros(k))
     for i in range(k):
-        st.log.append(BilevelLogEntry(i + 1, 0.0, float(log[i, 0]),
-                                      float(log[i, 1]), float(log[i, 2]),
-                                      float(log[i, 3])))
+        st.log.append(BilevelLogEntry(i + 1 + it_offset, float(times[i]),
+                                      float(log[i, 0]), float(log[i, 1]),
+                                      float(log[i, 2]), float(log[i, 3])))
     out = BilevelResult(x=np.asarray(res.x), u=np.asarray(res.u), state=st,
                         cost=float(res.cost), g_norm=float(res.g_norm),
-                        iterations=k)
+                        iterations=k + it_offset)
     b, b_noisy = _stretched_inputs(ds, stretch_all)
     save_results(params, b, b_noisy, out.x, linear_stretch(out.u), st)
     return out

@@ -37,135 +37,11 @@ from ..models import DenoiseModel
 from .hypergrad import HypergradConfig, _defaults
 from .krylov import KrylovInfo
 from .pdps_pallas import (_div_pair, _grad_pair, _gram_axis, _stencil_kind,
-                          _VMEM_LIMIT, make_masks)
+                          _VMEM_LIMIT, make_masks,
+                          schedule_salt)
 
 __all__ = ["exact_hypergrad_pallas", "reg_hypergrad_pallas",
            "hypergrad_pallas_supported"]
-
-
-# Verbatim fast path: the generalized kernel below produces a slightly
-# different serialized Mosaic module even when its trace is identical
-# (payload 161770 vs 161282 bytes), and Mosaic's schedule for it measured
-# ~2 ms/call slower on v5e — a ~25% flagship regression through the fused
-# loop's ~11 hypergradient calls.  The scalar-α exact form (the flagship
-# path) therefore dispatches to this byte-identical copy of the original
-# kernel; maps/want_maps/reg use the generalized kernel.
-def _hg_kernel_scalar_exact(model: DenoiseModel, K: int, al_iters: int, cg_maxiter: int):
-    ops = model.ops
-    kinds = [_stencil_kind(op) for op in ops]
-
-    def kernel(scalars_ref, u_ref, utrue_ref, p0_ref,
-               g_out, p_out, stats_out):
-        u = u_ref[:]
-        utrue = utrue_ref[:]
-        dtype = u.dtype
-        masks = make_masks(u.shape)
-
-        act_tol = scalars_ref[0]
-        mu = scalars_ref[1]
-        cg_tol = scalars_ref[2]
-        alphas = [scalars_ref[3 + k] for k in range(K)]
-
-        # active-set pieces (persisted: Gu, act, inv_den per k)
-        pieces = []
-        for k in range(K):
-            Gux, Guy = _grad_pair(ops[k], u, masks)
-            nGu = jnp.sqrt(Gux * Gux + Guy * Guy)
-            act = (nGu < act_tol).astype(dtype)
-            inv_den = jnp.where(act > 0, 1.0, 1.0 / jnp.maximum(
-                nGu, jnp.asarray(jnp.finfo(dtype).tiny, dtype)))
-            pieces.append((k, Gux, Guy, act, inv_den))
-
-        def M_apply(p):
-            out = p
-            for k, Gux, Guy, act, inv_den in pieces:
-                Gpx, Gpy = _grad_pair(ops[k], p, masks)
-                dot3 = (Gux * Gpx + Guy * Gpy) * inv_den ** 3
-                inact = 1.0 - act
-                wx = mu * act * Gpx + inact * alphas[k] * (
-                    Gpx * inv_den - Gux * dot3)
-                wy = mu * act * Gpy + inact * alphas[k] * (
-                    Gpy * inv_den - Guy * dot3)
-                out = out + _div_pair(ops[k], wx, wy, masks)
-            return out
-
-        # Jacobi preconditioner from exact stencil Gram diagonals
-        diag = jnp.ones_like(u)
-        for k, Gux, Guy, act, inv_den in pieces:
-            inact = 1.0 - act
-            inv_den3 = inv_den ** 3
-            wdx = mu * act + inact * alphas[k] * (
-                inv_den - Gux * Gux * inv_den3)
-            wdy = mu * act + inact * alphas[k] * (
-                inv_den - Guy * Guy * inv_den3)
-            diag = diag + _gram_axis(kinds[k], wdx, -2, masks) \
-                        + _gram_axis(kinds[k], wdy, -1, masks)
-        inv_diag = 1.0 / diag
-
-        tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
-
-        def cg_solve(b, p):
-            """krylov.cg semantics: preconditioned CG, stop at
-            ‖r‖ ≤ cg_tol·‖b‖ or cg_maxiter (squared-norm comparisons)."""
-            bb = jnp.maximum(jnp.sum(b * b), tiny)
-            stop2 = (cg_tol * cg_tol) * bb
-            r = b - M_apply(p)
-            z = inv_diag * r
-            d = z
-            rz = jnp.sum(r * z)
-
-            def cond(c):
-                p_, r_, z_, d_, rz_, it = c
-                return jnp.logical_and(it < cg_maxiter,
-                                       jnp.sum(r_ * r_) > stop2)
-
-            def body(c):
-                p_, r_, z_, d_, rz_, it = c
-                Md = M_apply(d_)
-                denom = jnp.sum(d_ * Md)
-                a = rz_ / jnp.where(denom == 0, 1.0, denom)
-                p_ = p_ + a * d_
-                r_ = r_ - a * Md
-                z_ = inv_diag * r_
-                rz_new = jnp.sum(r_ * z_)
-                beta = rz_new / jnp.where(rz_ == 0, 1.0, rz_)
-                d_ = z_ + beta * d_
-                return (p_, r_, z_, d_, rz_new, it + 1)
-
-            p, r, _, _, _, it = lax.while_loop(
-                cond, body, (p, r, z, d, rz, jnp.int32(0)))
-            return p, jnp.sum(r * r), bb, it
-
-        rhs0 = u - utrue
-        p = p0_ref[:]
-        lams = [(jnp.zeros_like(u), jnp.zeros_like(u)) for _ in range(K)]
-        rr = bb = jnp.asarray(0.0, dtype)
-        it = jnp.int32(0)
-        for i in range(max(1, al_iters)):   # static unroll
-            b = rhs0
-            for (k, _, _, act, _), (lx, ly) in zip(pieces, lams):
-                b = b - _div_pair(ops[k], act * lx, act * ly, masks)
-            p, rr, bb, it = cg_solve(b, p)
-            if i < max(1, al_iters) - 1:
-                new_lams = []
-                for (k, _, _, act, _), (lx, ly) in zip(pieces, lams):
-                    Gpx, Gpy = _grad_pair(ops[k], p, masks)
-                    new_lams.append((lx + mu * act * Gpx,
-                                     ly + mu * act * Gpy))
-                lams = new_lams
-
-        for k, Gux, Guy, act, inv_den in pieces:
-            inact = 1.0 - act
-            Gpx, Gpy = _grad_pair(ops[k], p, masks)
-            field_scale = inact * inv_den
-            g_out[k] = -jnp.sum(Gpx * Gux * field_scale
-                                + Gpy * Guy * field_scale)
-        p_out[:] = p
-        stats_out[0] = rr
-        stats_out[1] = bb
-        stats_out[2] = it.astype(dtype)
-
-    return kernel
 
 
 def _hg_kernel(model: DenoiseModel, K: int, al_iters: int, cg_maxiter: int,
@@ -339,7 +215,7 @@ def _hg_kernel(model: DenoiseModel, K: int, al_iters: int, cg_maxiter: int,
         stats_out[1] = bb
         stats_out[2] = it.astype(dtype)
 
-    return kernel
+    return schedule_salt(kernel)
 
 
 def hypergrad_vmem_planes(K: int, n_maps: int, want_maps: bool) -> int:
@@ -436,14 +312,8 @@ def _run(u, utrue, alphas, model, cfg, base_scalars, cg_tol, want_maps,
         g_shape = jax.ShapeDtypeStruct((K,), dtype)
         g_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
 
-    if not reg and n_maps == 0 and not want_maps:
-        # flagship path: byte-identical original kernel (see the note on
-        # _hg_kernel_scalar_exact)
-        kern = _hg_kernel_scalar_exact(model, K, int(cfg.al_iters),
-                                       int(cfg.cg_maxiter))
-    else:
-        kern = _hg_kernel(model, K, int(cfg.al_iters), int(cfg.cg_maxiter),
-                          alpha_is_map, bool(want_maps), reg=bool(reg))
+    kern = _hg_kernel(model, K, int(cfg.al_iters), int(cfg.cg_maxiter),
+                      alpha_is_map, bool(want_maps), reg=bool(reg))
     grads, p, stats = pl.pallas_call(
         kern,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]

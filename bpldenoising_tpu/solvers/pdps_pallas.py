@@ -21,6 +21,7 @@ spatially varying) is broadcast to every grid step.  Semantics match
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -200,6 +201,23 @@ def _pd_body(model: DenoiseModel, accel: bool, gamma: float, f, alphas,
     return body
 
 
+def schedule_salt(kernel):
+    """Apply the Mosaic schedule salt to a kernel function.
+
+    Mosaic's AOT compiler binds a different (measured up to ~30%
+    faster/slower on v5e) binary per serialized-module hash, and the kernel
+    function's name is part of that hash; compiles of an UNCHANGED module
+    are deterministic.  ``BPL_MOSAIC_SALT`` renames every kernel so
+    ``scripts/pin_schedule.py`` can sweep name variants, find a fast draw,
+    and pin it via the persistent compilation cache for all future runs
+    (BASELINE.md "Deterministic walltime").  Empty salt = no-op.
+    """
+    salt = os.environ.get("BPL_MOSAIC_SALT", "")
+    if salt:
+        kernel.__name__ = f"{kernel.__name__}_{salt}"
+    return kernel
+
+
 def _make_kernel(model: DenoiseModel, maxiter: int, accel: bool,
                  gamma: float, tau_init: float, sigma_init: float,
                  alpha_is_map: tuple[bool, ...], tol, check_every: int,
@@ -286,7 +304,7 @@ def _make_kernel(model: DenoiseModel, maxiter: int, accel: bool,
         for r, y in zip(ys_out_refs, ys_final):
             r[:] = y
 
-    return kernel
+    return schedule_salt(kernel)
 
 
 # ---------------------------------------------------------------------------
@@ -341,7 +359,7 @@ def _make_tiled_kernel(model: DenoiseModel, T: int, accel: bool,
         for r, y in zip(ys_out_refs, ys):
             r[:] = y
 
-    return kernel
+    return schedule_salt(kernel)
 
 
 def _accel_schedule(tau, sigma, gamma, accel: bool, n: int):

@@ -199,12 +199,40 @@ class TestFusedMethod:
         assert res.x.shape == (3,)
         assert np.isfinite(res.cost)
 
-    def test_tr_fused_rejects_checkpoint(self):
-        with pytest.raises(ValueError, match="tr_fused"):
-            api.scalar_bilevel_tv_learn(method="tr_fused", checkpoint=True,
-                                        **FAST)
-
     def test_tr_fused_with_inner_tol(self):
         res = api.scalar_bilevel_tv_learn(method="tr_fused", inner_tol=1e-7,
                                           **FAST)
         assert float(res.x) > 0
+
+    def test_tr_fused_checkpoint_and_log_times(self):
+        """checkpoint=True on tr_fused switches to chunked dispatch: the
+        ckpt.npz exists and the per-iteration log carries real (monotone)
+        wall times (VERDICT r2 item 5)."""
+        res = api.scalar_bilevel_tv_learn(method="tr_fused", checkpoint=True,
+                                          log_every=2, **FAST)
+        assert any(f.endswith("_ckpt.npz") for f in artifacts())
+        times = [e.time for e in res.state.log]
+        assert len(times) == res.iterations
+        assert all(t > 0 for t in times)
+        assert all(b >= a for a, b in zip(times, times[1:]))
+
+    def test_tr_fused_save_iterations(self):
+        api.scalar_bilevel_tv_learn(method="tr_fused", save_iterations=True,
+                                    log_every=2, **FAST)
+        assert any("_iter_" in f and f.endswith(".png")
+                   for f in artifacts())
+
+    def test_tr_fused_resume_continues(self):
+        """Interrupt after 2 iterations (maxiter=2 + checkpoint), resume
+        with the full budget: the resumed run continues iteration
+        numbering and lands where an uninterrupted run lands."""
+        kw = dict(FAST, maxiter=4)
+        full = api.scalar_bilevel_tv_learn(method="tr_fused", **kw)
+        api.scalar_bilevel_tv_learn(method="tr_fused", checkpoint=True,
+                                    log_every=2, **dict(kw, maxiter=2))
+        res = api.scalar_bilevel_tv_learn(method="tr_fused", resume=True,
+                                          log_every=2, **kw)
+        assert res.iterations >= 3
+        iters = [e.iter for e in res.state.log]
+        assert iters == sorted(iters) and len(set(iters)) == len(iters)
+        np.testing.assert_allclose(float(res.x), float(full.x), rtol=5e-2)

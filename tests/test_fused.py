@@ -132,7 +132,7 @@ def test_segmented_matches_single_dispatch(ds):
 def test_segment_callback_and_warm_mode(ds):
     hops = []
 
-    def cb(it, carry):
+    def cb(it, carry, elapsed):
         hops.append(it)
 
     seg = bilevel_learn_fused(ds, xinit=0.1, params=PARAMS,
