@@ -42,6 +42,10 @@ def main(argv=None):
         p.add_argument("--inner-tol", type=float, default=None,
                        help="PDPS early-stop tolerance (enables "
                             "warm-started inner solves)")
+        p.add_argument("--log-every", type=int, default=None,
+                       help="tr_fused chunked dispatch: host hop every N "
+                            "outer iterations (per-segment wall times, "
+                            "checkpointing)")
         p.add_argument("--data-parallel", action="store_true",
                        help="shard the image batch over all local devices")
         p.add_argument("--trace", default=None, metavar="DIR",
@@ -86,9 +90,14 @@ def main(argv=None):
 
 
 def _dispatch(args):
+    import jax
     if args.x64:
-        import jax
         jax.config.update("jax_enable_x64", True)
+    if jax.default_backend() != "cpu":
+        # reload the pinned (known-fast, deterministic) executables on
+        # accelerators — see utils/compile_cache.py
+        from bpldenoising_tpu.utils.compile_cache import enable
+        enable()
 
     from bpldenoising_tpu import experiments as ex
 
@@ -101,6 +110,8 @@ def _dispatch(args):
                  data_parallel=bool(args.data_parallel))
         if args.dtype:
             d["dtype"] = args.dtype
+        if getattr(args, "log_every", None) is not None:
+            d["log_every"] = args.log_every
         return d
 
     from bpldenoising_tpu.utils.profiling import trace as _trace
