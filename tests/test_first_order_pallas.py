@@ -163,6 +163,28 @@ def test_auto_persist_fits_faces_sumregs():
                         extra_patch_bytes=0)
 
 
+def test_tile_batch_budgets_patch_bytes():
+    """ADVICE r2: patch-operator scratch bytes must come out of the tile
+    budget, not on top of it — otherwise patch problems get tiles whose
+    working set exceeds the 8 MiB target."""
+    from bpldenoising_tpu.bilevel.first_order_pallas import (
+        _patch_extra_bytes, _tile_batch, _TILE_BUDGET)
+    B, M, N, K = 64, 128, 128, 3
+    plain = _tile_batch(B, M, N, K, 4)
+    patch_bytes = _patch_extra_bytes(M, N, 64, 64, K, 4)
+    tight = _tile_batch(B, M, N, K, 4, fixed_bytes=patch_bytes)
+    assert 1 <= tight <= plain
+    # the fixed overhead plus the per-tile planes stay within the budget
+    # whenever the budget admits at least one image
+    planes_bytes = plain and (plain * M * N * 4)
+    if tight < plain:
+        from bpldenoising_tpu.bilevel.first_order_pallas import _vmem_planes
+        planes = _vmem_planes(K, persist=False) + (2 * K + 2)
+        assert tight * planes * M * N * 4 + patch_bytes <= _TILE_BUDGET
+    # degenerate: overhead swallowing the budget still yields 1, not 0
+    assert _tile_batch(B, M, N, K, 4, fixed_bytes=10 * _TILE_BUDGET) == 1
+
+
 # ---------------------------------------------------------------------------
 # Batch-tiled one-kernel learner (HBM-carried state)
 # ---------------------------------------------------------------------------
