@@ -348,6 +348,11 @@ def run(quick: bool = False, backend: str = "pallas",
         "unit": "s",
         "vs_baseline": round(CPU_BASELINE_SECONDS / (wall * scale), 2),
         "vs_baseline_r1": round(CPU_BASELINE_R1_SECONDS / (wall * scale), 2),
+        # the scalar-reduce sync that ends the timed region costs one
+        # dispatch round-trip; this subtracts the floor measured at bench
+        # start (an ESTIMATE — the tunnel drifts) for comparison with
+        # round-2 numbers, which used bare block_until_ready
+        "value_minus_sync_s": round(max(wall - dispatch_s, 0.0), 4),
         "learned_alpha": round(learned_alpha, 6),
         "alpha_vs_parity_target": round(
             abs(learned_alpha - FLAGSHIP_ALPHA), 8),
