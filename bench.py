@@ -104,9 +104,20 @@ def _best_of(fn, n=2):
 
 
 def run(quick: bool = False, backend: str = "pallas",
-        dtype_name: str = "float32", flagship_only: bool = False) -> dict:
+        dtype_name: str = "float32", only: str | None = None) -> dict:
+    """Full benchmark (``only=None``) or one section of it.
+
+    ``only`` ∈ {"flagship", "one_kernel", "throughput"} runs just that
+    kernel family's measurements and returns a partial dict —
+    ``scripts/pin_schedule.py`` uses these modes to sweep each family's
+    schedule salt at EXACTLY the call sites the full bench uses (the
+    persistent-cache key is call-site-sensitive, so entries produced
+    anywhere else would never be reloaded by the driver's full run).
+    Sections are gated at runtime — never by moving code — so every mode
+    shares the same file/line call sites.
+    """
     # pinned executables: reload the known-fast serialized binaries (and the
-    # schedule salt that selects them) instead of re-drawing Mosaic's
+    # schedule salts that select them) instead of re-drawing Mosaic's
     # compile lottery — see utils/compile_cache.py + scripts/pin_schedule.py
     from bpldenoising_tpu.utils.compile_cache import enable
     cache_dir = enable()
@@ -128,6 +139,8 @@ def run(quick: bool = False, backend: str = "pallas",
     outer = 3 if quick else 20
     ds = _dataset(dtype_name)
     params = _params(outer)
+    model = tv_model()
+    ksolve = (denoise_pdps_pallas if backend == "pallas" else denoise_pdps)
     float(jnp.zeros(()))   # warm the tunnel's first device→host transfer
 
     # dispatch+sync floor of the (possibly tunneled) device: every
@@ -136,289 +149,323 @@ def run(quick: bool = False, backend: str = "pallas",
     trivial = jax.jit(lambda x: x + 1.0)
     _, dispatch_s = _best_of(lambda: trivial(ds[1]), n=3)
 
-    # --- headline: fused on-device TR (fast mode, fidelity-checked) -------
+    out = {
+        "metric": "bilevel_tv_walltime_faces_train_128_10",
+        "unit": "s",
+        "dispatch_latency_s": round(dispatch_s, 4),
+        "backend": backend,
+        "dtype": dtype_name,
+        "device": str(jax.devices()[0]),
+        "salts": {k[len("BPL_MOSAIC_SALT"):].lstrip("_"): v
+                  for k, v in sorted(os.environ.items())
+                  if k.startswith("BPL_MOSAIC_SALT")},
+        "compile_cache": os.path.basename(cache_dir),
+        "quick": quick,
+    }
+    if only:
+        out["only"] = only
+    scale = 1.0 if not quick else (5000 / inner) * (20 / outer)
     fast_cfg = HypergradConfig(al_iters=2, cg_maxiter=100)
 
-    def run_fused(inner_tol, cfg):
-        r = bilevel_learn_fused(ds, xinit=0.1, params=params,
-                                inner_maxiter=inner, inner_tol=inner_tol,
-                                check_every=100, cfg=cfg, backend=backend)
-        return r
-
-    # interleave trivial-dispatch probes with the flagship repeats: the
-    # tunnel's round-trip floor drifts on a minutes timescale, so the
-    # subtraction baseline must be sampled AT the flagship measurement,
-    # not at bench start
-    res = _sync(run_fused(1e-6, fast_cfg))   # compile + warm
-    wall = flag_floor = float("inf")
-    for _ in range(4 if flagship_only else 3):
-        t0 = time.perf_counter()
-        _sync(trivial(ds[1]))
-        flag_floor = min(flag_floor, time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        res = _sync(run_fused(1e-6, fast_cfg))
-        wall = min(wall, time.perf_counter() - t0)
-    learned_alpha = float(res.x)
-    mean_psnr = float(np.mean(np.asarray(psnr(ds[0], res.u))))
-
-    if flagship_only:
-        # scripts/pin_schedule.py uses this mode: the flagship executable is
-        # compiled and measured at EXACTLY the call sites the full bench
-        # uses (the persistent-cache key is call-site-sensitive), so the
-        # cache entries it leaves behind are the ones bench.py will reload
-        return {
-            "metric": "bilevel_tv_walltime_faces_train_128_10",
-            "value": round(wall, 4), "unit": "s",
-            "learned_alpha": round(learned_alpha, 6),
-            "mean_psnr_db": round(mean_psnr, 3),
-            "mosaic_salt": os.environ.get("BPL_MOSAIC_SALT", ""),
-            "flagship_only": True,
-        }
-
-    # --- parity mode: cold fixed-budget solves (reference semantics) ------
-    res_par, wall_parity = _best_of(
-        lambda: run_fused(None, HypergradConfig()))
-
-    # --- host-driven TR (one dispatch per evaluation) ----------------------
-    # the learning function is rebuilt per run so each timed run pays the
-    # cold warm-start state (a fresh user invocation can reproduce this)
-    def run_host():
-        lf = make_tv_learning_function(
-            maxiter=inner, backend=backend, solver_kwargs=dict(tol=1e-6))
-        return bilevel_learn(ds, lf, xinit=0.1, params=params)
-
-    res_host, wall_host = _best_of(run_host)
-
-    # --- family walltimes: patch TV and sumregs (fused path) --------------
-    def run_patch():
-        return bilevel_learn_fused(
-            ds, xinit=1e-4 * np.ones((2, 2)),
-            params=params | dict(delta0=1e-4),
-            inner_maxiter=inner, inner_tol=1e-6, check_every=100,
-            cfg=fast_cfg, backend=backend)
-
-    res_patch, wall_patch = _best_of(run_patch)
-
-    def run_sumregs():
-        return bilevel_learn_fused(
-            ds, xinit=np.array([1e-3, 1e-3, 1e-3]),
-            params=params | dict(delta0=0.01), model=sumregs_model(),
-            inner_maxiter=inner, inner_tol=1e-6, check_every=100,
-            cfg=fast_cfg, backend=backend, delta_t=1e-3)
-
-    res_sr, wall_sumregs = _best_of(run_sumregs)
-
-    # sumregs quality at the learned α (VERDICT r2 item 3): evaluate with a
-    # full cold 5000-iter solve so the tr_fused and one-kernel αs are scored
-    # by the same oracle-grade solve, not their own (warm/approximate) u
-    ksolve = (denoise_pdps_pallas if backend == "pallas" else denoise_pdps)
-
     def _sumregs_eval(x):
+        # oracle-grade scoring: full cold 5000-iter solve, so tr_fused and
+        # one-kernel αs are judged by the same solve, not their own
+        # (warm/approximate) u
         u = ksolve(ds[1], np.asarray(x), sumregs_model(), maxiter=inner)
         cost = 0.5 * float(jnp.sum((u - ds[0]) ** 2))
         return cost, float(np.mean(np.asarray(psnr(ds[0], u))))
 
-    sumregs_cost, sumregs_psnr = _sumregs_eval(res_sr.x)
+    # --- headline: fused on-device TR (fast mode, fidelity-checked) -------
+    if only in (None, "flagship"):
+        def run_fused(inner_tol, cfg):
+            return bilevel_learn_fused(ds, xinit=0.1, params=params,
+                                       inner_maxiter=inner,
+                                       inner_tol=inner_tol,
+                                       check_every=100, cfg=cfg,
+                                       backend=backend)
 
-    # --- single-loop first-order + fully-fused one-kernel ------------------
-    from bpldenoising_tpu.bilevel.first_order import single_loop_tv_learn
+        # interleave trivial-dispatch probes with the flagship repeats: the
+        # tunnel's round-trip floor drifts on a minutes timescale, so the
+        # subtraction baseline must be sampled AT the flagship measurement,
+        # not at bench start
+        res = _sync(run_fused(1e-6, fast_cfg))   # compile + warm
+        wall = flag_floor = float("inf")
+        for _ in range(4 if only == "flagship" else 3):
+            t0 = time.perf_counter()
+            _sync(trivial(ds[1]))
+            flag_floor = min(flag_floor, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            res = _sync(run_fused(1e-6, fast_cfg))
+            wall = min(wall, time.perf_counter() - t0)
+        learned_alpha = float(res.x)
+        out.update({
+            "value": round(wall, 4),
+            "vs_baseline": round(CPU_BASELINE_SECONDS / (wall * scale), 2),
+            "vs_baseline_r1": round(
+                CPU_BASELINE_R1_SECONDS / (wall * scale), 2),
+            # the scalar-reduce sync that ends the timed region costs one
+            # dispatch round-trip, and the tunnel's floor drifts by
+            # minutes — flag_floor is sampled interleaved with the flagship
+            # repeats, so this subtraction isolates device work from tunnel
+            # state (the round-2-comparable number; r2 used bare
+            # block_until_ready)
+            "value_minus_sync_s": round(max(wall - flag_floor, 0.0), 4),
+            "dispatch_at_flagship_s": round(flag_floor, 4),
+            "learned_alpha": round(learned_alpha, 6),
+            "alpha_vs_parity_target": round(
+                abs(learned_alpha - FLAGSHIP_ALPHA), 8),
+            "mean_psnr_db": round(float(np.mean(np.asarray(
+                psnr(ds[0], res.u)))), 3),
+            "final_cost": round(float(res.cost), 4),
+            "outer_iterations": int(res.iterations),
+        })
+        if only == "flagship":
+            return out
 
-    def run_sl():
-        return single_loop_tv_learn(ds[0], ds[1], alpha0=0.1, outer=300,
-                                    n_inner=40, n_adj=10, lr=0.05)
+        # --- parity mode: cold fixed-budget solves (reference semantics) --
+        res_par, wall_parity = _best_of(
+            lambda: run_fused(None, HypergradConfig()))
 
-    r_sl, single_loop_wall = _best_of(run_sl)
+        # --- host-driven TR (one dispatch per evaluation) ------------------
+        # the learning function is rebuilt per run so each timed run pays
+        # the cold warm-start state (a fresh user invocation reproduces it)
+        def run_host():
+            lf = make_tv_learning_function(
+                maxiter=inner, backend=backend, solver_kwargs=dict(tol=1e-6))
+            return bilevel_learn(ds, lf, xinit=0.1, params=params)
 
-    try:
-        from bpldenoising_tpu.bilevel.first_order_pallas import (
-            single_loop_tv_pallas)
+        res_host, wall_host = _best_of(run_host)
 
-        def run_ok():
-            a1, u1, _ = single_loop_tv_pallas(
-                ds[0], ds[1], alpha0=0.1, outer=300, n_inner=40, n_adj=10,
-                lr=0.05)
-            return a1
+        # --- family walltimes: patch TV and sumregs (fused path) ----------
+        def run_patch():
+            return bilevel_learn_fused(
+                ds, xinit=1e-4 * np.ones((2, 2)),
+                params=params | dict(delta0=1e-4),
+                inner_maxiter=inner, inner_tol=1e-6, check_every=100,
+                cfg=fast_cfg, backend=backend)
 
-        a1, one_kernel_wall = _best_of(run_ok)
-        one_kernel_alpha = float(a1)
-    except Exception as e:   # e.g. VMEM guard on larger configs
-        print(f"one-kernel learner unavailable: {e}", file=sys.stderr)
-        one_kernel_wall = None
-        one_kernel_alpha = None
+        res_patch, wall_patch = _best_of(run_patch)
 
-    # one-kernel sumregs (VERDICT round-1 item 6): the FULL batch-10
-    # faces stack — round 2's recompute mode fits the K=3 state in VMEM
-    # (round 1 had to fall back to a batch-1 circle)
-    try:
-        from bpldenoising_tpu.bilevel.first_order_pallas import (
-            single_loop_pallas)
+        def run_sumregs():
+            return bilevel_learn_fused(
+                ds, xinit=np.array([1e-3, 1e-3, 1e-3]),
+                params=params | dict(delta0=0.01), model=sumregs_model(),
+                inner_maxiter=inner, inner_tol=1e-6, check_every=100,
+                cfg=fast_cfg, backend=backend, delta_t=1e-3)
 
-        def run_ok_sr():
-            x, u1, _ = single_loop_pallas(
-                ds[0], ds[1], jnp.asarray([1e-3, 1e-3, 1e-3],
-                                          ds[0].dtype),
-                sumregs_model(), outer=300, n_inner=40, n_adj=10, lr=0.05)
-            return x
+        res_sr, wall_sumregs = _best_of(run_sumregs)
 
-        x_sr, one_kernel_sr_wall = _best_of(run_ok_sr)
-        one_kernel_sr_alpha = [round(float(v), 6) for v in np.asarray(x_sr)]
-        ok_sr_cost, ok_sr_psnr = _sumregs_eval(x_sr)
-    except Exception as e:
-        print(f"one-kernel sumregs unavailable: {e}", file=sys.stderr)
-        one_kernel_sr_wall = None
-        one_kernel_sr_alpha = None
-        ok_sr_cost = ok_sr_psnr = None
+        # sumregs quality at the learned α (VERDICT r2 item 3)
+        sumregs_cost, sumregs_psnr = _sumregs_eval(res_sr.x)
 
-    # batch-tiled one-kernel at scale: batch-64 K=3 — beyond any
-    # VMEM-resident capacity; solver state rides an HBM buffer, DMA'd
-    # per (outer step, tile)
-    try:
-        from bpldenoising_tpu.bilevel.first_order_pallas import (
-            single_loop_pallas_tiled)
+        # --- single-loop first-order (jnp scan) ----------------------------
+        from bpldenoising_tpu.bilevel.first_order import single_loop_tv_learn
 
-        big64 = (jnp.tile(ds[0], (7, 1, 1))[:64],
-                 jnp.tile(ds[1], (7, 1, 1))[:64])
+        def run_sl():
+            return single_loop_tv_learn(ds[0], ds[1], alpha0=0.1, outer=300,
+                                        n_inner=40, n_adj=10, lr=0.05)
 
-        def run_ok_tiled():
-            x, u1, _ = single_loop_pallas_tiled(
-                big64[0], big64[1], jnp.asarray([1e-3, 1e-3, 1e-3],
-                                                ds[0].dtype),
-                sumregs_model(), outer=300, n_inner=40, n_adj=10, lr=0.05)
-            return x
+        r_sl, single_loop_wall = _best_of(run_sl)
 
-        _, tiled64_wall = _best_of(run_ok_tiled)
-    except Exception as e:
-        print(f"tiled one-kernel unavailable: {e}", file=sys.stderr)
-        tiled64_wall = None
+        out.update({
+            "tr_parity_walltime_s": round(wall_parity, 4),
+            "tr_parity_alpha": round(float(res_par.x), 6),
+            "tr_host_walltime_s": round(wall_host, 4),
+            "tr_host_alpha": round(float(res_host.x), 6),
+            "patch_tv_walltime_s": round(wall_patch, 4),
+            "patch_tv_iterations": int(res_patch.iterations),
+            "sumregs_walltime_s": round(wall_sumregs, 4),
+            "sumregs_alpha": [round(float(a), 6)
+                              for a in np.asarray(res_sr.x)],
+            "sumregs_final_cost": round(sumregs_cost, 4),
+            "sumregs_psnr_db": round(sumregs_psnr, 3),
+            "single_loop_walltime_s": round(single_loop_wall, 4),
+            "single_loop_alpha": round(float(r_sl.alpha), 6),
+            "single_loop_mean_psnr_db": round(float(np.mean(np.asarray(
+                psnr(ds[0], r_sl.u)))), 3),
+        })
+
+    # --- fully-fused one-kernel learners -----------------------------------
+    if only in (None, "one_kernel"):
+        try:
+            from bpldenoising_tpu.bilevel.first_order_pallas import (
+                single_loop_tv_pallas)
+
+            def run_ok():
+                a1, u1, _ = single_loop_tv_pallas(
+                    ds[0], ds[1], alpha0=0.1, outer=300, n_inner=40,
+                    n_adj=10, lr=0.05)
+                return a1
+
+            a1, one_kernel_wall = _best_of(run_ok)
+            one_kernel_alpha = float(a1)
+        except Exception as e:   # e.g. VMEM guard on larger configs
+            print(f"one-kernel learner unavailable: {e}", file=sys.stderr)
+            one_kernel_wall = None
+            one_kernel_alpha = None
+
+        # one-kernel sumregs: the FULL batch-10 faces stack (recompute mode
+        # fits the K=3 state in VMEM)
+        try:
+            from bpldenoising_tpu.bilevel.first_order_pallas import (
+                single_loop_pallas)
+
+            def run_ok_sr():
+                x, u1, _ = single_loop_pallas(
+                    ds[0], ds[1], jnp.asarray([1e-3, 1e-3, 1e-3],
+                                              ds[0].dtype),
+                    sumregs_model(), outer=300, n_inner=40, n_adj=10,
+                    lr=0.05)
+                return x
+
+            x_sr, one_kernel_sr_wall = _best_of(run_ok_sr)
+            one_kernel_sr_alpha = [round(float(v), 6)
+                                   for v in np.asarray(x_sr)]
+            if only is None:   # fidelity scoring: skip in sweep mode
+                ok_sr_cost, ok_sr_psnr = _sumregs_eval(x_sr)
+            else:
+                ok_sr_cost = ok_sr_psnr = None
+        except Exception as e:
+            print(f"one-kernel sumregs unavailable: {e}", file=sys.stderr)
+            one_kernel_sr_wall = None
+            one_kernel_sr_alpha = None
+            ok_sr_cost = ok_sr_psnr = None
+
+        # batch-tiled one-kernel at scale: batch-64 K=3 — beyond any
+        # VMEM-resident capacity; solver state rides an HBM buffer, DMA'd
+        # per (outer step, tile)
+        try:
+            from bpldenoising_tpu.bilevel.first_order_pallas import (
+                single_loop_pallas_tiled)
+
+            big64 = (jnp.tile(ds[0], (7, 1, 1))[:64],
+                     jnp.tile(ds[1], (7, 1, 1))[:64])
+
+            def run_ok_tiled():
+                x, u1, _ = single_loop_pallas_tiled(
+                    big64[0], big64[1], jnp.asarray([1e-3, 1e-3, 1e-3],
+                                                    ds[0].dtype),
+                    sumregs_model(), outer=300, n_inner=40, n_adj=10,
+                    lr=0.05)
+                return x
+
+            _, tiled64_wall = _best_of(run_ok_tiled)
+        except Exception as e:
+            print(f"tiled one-kernel unavailable: {e}", file=sys.stderr)
+            tiled64_wall = None
+
+        out.update({
+            "one_kernel_walltime_s": (
+                round(one_kernel_wall, 4)
+                if one_kernel_wall is not None else None),
+            "one_kernel_alpha": one_kernel_alpha,
+            "one_kernel_sumregs_walltime_s": (
+                round(one_kernel_sr_wall, 4)
+                if one_kernel_sr_wall is not None else None),
+            "one_kernel_sumregs_alpha": one_kernel_sr_alpha,
+            "one_kernel_sumregs_final_cost": (
+                round(ok_sr_cost, 4) if ok_sr_cost is not None else None),
+            "one_kernel_sumregs_psnr_db": (
+                round(ok_sr_psnr, 3) if ok_sr_psnr is not None else None),
+            "one_kernel_tiled_batch64_sumregs_s": (
+                round(tiled64_wall, 4) if tiled64_wall is not None
+                else None),
+        })
+        if only == "one_kernel":
+            # sweep score: sum of the family's walltimes (all three live in
+            # their own modules, so one salt draws them together)
+            parts = [w for w in (one_kernel_wall, one_kernel_sr_wall,
+                                 tiled64_wall) if w is not None]
+            out["value"] = round(sum(parts), 4) if parts else None
+            return out
 
     # --- phase breakdown (per-evaluation costs at the optimum) ------------
-    model = tv_model()
-    alpha = jnp.asarray(learned_alpha, ds[0].dtype)
+    if only is None:
+        alpha = jnp.asarray(learned_alpha, ds[0].dtype)
 
-    if backend == "pallas":
-        def solve_state(a, state0=None):
-            return denoise_pdps_pallas(ds[1], (a,), model, maxiter=inner,
-                                       tol=1e-6, check_every=100,
-                                       state0=state0, return_state=True)
-    else:
-        def solve_state(a, state0=None):
-            u, ys, _ = denoise_pdps(ds[1], (a,), model, maxiter=inner,
-                                    tol=1e-6, check_every=100, state0=state0,
-                                    return_dual=True)
-            return u, (u, ys)
+        if backend == "pallas":
+            def solve_state(a, state0=None):
+                return denoise_pdps_pallas(ds[1], (a,), model,
+                                           maxiter=inner, tol=1e-6,
+                                           check_every=100, state0=state0,
+                                           return_state=True)
+        else:
+            def solve_state(a, state0=None):
+                u, ys, _ = denoise_pdps(ds[1], (a,), model, maxiter=inner,
+                                        tol=1e-6, check_every=100,
+                                        state0=state0, return_dual=True)
+                return u, (u, ys)
 
-    (u_opt, st_opt), solve_cold_s = _best_of(lambda: solve_state(alpha))
-    _, solve_warm_s = _best_of(
-        lambda: solve_state(alpha * 1.05, state0=st_opt))
+        (u_opt, st_opt), solve_cold_s = _best_of(lambda: solve_state(alpha))
+        _, solve_warm_s = _best_of(
+            lambda: solve_state(alpha * 1.05, state0=st_opt))
 
-    hg = jax.jit(lambda u, t: exact_hypergrad(u, t, (alpha,), model,
-                                              fast_cfg)[0][0])
-    _, hypergrad_s = _best_of(lambda: hg(u_opt, ds[0]))
+        hg = jax.jit(lambda u, t: exact_hypergrad(u, t, (alpha,), model,
+                                                  fast_cfg)[0][0])
+        _, hypergrad_s = _best_of(lambda: hg(u_opt, ds[0]))
+
+        out.update({
+            "phase_solve_cold_s": round(solve_cold_s, 4),
+            "phase_solve_warm_s": round(solve_warm_s, 4),
+            "phase_hypergrad_s": round(hypergrad_s, 4),
+        })
 
     # --- raw fused-kernel PD throughput ------------------------------------
-    bench_iters = 1000 if quick else 5000
-    _, pd_wall = _best_of(
-        lambda: ksolve(ds[1], (0.1,), model, maxiter=bench_iters))
-    pd_rate = bench_iters / pd_wall
+    if only in (None, "throughput"):
+        bench_iters = 1000 if quick else 5000
+        _, pd_wall = _best_of(
+            lambda: ksolve(ds[1], (0.1,), model, maxiter=bench_iters))
+        pd_rate = bench_iters / pd_wall
 
-    # throughput at scale: batch-256 stack (VERDICT round 1: the batch-10
-    # number is dispatch-latency-bound; this one saturates the chip)
-    big = jnp.tile(ds[1], (26, 1, 1))[:256]
-    scale_iters = 200 if quick else 3000   # amortize the dispatch floor
-    _, big_wall = _best_of(
-        lambda: ksolve(big, (0.1,), model, maxiter=scale_iters))
-    gpix_iter_rate = 256 * 128 * 128 * scale_iters / big_wall / 1e9
+        # throughput at scale: batch-256 stack (the batch-10 number is
+        # dispatch-latency-bound; this one saturates the chip)
+        big = jnp.tile(ds[1], (26, 1, 1))[:256]
+        scale_iters = 200 if quick else 3000   # amortize the dispatch floor
+        _, big_wall = _best_of(
+            lambda: ksolve(big, (0.1,), model, maxiter=scale_iters))
+        gpix_iter_rate = 256 * 128 * 128 * scale_iters / big_wall / 1e9
 
-    # roofline: the fused PDPS iteration is pure elementwise/stencil work
-    # (VPU-bound, VMEM-resident).  Audited op count per pixel-iteration for
-    # K=1 (BASELINE.md "Roofline"): 32 arithmetic/select VPU ops + 6
-    # roll shifts = 38; v5e VPU f32 peak ≈ 8×128 lanes × 4 ALUs ×
-    # ~0.94 GHz ≈ 3.85 Top/s.
-    VPU_PEAK_F32 = 3.85e12
-    flops_per_pix_iter = 38.0   # K=1, audited
-    vpu_util_pct = 100.0 * gpix_iter_rate * 1e9 * flops_per_pix_iter \
-        / VPU_PEAK_F32
+        # roofline: the fused PDPS iteration is pure elementwise/stencil
+        # work (VPU-bound, VMEM-resident).  Audited op count per
+        # pixel-iteration for K=1 (BASELINE.md "Roofline"): 32
+        # arithmetic/select VPU ops + 6 roll shifts = 38; v5e VPU f32 peak
+        # ≈ 8×128 lanes × 4 ALUs × ~0.94 GHz ≈ 3.85 Top/s.
+        VPU_PEAK_F32 = 3.85e12
+        flops_per_pix_iter = 38.0   # K=1, audited
+        vpu_util_pct = 100.0 * gpix_iter_rate * 1e9 * flops_per_pix_iter \
+            / VPU_PEAK_F32
 
-    # routing-ladder scaling points (VERDICT r2 item 9): whole-image VMEM
-    # residency at 1024² and the spatially-tiled trapezoid kernel at 2048²
-    # (state too large even for residency).  Regressions in the dispatch
-    # ladder (8 MiB chunking → 48 MiB residency → tiling → jnp) move these.
-    resident_1024_wall = tiled_2048_wall = None
-    if not quick and backend == "pallas":
-        img1024 = jnp.tile(ds[1][:1], (1, 8, 8))
-        _, resident_1024_wall = _best_of(
-            lambda: ksolve(img1024, (0.1,), model, maxiter=5000))
-        img2048 = jnp.tile(ds[1][:1], (1, 16, 16))
-        _, tiled_2048_wall = _best_of(
-            lambda: ksolve(img2048, (0.1,), model, maxiter=1000))
+        # routing-ladder scaling points: whole-image VMEM residency at
+        # 1024² and the spatially-tiled trapezoid kernel at 2048² (state
+        # too large even for residency).  Regressions in the dispatch
+        # ladder (8 MiB chunking → 48 MiB residency → tiling → jnp) move
+        # these.
+        resident_1024_wall = tiled_2048_wall = None
+        if not quick and backend == "pallas":
+            img1024 = jnp.tile(ds[1][:1], (1, 8, 8))
+            _, resident_1024_wall = _best_of(
+                lambda: ksolve(img1024, (0.1,), model, maxiter=5000))
+            img2048 = jnp.tile(ds[1][:1], (1, 16, 16))
+            _, tiled_2048_wall = _best_of(
+                lambda: ksolve(img2048, (0.1,), model, maxiter=1000))
 
-    scale = 1.0 if not quick else (5000 / inner) * (20 / outer)
-    return {
-        "metric": "bilevel_tv_walltime_faces_train_128_10",
-        "value": round(wall, 4),
-        "unit": "s",
-        "vs_baseline": round(CPU_BASELINE_SECONDS / (wall * scale), 2),
-        "vs_baseline_r1": round(CPU_BASELINE_R1_SECONDS / (wall * scale), 2),
-        # the scalar-reduce sync that ends the timed region costs one
-        # dispatch round-trip, and the tunnel's floor drifts by minutes —
-        # flag_floor is sampled interleaved with the flagship repeats, so
-        # this subtraction isolates device work from tunnel state (the
-        # round-2-comparable number; r2 used bare block_until_ready)
-        "value_minus_sync_s": round(max(wall - flag_floor, 0.0), 4),
-        "dispatch_at_flagship_s": round(flag_floor, 4),
-        "learned_alpha": round(learned_alpha, 6),
-        "alpha_vs_parity_target": round(
-            abs(learned_alpha - FLAGSHIP_ALPHA), 8),
-        "mean_psnr_db": round(mean_psnr, 3),
-        "final_cost": round(float(res.cost), 4),
-        "outer_iterations": int(res.iterations),
-        "tr_parity_walltime_s": round(wall_parity, 4),
-        "tr_parity_alpha": round(float(res_par.x), 6),
-        "tr_host_walltime_s": round(wall_host, 4),
-        "tr_host_alpha": round(float(res_host.x), 6),
-        "patch_tv_walltime_s": round(wall_patch, 4),
-        "patch_tv_iterations": int(res_patch.iterations),
-        "sumregs_walltime_s": round(wall_sumregs, 4),
-        "sumregs_alpha": [round(float(a), 6) for a in np.asarray(res_sr.x)],
-        "sumregs_final_cost": round(sumregs_cost, 4),
-        "sumregs_psnr_db": round(sumregs_psnr, 3),
-        "single_loop_walltime_s": round(single_loop_wall, 4),
-        "single_loop_alpha": round(float(r_sl.alpha), 6),
-        "single_loop_mean_psnr_db": round(float(np.mean(np.asarray(
-            psnr(ds[0], r_sl.u)))), 3),
-        "one_kernel_walltime_s": (round(one_kernel_wall, 4)
-                                  if one_kernel_wall is not None else None),
-        "one_kernel_alpha": one_kernel_alpha,
-        "one_kernel_sumregs_walltime_s": (
-            round(one_kernel_sr_wall, 4)
-            if one_kernel_sr_wall is not None else None),
-        "one_kernel_sumregs_alpha": one_kernel_sr_alpha,
-        "one_kernel_sumregs_final_cost": (
-            round(ok_sr_cost, 4) if ok_sr_cost is not None else None),
-        "one_kernel_sumregs_psnr_db": (
-            round(ok_sr_psnr, 3) if ok_sr_psnr is not None else None),
-        "one_kernel_tiled_batch64_sumregs_s": (
-            round(tiled64_wall, 4) if tiled64_wall is not None else None),
-        "dispatch_latency_s": round(dispatch_s, 4),
-        "phase_solve_cold_s": round(solve_cold_s, 4),
-        "phase_solve_warm_s": round(solve_warm_s, 4),
-        "phase_hypergrad_s": round(hypergrad_s, 4),
-        "pd_iters_per_sec_batch10_128": round(pd_rate, 1),
-        "gpix_iter_per_sec_batch256_128": round(gpix_iter_rate, 2),
-        "vpu_util_pct_batch256": round(vpu_util_pct, 1),
-        "resident_1024_walltime_s": (
-            round(resident_1024_wall, 4)
-            if resident_1024_wall is not None else None),
-        "tiled_2048_walltime_s": (
-            round(tiled_2048_wall, 4)
-            if tiled_2048_wall is not None else None),
-        "backend": backend,
-        "dtype": dtype_name,
-        "device": str(jax.devices()[0]),
-        "mosaic_salt": os.environ.get("BPL_MOSAIC_SALT", ""),
-        "compile_cache": os.path.basename(cache_dir),
-        "quick": quick,
-    }
+        out.update({
+            "pd_iters_per_sec_batch10_128": round(pd_rate, 1),
+            "gpix_iter_per_sec_batch256_128": round(gpix_iter_rate, 2),
+            "vpu_util_pct_batch256": round(vpu_util_pct, 1),
+            "resident_1024_walltime_s": (
+                round(resident_1024_wall, 4)
+                if resident_1024_wall is not None else None),
+            "tiled_2048_walltime_s": (
+                round(tiled_2048_wall, 4)
+                if tiled_2048_wall is not None else None),
+        })
+        if only == "throughput":
+            # sweep score: maximize batch-256 throughput → minimize its wall
+            out["value"] = round(big_wall, 4)
+            return out
+
+    return out
 
 
 def measure_baseline() -> float:
@@ -445,15 +492,19 @@ def main():
     ap.add_argument("--backend", default="pallas", choices=["pallas", "jnp"])
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--measure-baseline", action="store_true")
-    ap.add_argument("--flagship-only", action="store_true",
-                    help="measure only the headline fused-TR walltime "
+    ap.add_argument("--only", default=None,
+                    choices=["flagship", "one_kernel", "throughput"],
+                    help="measure only one kernel family's section "
                          "(used by scripts/pin_schedule.py)")
+    ap.add_argument("--flagship-only", action="store_true",
+                    help="alias for --only flagship")
     args = ap.parse_args()
     if args.measure_baseline:
         measure_baseline()
         return
+    only = args.only or ("flagship" if args.flagship_only else None)
     result = run(quick=args.quick, backend=args.backend,
-                 dtype_name=args.dtype, flagship_only=args.flagship_only)
+                 dtype_name=args.dtype, only=only)
     print(json.dumps(result))
 
 

@@ -316,7 +316,7 @@ def _kernel(model: DenoiseModel, K: int, patch: bool, batched: bool,
             for k in range(K):
                 alpha_outs[0][k] = jnp.exp(zs[k])
 
-    return schedule_salt(kernel)
+    return schedule_salt(kernel, key="ok")
 
 
 # Mosaic's scoped VMEM limit is raised to the shared _VMEM_LIMIT
@@ -593,7 +593,7 @@ def _tiled_kernel(model: DenoiseModel, K: int, outer: int, n_inner: int,
             for k in range(K):
                 x_out[k] = jnp.exp(zms_ref[0, k])
 
-    return schedule_salt(kernel)
+    return schedule_salt(kernel, key="ok_tiled")
 
 
 # Tile sizing targets the same ~8 MiB working set the PDPS batch chunker

@@ -215,7 +215,7 @@ def _hg_kernel(model: DenoiseModel, K: int, al_iters: int, cg_maxiter: int,
         stats_out[1] = bb
         stats_out[2] = it.astype(dtype)
 
-    return schedule_salt(kernel)
+    return schedule_salt(kernel, key="hg_reg" if reg else "hg")
 
 
 def hypergrad_vmem_planes(K: int, n_maps: int, want_maps: bool) -> int:

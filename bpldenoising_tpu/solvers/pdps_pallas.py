@@ -201,18 +201,31 @@ def _pd_body(model: DenoiseModel, accel: bool, gamma: float, f, alphas,
     return body
 
 
-def schedule_salt(kernel):
+def schedule_salt(kernel, key: str | None = None):
     """Apply the Mosaic schedule salt to a kernel function.
 
     Mosaic's AOT compiler binds a different (measured up to ~30%
     faster/slower on v5e) binary per serialized-module hash, and the kernel
     function's name is part of that hash; compiles of an UNCHANGED module
-    are deterministic.  ``BPL_MOSAIC_SALT`` renames every kernel so
-    ``scripts/pin_schedule.py`` can sweep name variants, find a fast draw,
-    and pin it via the persistent compilation cache for all future runs
-    (BASELINE.md "Deterministic walltime").  Empty salt = no-op.
+    are deterministic.  Renaming a kernel yields a fresh deterministic
+    draw, so ``scripts/pin_schedule.py`` can sweep name variants, find a
+    fast draw, and pin it via the persistent compilation cache for all
+    future runs (BASELINE.md "Deterministic walltime").  Empty salt =
+    no-op.
+
+    ``key`` names the kernel family (``pdps_cold``, ``pdps_warm``, ``hg``,
+    ``ok``, ...) so families living in DIFFERENT jitted modules can be
+    pinned to different draws: one global salt cannot make the flagship
+    fused-TR module (pdps_warm + hg) AND the standalone throughput module
+    (pdps_cold) both land their fastest schedules, because their module
+    hashes draw independently.  Resolution order:
+    ``BPL_MOSAIC_SALT_<KEY>`` (uppercased) then ``BPL_MOSAIC_SALT``.
     """
-    salt = os.environ.get("BPL_MOSAIC_SALT", "")
+    salt = ""
+    if key:
+        salt = os.environ.get(f"BPL_MOSAIC_SALT_{key.upper()}", "")
+    if not salt:
+        salt = os.environ.get("BPL_MOSAIC_SALT", "")
     if salt:
         kernel.__name__ = f"{kernel.__name__}_{salt}"
     return kernel
@@ -304,7 +317,7 @@ def _make_kernel(model: DenoiseModel, maxiter: int, accel: bool,
         for r, y in zip(ys_out_refs, ys_final):
             r[:] = y
 
-    return schedule_salt(kernel)
+    return schedule_salt(kernel, key="pdps_warm" if warm else "pdps_cold")
 
 
 # ---------------------------------------------------------------------------
@@ -359,7 +372,7 @@ def _make_tiled_kernel(model: DenoiseModel, T: int, accel: bool,
         for r, y in zip(ys_out_refs, ys):
             r[:] = y
 
-    return schedule_salt(kernel)
+    return schedule_salt(kernel, key="pdps_tiled")
 
 
 def _accel_schedule(tau, sigma, gamma, accel: bool, n: int):

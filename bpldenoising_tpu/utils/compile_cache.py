@@ -41,21 +41,38 @@ def default_cache_dir() -> str:
 
 
 def enable(cache_dir: str | None = None) -> str:
-    """Enable the persistent compilation cache + pinned schedule salt.
+    """Enable the persistent compilation cache + pinned schedule salts.
 
     Must run before the first jit compile of the process (kernel names are
     salted at trace time).  Safe on any backend; idempotent.  Returns the
     cache directory in use.
+
+    Salts come from ``MOSAIC_SALTS.json`` in the cache dir — a mapping of
+    kernel-family key (``""`` = the global fallback, else e.g.
+    ``"PDPS_COLD"``) to salt string, exported as ``BPL_MOSAIC_SALT`` /
+    ``BPL_MOSAIC_SALT_<KEY>`` (see
+    :func:`bpldenoising_tpu.solvers.pdps_pallas.schedule_salt`).  A plain
+    ``MOSAIC_SALT`` file (global salt only) is read as a fallback.
+    Environment variables already set win, so a sweep can override any
+    single family.
     """
     import jax
     cache_dir = cache_dir or default_cache_dir()
     os.makedirs(cache_dir, exist_ok=True)
+    salts_file = os.path.join(cache_dir, "MOSAIC_SALTS.json")
     salt_file = os.path.join(cache_dir, "MOSAIC_SALT")
-    if "BPL_MOSAIC_SALT" not in os.environ and os.path.exists(salt_file):
+    salts: dict[str, str] = {}
+    if os.path.exists(salts_file):
+        import json
+        with open(salts_file) as fh:
+            salts = {str(k).upper(): str(v) for k, v in json.load(fh).items()}
+    elif os.path.exists(salt_file):
         with open(salt_file) as fh:
-            salt = fh.read().strip()
-        if salt:
-            os.environ["BPL_MOSAIC_SALT"] = salt
+            salts = {"": fh.read().strip()}
+    for key, salt in salts.items():
+        var = f"BPL_MOSAIC_SALT_{key}" if key else "BPL_MOSAIC_SALT"
+        if salt and var not in os.environ:
+            os.environ[var] = salt
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

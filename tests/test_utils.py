@@ -255,3 +255,71 @@ class TestCheckpointModelState:
         # after one iteration the captured B evolved FROM B0, not from 0.1*I
         assert captured["B"] is not None
         assert not np.allclose(captured["B"], np.eye(2) * 0.1)
+
+
+class TestScheduleSalts:
+    """Per-kernel-family Mosaic schedule salts + the pinned-salts loader
+    (utils/compile_cache.py): families in different jitted modules draw
+    independent compile lotteries, so each gets its own salt variable."""
+
+    def _named(self):
+        def kernel():
+            pass
+        return kernel
+
+    def test_key_specific_salt_wins(self, monkeypatch):
+        from bpldenoising_tpu.solvers.pdps_pallas import schedule_salt
+        monkeypatch.setenv("BPL_MOSAIC_SALT", "glob")
+        monkeypatch.setenv("BPL_MOSAIC_SALT_PDPS_COLD", "fam")
+        assert schedule_salt(self._named(),
+                             key="pdps_cold").__name__ == "kernel_fam"
+
+    def test_global_fallback(self, monkeypatch):
+        from bpldenoising_tpu.solvers.pdps_pallas import schedule_salt
+        monkeypatch.setenv("BPL_MOSAIC_SALT", "glob")
+        monkeypatch.delenv("BPL_MOSAIC_SALT_HG", raising=False)
+        assert schedule_salt(self._named(),
+                             key="hg").__name__ == "kernel_glob"
+        assert schedule_salt(self._named()).__name__ == "kernel_glob"
+
+    def test_empty_salt_noop(self, monkeypatch):
+        from bpldenoising_tpu.solvers.pdps_pallas import schedule_salt
+        for var in list(os.environ):
+            if var.startswith("BPL_MOSAIC_SALT"):
+                monkeypatch.delenv(var)
+        assert schedule_salt(self._named(), key="ok").__name__ == "kernel"
+
+    @pytest.fixture
+    def _restore_cache_dir(self):
+        # enable() redirects the process-wide compilation cache; restore
+        # the conftest's dir so later tests keep their warm cache
+        import jax
+        prev = jax.config.jax_compilation_cache_dir
+        yield
+        jax.config.update("jax_compilation_cache_dir", prev)
+
+    def test_salts_file_exports_env(self, tmp_path, monkeypatch,
+                                    _restore_cache_dir):
+        import json
+
+        from bpldenoising_tpu.utils.compile_cache import enable
+        for var in list(os.environ):
+            if var.startswith("BPL_MOSAIC_SALT"):
+                monkeypatch.delenv(var)
+        (tmp_path / "MOSAIC_SALTS.json").write_text(
+            json.dumps({"": "g1", "pdps_cold": "c1"}))
+        monkeypatch.setenv("BPL_MOSAIC_SALT_PDPS_COLD", "preset")
+        enable(str(tmp_path))
+        # file populates unset vars; a pre-set env var wins (sweep override)
+        assert os.environ["BPL_MOSAIC_SALT"] == "g1"
+        assert os.environ["BPL_MOSAIC_SALT_PDPS_COLD"] == "preset"
+
+    def test_plain_salt_file_back_compat(self, tmp_path, monkeypatch,
+                                         _restore_cache_dir):
+        from bpldenoising_tpu.utils.compile_cache import enable
+        for var in list(os.environ):
+            if var.startswith("BPL_MOSAIC_SALT"):
+                monkeypatch.delenv(var)
+        (tmp_path / "MOSAIC_SALT").write_text("legacy\n")
+        enable(str(tmp_path))
+        assert os.environ["BPL_MOSAIC_SALT"] == "legacy"
