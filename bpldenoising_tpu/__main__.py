@@ -79,6 +79,22 @@ def main(argv=None):
     p.add_argument("--maxiter", type=int, default=10000)
     p.add_argument("--plot", action="store_true")
 
+    p = sub.add_parser(
+        "make-dataset",
+        help="synthesize a loadable (true, noisy) PNG dataset from images "
+             "or the built-in circle phantom")
+    p.add_argument("name", help="dataset dir name, e.g. mycircle_128_10")
+    p.add_argument("--from-images", nargs="*", default=None, metavar="PNG",
+                   help="grayscale source images (default: circle phantom)")
+    p.add_argument("--size", type=int, default=128,
+                   help="phantom resolution when no source images given")
+    p.add_argument("--sigma", type=float, default=0.1,
+                   help="Gaussian noise std in [0,1] units (0.1 = the "
+                        "reference's _10 datasets)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out-root", default=None,
+                   help="parent dir (default: the bundled datasets dir)")
+
     args = ap.parse_args(argv)
 
     import sys as _sys
@@ -147,6 +163,17 @@ def _dispatch(args):
         out = ex.validate_sumregs_parameter(np.asarray(args.parameter),
                                             dataset_name=args.dataset)
         print(out["cost"], out["mean_psnr"])
+        return
+    elif args.cmd == "make-dataset":
+        from bpldenoising_tpu.data import (circle_phantom, make_dataset,
+                                           read_png_gray)
+        if args.from_images:
+            imgs = [read_png_gray(f) for f in args.from_images]
+        else:
+            imgs = [circle_phantom(args.size)]
+        out = make_dataset(args.name, imgs, sigma=args.sigma,
+                           seed=args.seed, out_root=args.out_root)
+        print(out)
         return
     elif args.cmd == "cost-sweep":
         costs = ex.generate_scalar_tv_cost(

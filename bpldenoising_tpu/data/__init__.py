@@ -5,9 +5,11 @@ from .datasets import (
     remotedatasets,
     testdataset,
 )
+from .generate import add_noise, circle_phantom, make_dataset
 from .png_io import read_png_gray, write_png_gray
 
 __all__ = [
     "testdataset", "load_dataset", "full_datasetname", "remotedatasets",
     "dataset_dir", "read_png_gray", "write_png_gray",
+    "circle_phantom", "add_noise", "make_dataset",
 ]

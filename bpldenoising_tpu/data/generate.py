@@ -1,0 +1,119 @@
+"""Dataset synthesis: build loader-compatible (true, noisy) PNG datasets.
+
+Beyond-reference capability.  The reference ships five pre-made datasets
+(``/root/reference/datasets/``, loaded by ``src/Datasets.jl:54-65``) plus
+standalone circle phantom images (``/root/reference/images/``), but offers
+no way to CREATE a dataset — new training data required external tooling.
+This module closes that gap:
+
+* :func:`circle_phantom` — the binary-disk phantom the reference bundles
+  (``images/circle_128_orig.png``; its ``circle_128_10`` true image is the
+  same 1-bit disk), at any resolution.
+* :func:`add_noise` — additive Gaussian noise at a given level, clipped to
+  [0, 1] (the reference's datasets are named ``<base>_<size>_<pct>`` where
+  ``pct`` is the noise std in percent of dynamic range, e.g.
+  ``cameraman_128_5`` / ``_10``).
+* :func:`make_dataset` — write ``<name>_true_<i>.png`` /
+  ``<name>_data_<i>.png`` pairs + ``filelist.txt`` in the exact layout
+  ``load_dataset`` (and the reference's ``src/Datasets.jl``) reads, and
+  register the name so ``testdataset(name)`` resolves it immediately.
+
+Everything here is host-side numpy data preparation — no jax involvement,
+so it never touches the pinned TPU executables.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from . import datasets as _registry
+from .png_io import write_png_gray
+
+__all__ = ["circle_phantom", "add_noise", "make_dataset"]
+
+
+def circle_phantom(size: int = 128, radius: float = 0.3,
+                   center=(0.5, 0.5), intensity: float = 1.0) -> np.ndarray:
+    """Binary disk on a black background (float64 (size, size) in [0, 1]),
+    matching the reference's bundled circle images (1-bit disk,
+    ``datasets/circle_128_10``/``images/circle_128_orig.png``)."""
+    if size <= 0:
+        raise ValueError(f"size must be positive, got {size}")
+    yy, xx = np.mgrid[0:size, 0:size]
+    cy, cx = (center[0] * (size - 1), center[1] * (size - 1))
+    r2 = (yy - cy) ** 2 + (xx - cx) ** 2
+    return np.where(r2 <= (radius * size) ** 2, float(intensity), 0.0)
+
+
+def add_noise(img: np.ndarray, sigma: float,
+              rng: np.random.Generator | int | None = 0) -> np.ndarray:
+    """``img + N(0, sigma²)`` clipped to [0, 1].  ``sigma`` is in absolute
+    units of the [0, 1] range (the reference's ``_10`` suffix ⇒ 0.10)."""
+    if not isinstance(rng, np.random.Generator):
+        rng = np.random.default_rng(rng)
+    noisy = np.asarray(img, np.float64) + rng.normal(0.0, sigma, img.shape)
+    return np.clip(noisy, 0.0, 1.0)
+
+
+def make_dataset(name: str, true_images, sigma: float = 0.1,
+                 seed: int = 0, out_root: str | None = None,
+                 noisy_images=None, register: bool = True) -> str:
+    """Write a loadable dataset and return its directory.
+
+    Parameters
+    ----------
+    name: dataset directory name (reference convention:
+        ``<base>_<size>_<noisepct>``).
+    true_images: iterable of 2-D arrays in [0, 1] (or one (O, M, N) stack).
+    sigma: Gaussian noise std for the data images (ignored when
+        ``noisy_images`` is given explicitly).
+    seed: RNG seed for the noise (one stream across the whole set, so the
+        dataset is reproducible from (images, sigma, seed)).
+    out_root: parent directory (default: the loader's ``dataset_dir``).
+    noisy_images: optional pre-made data images (same layout as
+        ``true_images``) for externally-degraded pairs.
+    register: also append ``name`` to ``remotedatasets`` so
+        ``testdataset(name)`` (prefix/fuzzy resolution included) finds it
+        in this process.
+    """
+    true_list = [np.asarray(t, np.float64) for t in true_images]
+    if not true_list:
+        raise ValueError("true_images is empty")
+    for t in true_list:
+        if t.ndim != 2:
+            raise ValueError(f"true images must be 2-D, got shape {t.shape}")
+        if t.min() < 0.0 or t.max() > 1.0:
+            raise ValueError("true images must lie in [0, 1]")
+    if noisy_images is not None:
+        noisy_list = [np.asarray(d, np.float64) for d in noisy_images]
+        if len(noisy_list) != len(true_list):
+            raise ValueError(
+                f"{len(true_list)} true images but {len(noisy_list)} noisy")
+        for t, d in zip(true_list, noisy_list):
+            if d.shape != t.shape:
+                raise ValueError(
+                    f"pair shape mismatch: {t.shape} vs {d.shape}")
+    else:
+        rng = np.random.default_rng(seed)
+        noisy_list = [add_noise(t, sigma, rng) for t in true_list]
+
+    root = out_root if out_root is not None else _registry.dataset_dir
+    out_dir = os.path.join(root, name)
+    os.makedirs(out_dir, exist_ok=True)
+    lines = []
+    for i, (t, d) in enumerate(zip(true_list, noisy_list), start=1):
+        tn, dn = f"{name}_true_{i}.png", f"{name}_data_{i}.png"
+        write_png_gray(os.path.join(out_dir, tn), t)
+        write_png_gray(os.path.join(out_dir, dn), d)
+        lines.append(f"{tn},{dn}")
+    with open(os.path.join(out_dir, "filelist.txt"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+    if register and name not in _registry.remotedatasets:
+        # only meaningful when the dataset lands inside dataset_dir, where
+        # testdataset() resolves names
+        if os.path.realpath(root) == os.path.realpath(_registry.dataset_dir):
+            _registry.remotedatasets.append(name)
+    return out_dir

@@ -41,3 +41,18 @@ def test_trace_flag_writes_profile(tmp_path):
           "--inner-maxiter", "100", "--trace", str(tmp_path / "tr")])
     assert os.path.isdir(tmp_path / "tr")
     assert any((tmp_path / "tr").rglob("*"))   # profiler wrote artifacts
+
+
+def test_make_dataset_cli(tmp_path, capsys):
+    import os
+    main(["make-dataset", "clicircle_32_10", "--size", "32",
+          "--sigma", "0.1", "--out-root", str(tmp_path / "ds")])
+    out_dir = capsys.readouterr().out.strip()
+    assert os.path.isfile(os.path.join(out_dir, "filelist.txt"))
+    from bpldenoising_tpu.data import load_dataset
+    tru, noisy = load_dataset(out_dir)
+    assert tru.shape == noisy.shape == (1, 32, 32)
+    # the written pair feeds straight into the learning stack
+    main(["make-dataset", "cliext_8_0", "--from-images",
+          os.path.join(out_dir, "clicircle_32_10_true_1.png"),
+          "--out-root", str(tmp_path / "ds2")])
