@@ -39,3 +39,11 @@ __all__ = [
     "denoise_pdps", "tv_denoise", "sumregs_denoise",
     "diff_tv_denoise", "diff_denoise",
 ]
+
+from .experiments import (TGVDenoise, scalar_bilevel_tgv_learn,
+                          validate_tgv_parameter)
+from .learning import tgv_learning_function
+from .solvers import diff_tgv_denoise, tgv_denoise_pdps
+__all__ += ["TGVDenoise", "scalar_bilevel_tgv_learn",
+            "validate_tgv_parameter", "tgv_learning_function",
+            "diff_tgv_denoise", "tgv_denoise_pdps"]

@@ -79,6 +79,16 @@ def main(argv=None):
     p.add_argument("--maxiter", type=int, default=10000)
     p.add_argument("--plot", action="store_true")
 
+    p = sub.add_parser("scalar-tgv", help="learn the TGV² weight pair "
+                       "(alpha1, alpha0) — beyond-reference model family")
+    common(p)
+    p.add_argument("--alpha0", type=float, nargs=2, default=[0.05, 0.05],
+                   metavar=("A1", "A0"),
+                   help="initial (first-order, second-order) weights")
+    p = sub.add_parser("validate-tgv")
+    p.add_argument("parameter", type=float, nargs=2)
+    p.add_argument("--dataset", default="cameraman_128_5")
+
     p = sub.add_parser(
         "make-dataset",
         help="synthesize a loadable (true, noisy) PNG dataset from images "
@@ -162,6 +172,18 @@ def _dispatch(args):
     elif args.cmd == "validate-sumregs":
         out = ex.validate_sumregs_parameter(np.asarray(args.parameter),
                                             dataset_name=args.dataset)
+        print(out["cost"], out["mean_psnr"])
+        return
+    elif args.cmd == "scalar-tgv":
+        from bpldenoising_tpu.experiments import scalar_bilevel_tgv_learn
+        with _trace(trace_dir):
+            res = scalar_bilevel_tgv_learn(
+                visualise=args.visualise, alpha0=np.asarray(args.alpha0),
+                **kw())
+    elif args.cmd == "validate-tgv":
+        from bpldenoising_tpu.experiments import validate_tgv_parameter
+        out = validate_tgv_parameter(np.asarray(args.parameter),
+                                     dataset_name=args.dataset)
         print(out["cost"], out["mean_psnr"])
         return
     elif args.cmd == "make-dataset":

@@ -30,3 +30,8 @@ __all__ = [
     "patch_bilevel_params", "sumregs_bilevel_params",
     "patch_sumregs_bilevel_params",
 ]
+
+from .tgv import (TGVDenoise, scalar_bilevel_tgv_learn, tgv_bilevel_params,
+                  validate_tgv_parameter)
+__all__ += ["TGVDenoise", "scalar_bilevel_tgv_learn", "tgv_bilevel_params",
+            "validate_tgv_parameter"]

@@ -1,0 +1,82 @@
+"""TGV² experiment front-ends (beyond-reference model family).
+
+Mirrors the reference's experiment-driver shape (``src/BPLDenoising.jl:325-449``
+— params merge, dataset load, bilevel learn, save_results, validate) for
+second-order total generalized variation (:mod:`..solvers.tgv`): the
+parameter is the 2-vector (α₁, α₀) weighting the first- and second-order
+terms.  Artifacts land in the same ``output/<dataset>/`` layout as every
+other family.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..learning.tgv import make_tgv_learning_function
+from ..solvers.tgv import tgv_denoise_pdps
+from .api import (L2CostFunction, _canon, _np_dtype, _run_bilevel,
+                  _validate, default_params, merge, testdataset)
+from ..utils.config import Params
+
+__all__ = ["tgv_bilevel_params", "scalar_bilevel_tgv_learn",
+           "validate_tgv_parameter", "TGVDenoise"]
+
+# same TR schedule as the reference families (src/BPLDenoising.jl:316-323);
+# Δ₀/α₀ sized for the 2-vector weight
+tgv_bilevel_params = Params(
+    eta1=0.25, eta2=0.75, beta1=0.25, beta2=1.9, delta0=0.02,
+    alpha0=np.array([0.05, 0.05]))
+
+
+def TGVDenoise(data, parameter, maxiter: int = 10000):
+    """Batched TGV² denoising at a fixed (α₁, α₀) (companion of
+    ``TVDenoise``, ref ``src/BPLDenoising.jl:41-59``)."""
+    p = np.asarray(parameter, np.float64).reshape(-1)
+    if p.size != 2:
+        raise ValueError(f"TGV parameter must be (alpha1, alpha0), got "
+                         f"{np.shape(parameter)}")
+    u, _ = tgv_denoise_pdps(jnp.asarray(data), float(p[0]), float(p[1]),
+                            maxiter=maxiter)
+    return u
+
+
+def scalar_bilevel_tgv_learn(visualise: bool = False, **kwargs):
+    """Learn (α₁, α₀) by the trust-region bilevel loop (the TGV analogue of
+    ``scalar_bilevel_sumregs_learn``, ref ``src/BPLDenoising.jl:432-449``)."""
+    params = merge(default_params, tgv_bilevel_params, kwargs)
+    params = _canon(params)
+    params = params | dict(save_prefix="tgv_optimal_parameter_"
+                           + params.dataset_name)
+    for m in ("single_loop", "tr_fused"):
+        if params.get("method") == m:
+            raise ValueError(f"method={m!r} is not available for the TGV "
+                             "family; use the default trust-region loop")
+    lf_kwargs = dict(maxiter=int(params.inner_maxiter))
+    if params.get("inner_tol") is not None:
+        lf_kwargs["tol"] = float(params.inner_tol)
+    if params.get("tgv_gamma") is not None:
+        lf_kwargs["gamma"] = float(params.tgv_gamma)
+    lf = make_tgv_learning_function(**lf_kwargs)
+    return _run_bilevel(params, lf, visualise, stretch_all=True)
+
+
+def validate_tgv_parameter(parameter, **kwargs):
+    """Re-denoise the dataset at a fixed (α₁, α₀) + quality table (the TGV
+    analogue of ``validate_tv_parameter``, ref ``src/BPLDenoising.jl:381-415``)."""
+    params = merge(default_params, tgv_bilevel_params, kwargs)
+    params = _canon(params)
+    shape = tuple(np.shape(parameter))
+    params = params | dict(
+        save_prefix=f"val_tgv_optimal_parameter_{shape}_"
+        + params.dataset_name)
+    img, noisy = testdataset(params.dataset_name)
+    dt = _np_dtype(params)
+    u = np.asarray(TGVDenoise(jnp.asarray(noisy, dt), parameter))
+    cost = L2CostFunction(u, img)
+    print(f"Denoising parameter {parameter}: cost = {cost}",
+          file=sys.stderr)
+    mean_ssim, mean_psnr = _validate(params, u, img, noisy)
+    return dict(cost=cost, mean_ssim=mean_ssim, mean_psnr=mean_psnr, u=u)

@@ -5,3 +5,6 @@ __all__ = [
     "tv_learning_function", "make_tv_learning_function",
     "sumregs_learning_function", "make_sumregs_learning_function",
 ]
+
+from .tgv import tgv_learning_function, make_tgv_learning_function
+__all__ += ["tgv_learning_function", "make_tgv_learning_function"]

@@ -14,3 +14,6 @@ __all__ = [
     "PatchOp",
     "xi", "scalarprod", "norm21", "proj_norm21_ball",
 ]
+
+from .tgv import SymGradientOp, sym_grad, sym_div, TGV_OPNORM_SQ
+__all__ += ["SymGradientOp", "sym_grad", "sym_div", "TGV_OPNORM_SQ"]

@@ -10,3 +10,8 @@ __all__ = ["denoise_pdps", "denoise_pdps_pallas", "tv_denoise",
            "HypergradConfig", "exact_hypergrad", "exact_hypergrad_pallas",
            "reg_hypergrad", "reg_hypergrad_pallas",
            "diff_tv_denoise", "diff_denoise", "make_diff_denoise"]
+
+from .tgv import (tgv_denoise_pdps, tgv_energy, diff_tgv_denoise,
+                  make_diff_tgv_denoise)
+__all__ += ["tgv_denoise_pdps", "tgv_energy", "diff_tgv_denoise",
+            "make_diff_tgv_denoise"]
