@@ -43,7 +43,9 @@ __all__ = [
 from .experiments import (TGVDenoise, scalar_bilevel_tgv_learn,
                           validate_tgv_parameter)
 from .learning import tgv_learning_function
-from .solvers import diff_tgv_denoise, tgv_denoise_pdps
+from .solvers import (diff_tgv_denoise, tgv_denoise_pdps,
+                      tgv_denoise_pdps_pallas)
 __all__ += ["TGVDenoise", "scalar_bilevel_tgv_learn",
             "validate_tgv_parameter", "tgv_learning_function",
-            "diff_tgv_denoise", "tgv_denoise_pdps"]
+            "diff_tgv_denoise", "tgv_denoise_pdps",
+            "tgv_denoise_pdps_pallas"]

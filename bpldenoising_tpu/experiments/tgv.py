@@ -31,15 +31,28 @@ tgv_bilevel_params = Params(
     alpha0=np.array([0.05, 0.05]))
 
 
-def TGVDenoise(data, parameter, maxiter: int = 10000):
+def _resolve_backend(backend: str) -> str:
+    if backend == "auto":
+        import jax
+        return "pallas" if jax.default_backend() != "cpu" else "jnp"
+    return backend
+
+
+def TGVDenoise(data, parameter, maxiter: int = 10000,
+               backend: str = "auto"):
     """Batched TGV² denoising at a fixed (α₁, α₀) (companion of
     ``TVDenoise``, ref ``src/BPLDenoising.jl:41-59``)."""
     p = np.asarray(parameter, np.float64).reshape(-1)
     if p.size != 2:
         raise ValueError(f"TGV parameter must be (alpha1, alpha0), got "
                          f"{np.shape(parameter)}")
-    u, _ = tgv_denoise_pdps(jnp.asarray(data), float(p[0]), float(p[1]),
-                            maxiter=maxiter)
+    if _resolve_backend(backend) == "pallas":
+        from ..solvers.tgv_pallas import tgv_denoise_pdps_pallas
+        u, _ = tgv_denoise_pdps_pallas(jnp.asarray(data), float(p[0]),
+                                       float(p[1]), maxiter=maxiter)
+    else:
+        u, _ = tgv_denoise_pdps(jnp.asarray(data), float(p[0]), float(p[1]),
+                                maxiter=maxiter)
     return u
 
 
@@ -54,7 +67,9 @@ def scalar_bilevel_tgv_learn(visualise: bool = False, **kwargs):
         if params.get("method") == m:
             raise ValueError(f"method={m!r} is not available for the TGV "
                              "family; use the default trust-region loop")
-    lf_kwargs = dict(maxiter=int(params.inner_maxiter))
+    lf_kwargs = dict(
+        maxiter=int(params.inner_maxiter),
+        backend=_resolve_backend(params.get("backend", "auto")))
     if params.get("inner_tol") is not None:
         lf_kwargs["tol"] = float(params.inner_tol)
     if params.get("tgv_gamma") is not None:

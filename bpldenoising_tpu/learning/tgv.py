@@ -31,11 +31,12 @@ __all__ = ["tgv_learning_function", "make_tgv_learning_function"]
 
 @functools.lru_cache(maxsize=8)
 def _step_fn(maxiter: int, gamma: float, cg_tol: float, cg_maxiter: int,
-             tau0: float, sigma0: float, tol, check_every: int):
+             tau0: float, sigma0: float, tol, check_every: int,
+             backend: str):
     solve = make_diff_tgv_denoise(maxiter=maxiter, gamma=gamma,
                                   cg_tol=cg_tol, cg_maxiter=cg_maxiter,
                                   tau0=tau0, sigma0=sigma0, tol=tol,
-                                  check_every=check_every)
+                                  check_every=check_every, backend=backend)
 
     @jax.jit
     def step(x, utrue, f):
@@ -53,7 +54,7 @@ def tgv_learning_function(x, ds, delta, *, maxiter: int = 5000,
                           gamma: float = 1e-4, cg_tol: float = 1e-6,
                           cg_maxiter: int = 400, tau0: float = 0.99,
                           sigma0: float = 0.99, tol=None,
-                          check_every: int = 500):
+                          check_every: int = 500, backend: str = "jnp"):
     """L4 learning function for TGV² denoising.
 
     Args:
@@ -77,7 +78,8 @@ def tgv_learning_function(x, ds, delta, *, maxiter: int = 5000,
                          f"[alpha1, alpha0], got shape {x.shape}")
     step = _step_fn(int(maxiter), float(gamma), float(cg_tol),
                     int(cg_maxiter), float(tau0), float(sigma0),
-                    None if tol is None else float(tol), int(check_every))
+                    None if tol is None else float(tol), int(check_every),
+                    str(backend))
     u, cost, grad = step(x, utrue, f)
     if squeeze:
         u = u[0]

@@ -13,5 +13,6 @@ __all__ = ["denoise_pdps", "denoise_pdps_pallas", "tv_denoise",
 
 from .tgv import (tgv_denoise_pdps, tgv_energy, diff_tgv_denoise,
                   make_diff_tgv_denoise)
+from .tgv_pallas import tgv_denoise_pdps_pallas
 __all__ += ["tgv_denoise_pdps", "tgv_energy", "diff_tgv_denoise",
-            "make_diff_tgv_denoise"]
+            "make_diff_tgv_denoise", "tgv_denoise_pdps_pallas"]

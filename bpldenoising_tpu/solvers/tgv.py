@@ -214,21 +214,36 @@ def _build_joint_system(u, w, a1, a0, gamma):
 def make_diff_tgv_denoise(maxiter: int = 5000, gamma: float = 1e-4,
                           cg_tol: float = 1e-6, cg_maxiter: int = 400,
                           tau0: float = 0.99, sigma0: float = 0.99,
-                          tol=None, check_every: int = 500):
+                          tol=None, check_every: int = 500,
+                          backend: str = "jnp", interpret: bool = False):
     """Differentiable TGV denoiser ``(f, (α₁, α₀)) → u`` (batched; gradients
-    flow to f and both weights through one joint CG solve)."""
+    flow to f and both weights through one joint CG solve).
+
+    ``backend="pallas"`` runs the forward solve in the fused VMEM-resident
+    kernel (:mod:`.tgv_pallas`, ~2.2× device throughput); the implicit
+    backward CG is stencil-light and stays on the XLA path either way.
+    """
+    if backend == "pallas":
+        from .tgv_pallas import tgv_denoise_pdps_pallas
+
+        def _fsolve(f, alphas):
+            return tgv_denoise_pdps_pallas(
+                f, alphas[0], alphas[1], tau0=tau0, sigma0=sigma0,
+                maxiter=maxiter, tol=tol, check_every=check_every,
+                interpret=interpret)
+    else:
+        def _fsolve(f, alphas):
+            return tgv_denoise_pdps(f, alphas[0], alphas[1], tau0=tau0,
+                                    sigma0=sigma0, maxiter=maxiter, tol=tol,
+                                    check_every=check_every)
 
     @jax.custom_vjp
     def solve(f, alphas):
-        u, _ = tgv_denoise_pdps(f, alphas[0], alphas[1], tau0=tau0,
-                                sigma0=sigma0, maxiter=maxiter, tol=tol,
-                                check_every=check_every)
+        u, _ = _fsolve(f, alphas)
         return u
 
     def fwd(f, alphas):
-        u, w = tgv_denoise_pdps(f, alphas[0], alphas[1], tau0=tau0,
-                                sigma0=sigma0, maxiter=maxiter, tol=tol,
-                                check_every=check_every)
+        u, w = _fsolve(f, alphas)
         return u, (u, w, alphas)
 
     def bwd(res, v):

@@ -1,0 +1,301 @@
+"""Fused Pallas TPU kernel for the TGV² inner solve.
+
+Same design as the TV kernel (:mod:`.pdps_pallas`, SURVEY.md §7 step 7):
+the whole joint-primal Chambolle–Pock iteration of :mod:`.tgv` — primal
+(u, w), duals (p, q), step sizes — lives in a ``fori_loop`` carry inside
+ONE kernel, so the 9 state planes never round-trip HBM across the
+``maxiter`` (typically 5000) iterations; each image is read once and
+written once.  Stencils are the roll+mask forms shared with the TV kernel
+(``_dplus``/``_dminus`` and adjoints); the symmetrized gradient E and its
+adjoint are inlined from the slice/concat reference
+(:mod:`..ops.tgv`), √2-weighted off-diagonal included.
+
+The grid tiles the batch dimension into VMEM-sized chunks (9 carried
+planes + temps per image ≈ 3× the TV kernel's working set, so chunks are
+proportionally smaller).  Semantics match
+:func:`bpldenoising_tpu.solvers.tgv.tgv_denoise_pdps` exactly (that jnp
+path is the oracle; ``tests/test_tgv_pallas.py`` asserts agreement in
+interpret mode), including warm start, in-kernel chunked early stop, and
+state chaining for warm-started trust-region evaluations.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops.tgv import TGV_OPNORM_SQ
+from .pdps_pallas import (_dminus, _dminus_T, _dplus, _dplus_T, make_masks,
+                          schedule_salt)
+
+__all__ = ["tgv_denoise_pdps_pallas"]
+
+_SQRT2 = math.sqrt(2.0)
+
+# same budgets as the TV kernel (measured there: 8 MiB working sets win;
+# Mosaic's stack allocator runs ~2.6× the analytic estimate)
+_VMEM_BUDGET = 8 * 1024 * 1024
+_RESIDENT_BUDGET = 48 * 1024 * 1024
+_VMEM_LIMIT = 100 * 1024 * 1024
+
+
+def _sym_grad_planes(wr, wc, m):
+    """E(w) as three planes (err, ecc, erc·√2-weighted); the backward-
+    difference roll+mask form of :func:`..ops.tgv.sym_grad`."""
+    err = _dminus(wr, -2, m)
+    ecc = _dminus(wc, -1, m)
+    erc = (_dminus(wr, -1, m) + _dminus(wc, -2, m)) / _SQRT2
+    return err, ecc, erc
+
+
+def _sym_div_planes(zrr, zcc, zrc, m):
+    """Adjoint Eᵀ of :func:`_sym_grad_planes` → (row, col) planes."""
+    out_r = _dminus_T(zrr, -2, m) + _dminus_T(zrc, -1, m) / _SQRT2
+    out_c = _dminus_T(zcc, -1, m) + _dminus_T(zrc, -2, m) / _SQRT2
+    return out_r, out_c
+
+
+def _tgv_body(f, a1, a0, masks):
+    """One joint-primal CP iteration over the carry
+    (u, wr, wc, pr, pc, qrr, qcc, qrc); τ/σ are closure constants (no
+    acceleration — the data term is strongly convex in u only, see
+    :mod:`.tgv`)."""
+    dtype = f.dtype
+    tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+    a1_sq = a1 * a1
+    a0_sq = a0 * a0
+
+    def body(tau, sigma, carry):
+        u, wr, wc, pr, pc, qrr, qcc, qrc = carry
+        div_p = _dplus_T(pr, -2, masks) + _dplus_T(pc, -1, masks)
+        u_new = (u - tau * div_p + tau * f) / (1.0 + tau)
+        er, ec = _sym_div_planes(qrr, qcc, qrc, masks)
+        wr_new = wr + tau * (pr - er)
+        wc_new = wc + tau * (pc - ec)
+        ubar = 2.0 * u_new - u
+        wbr = 2.0 * wr_new - wr
+        wbc = 2.0 * wc_new - wc
+        # p-update: dual of ∇u − w
+        pr_t = pr + sigma * (_dplus(ubar, -2, masks) - wbr)
+        pc_t = pc + sigma * (_dplus(ubar, -1, masks) - wbc)
+        n2 = pr_t * pr_t + pc_t * pc_t
+        s = jnp.where(n2 <= a1_sq, 1.0, a1 * lax.rsqrt(n2 + tiny))
+        pr_new, pc_new = pr_t * s, pc_t * s
+        # q-update: dual of E w
+        grr, gcc, grc = _sym_grad_planes(wbr, wbc, masks)
+        qrr_t = qrr + sigma * grr
+        qcc_t = qcc + sigma * gcc
+        qrc_t = qrc + sigma * grc
+        n2q = qrr_t * qrr_t + qcc_t * qcc_t + qrc_t * qrc_t
+        sq = jnp.where(n2q <= a0_sq, 1.0, a0 * lax.rsqrt(n2q + tiny))
+        return (u_new, wr_new, wc_new, pr_new, pc_new,
+                qrr_t * sq, qcc_t * sq, qrc_t * sq)
+
+    return body
+
+
+def _make_kernel(maxiter: int, tau_init: float, sigma_init: float, tol,
+                 check_every: int, warm: bool, return_state: bool):
+    def tgv_kernel(*refs):
+        f_ref, a1_ref, a0_ref = refs[0], refs[1], refs[2]
+        pos = 3
+        if warm:
+            state0_refs = refs[pos:pos + 8]
+            pos += 8
+        out_refs = refs[pos:]
+
+        f = f_ref[:]
+        dtype = f.dtype
+        a1 = a1_ref[0, 0]
+        a0 = a0_ref[0, 0]
+        tau = jnp.asarray(tau_init, dtype)
+        sigma = jnp.asarray(sigma_init, dtype)
+
+        if warm:
+            carry0 = tuple(r[:] for r in state0_refs)
+        else:
+            z = jnp.zeros_like(f)
+            carry0 = (f,) + (z,) * 7
+        masks = make_masks(f.shape)
+        body = _tgv_body(f, a1, a0, masks)
+        step = functools.partial(body, tau, sigma)
+
+        if tol is None:
+            carry = lax.fori_loop(0, maxiter, lambda k, c: step(c), carry0)
+        else:
+            tol_ = jnp.asarray(tol, dtype)
+
+            def chunk_cond(c):
+                return jnp.logical_and(c[-2] < maxiter, c[-1] > tol_)
+
+            def chunk_body(c):
+                st, it = c[:-2], c[-2]
+                u_prev = st[0]
+                n = jnp.minimum(check_every, maxiter - it)
+                st = lax.fori_loop(0, n, lambda k, s: step(s), st)
+                # block-global relative change (same criterion/caveat as
+                # the TV kernel: per-image reductions crash Mosaic layout
+                # inference; callers pick tol with the √chunk margin)
+                num = jnp.sum((st[0] - u_prev) ** 2)
+                den = jnp.maximum(jnp.sum(st[0] ** 2),
+                                  jnp.asarray(1e-24, dtype))
+                return st + (it + n, jnp.sqrt(num / den))
+
+            out = lax.while_loop(
+                chunk_cond, chunk_body,
+                carry0 + (jnp.asarray(0, jnp.int32),
+                          jnp.asarray(jnp.inf, dtype)))
+            carry = out[:-2]
+
+        if return_state:
+            for r, plane in zip(out_refs, carry):
+                r[:] = plane
+        else:
+            out_refs[0][:] = carry[0]
+            out_refs[1][:] = carry[1]
+            out_refs[2][:] = carry[2]
+
+    return schedule_salt(tgv_kernel, key="tgv")
+
+
+def _chunk_size(O: int, M: int, N: int, itemsize: int, extra_planes: int,
+                budget: int) -> int:
+    # live planes per image: f + 8 carried + ~9 iteration temps (ubar, wbar,
+    # stencil intermediates, projection scalars) — conservative 20
+    planes = 20 + extra_planes
+    return min(O, budget // (planes * M * N * itemsize))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("maxiter", "tau0", "sigma0", "tol", "check_every",
+                     "return_state", "interpret"))
+def _pallas_impl(f, a1, a0, state0=None, *, tau0, sigma0, maxiter, tol,
+                 check_every, return_state, interpret):
+    O, M, N = f.shape
+    dtype = f.dtype
+    L = TGV_OPNORM_SQ ** 0.5
+    warm = state0 is not None
+
+    extra = (1 if tol is not None else 0) + (8 if warm else 0) \
+        + (8 if return_state else 3)
+    chunk = _chunk_size(O, M, N, dtype.itemsize, extra, _VMEM_BUDGET)
+    if chunk < 1:
+        chunk = min(1, _chunk_size(O, M, N, dtype.itemsize, extra,
+                                   _RESIDENT_BUDGET))
+    if chunk < 1:
+        # beyond whole-image residency: HBM-resident jnp path (the TGV
+        # spatial-tiling analogue of the TV trapezoid kernel is future work)
+        from .tgv import _tgv_impl
+        out = _tgv_impl(f, a1, a0, _state_to_tuple(state0),
+                        tau0=tau0, sigma0=sigma0, maxiter=maxiter, tol=tol,
+                        check_every=check_every, return_state=return_state)
+        if return_state:
+            u, w, st, _ = out
+            return u, w, st
+        u, w, _ = out
+        return u, w
+
+    grid = (O + chunk - 1) // chunk
+    O_pad = grid * chunk
+
+    def pad(x):
+        return (jnp.pad(x, ((0, O_pad - O), (0, 0), (0, 0)))
+                if O_pad != O else x)
+
+    batch_spec = pl.BlockSpec((chunk, M, N), lambda o: (o, 0, 0),
+                              memory_space=pltpu.VMEM)
+    scalar_spec = pl.BlockSpec((1, 1), lambda o: (0, 0),
+                               memory_space=pltpu.SMEM)
+    in_specs = [batch_spec, scalar_spec, scalar_spec]
+    args = [pad(f), jnp.reshape(a1.astype(dtype), (1, 1)),
+            jnp.reshape(a0.astype(dtype), (1, 1))]
+    if warm:
+        for plane in _state_planes(state0):
+            args.append(pad(plane))
+            in_specs.append(batch_spec)
+
+    n_out = 8 if return_state else 3
+    kernel = _make_kernel(int(maxiter), float(tau0) / L, float(sigma0) / L,
+                          None if tol is None else float(tol),
+                          int(check_every), warm, bool(return_state))
+
+    flops_per_iter = 110 * M * N  # 5 stencil pairs + 2 projections, rough
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[batch_spec] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((O_pad, M, N), dtype)] * n_out,
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_iter * int(maxiter) * O_pad,
+            bytes_accessed=(1 + n_out) * O_pad * M * N * dtype.itemsize,
+            transcendentals=0),
+        interpret=bool(interpret),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+    )(*args)
+    outs = [o[:O] for o in outs]
+    u = outs[0]
+    w = jnp.stack(outs[1:3], axis=-3)
+    if return_state:
+        state = (u, w, jnp.stack(outs[3:5], axis=-3),
+                 jnp.stack(outs[5:8], axis=-3))
+        return u, w, state
+    return u, w
+
+
+def _state_planes(state):
+    """(u, w, p, q) pytree → 8 (O, M, N) kernel planes."""
+    u, w, p, q = state
+    return (u, w[..., 0, :, :], w[..., 1, :, :], p[..., 0, :, :],
+            p[..., 1, :, :], q[..., 0, :, :], q[..., 1, :, :],
+            q[..., 2, :, :])
+
+
+def _state_to_tuple(state):
+    return None if state is None else tuple(state)
+
+
+def tgv_denoise_pdps_pallas(f, alpha1, alpha0, *, tau0=0.99, sigma0=0.99,
+                            maxiter: int = 5000, tol=None,
+                            check_every: int = 500, state0=None,
+                            return_state: bool = False,
+                            interpret: bool = False):
+    """Drop-in fused-kernel replacement for
+    :func:`bpldenoising_tpu.solvers.tgv.tgv_denoise_pdps` (scalar α₁/α₀).
+
+    Returns ``(u, w)``; with ``return_state``, ``(u, w, state)`` where
+    ``state = (u, w, p, q)`` chains into a later call's ``state0``.
+    """
+    f = jnp.asarray(f)
+    squeeze = f.ndim == 2
+    if squeeze:
+        f = f[None]
+        if state0 is not None:
+            state0 = tuple(s[None] for s in state0)
+    if jnp.ndim(alpha1) or jnp.ndim(alpha0):
+        raise NotImplementedError(
+            "tgv_denoise_pdps_pallas supports scalar (alpha1, alpha0) only; "
+            "use the jnp path for map-valued weights")
+    out = _pallas_impl(f, jnp.asarray(alpha1, f.dtype),
+                       jnp.asarray(alpha0, f.dtype),
+                       _state_to_tuple(state0), tau0=float(tau0),
+                       sigma0=float(sigma0), maxiter=int(maxiter),
+                       tol=None if tol is None else float(tol),
+                       check_every=int(check_every),
+                       return_state=bool(return_state),
+                       interpret=bool(interpret))
+    if return_state:
+        u, w, state = out
+        if squeeze:
+            u, w = u[0], w[0]
+            state = tuple(s[0] for s in state)
+        return u, w, state
+    u, w = out
+    return (u[0], w[0]) if squeeze else (u, w)

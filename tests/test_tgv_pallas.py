@@ -1,0 +1,140 @@
+"""Fused TGV² Pallas kernel vs the jnp oracle (interpret mode on CPU):
+forward agreement, warm-start chaining, in-kernel early stop, batching /
+grid chunking, the diff layer's pallas backend, and input validation."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import bpldenoising_tpu.solvers.tgv_pallas as tp
+from bpldenoising_tpu.solvers.tgv import make_diff_tgv_denoise, \
+    tgv_denoise_pdps
+from bpldenoising_tpu.solvers.tgv_pallas import tgv_denoise_pdps_pallas
+
+MAXITER = 300
+
+
+def stack(rng, O=3, n=16, dtype=jnp.float32):
+    clean = jnp.broadcast_to(jnp.linspace(0.0, 1.0, n), (n, n))
+    return jnp.asarray(clean + 0.1 * rng.standard_normal((O, n, n)), dtype)
+
+
+def test_matches_jnp_oracle(rng):
+    f = stack(rng)
+    u0, w0 = tgv_denoise_pdps(f, 0.1, 0.2, maxiter=MAXITER)
+    u1, w1 = tgv_denoise_pdps_pallas(f, 0.1, 0.2, maxiter=MAXITER,
+                                     interpret=True)
+    np.testing.assert_allclose(np.asarray(u1), np.asarray(u0), atol=5e-6)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w0), atol=5e-6)
+
+
+def test_matches_jnp_oracle_f64(rng):
+    f = stack(rng, dtype=jnp.float64)
+    u0, w0 = tgv_denoise_pdps(f, 0.1, 0.2, maxiter=MAXITER)
+    u1, w1 = tgv_denoise_pdps_pallas(f, 0.1, 0.2, maxiter=MAXITER,
+                                     interpret=True)
+    np.testing.assert_allclose(np.asarray(u1), np.asarray(u0), atol=1e-13)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w0), atol=1e-13)
+
+
+def test_single_image_squeeze(rng):
+    f = stack(rng, O=1)[0]
+    u0, w0 = tgv_denoise_pdps(f, 0.1, 0.2, maxiter=MAXITER)
+    u1, w1 = tgv_denoise_pdps_pallas(f, 0.1, 0.2, maxiter=MAXITER,
+                                     interpret=True)
+    assert u1.shape == f.shape and w1.shape == (2,) + f.shape
+    np.testing.assert_allclose(np.asarray(u1), np.asarray(u0), atol=5e-6)
+
+
+def test_warm_start_chains_exactly(rng):
+    f = stack(rng)
+    u_full, _ = tgv_denoise_pdps_pallas(f, 0.1, 0.2, maxiter=MAXITER,
+                                        interpret=True)
+    u_h, w_h, state = tgv_denoise_pdps_pallas(
+        f, 0.1, 0.2, maxiter=MAXITER // 2, return_state=True,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(state[0]), np.asarray(u_h),
+                               atol=0)
+    u_res, _ = tgv_denoise_pdps_pallas(f, 0.1, 0.2, maxiter=MAXITER // 2,
+                                       state0=state, interpret=True)
+    np.testing.assert_allclose(np.asarray(u_res), np.asarray(u_full),
+                               atol=0)
+
+
+def test_warm_start_interops_with_jnp_state(rng):
+    """State from the jnp solver warm-starts the kernel (same layout)."""
+    f = stack(rng)
+    out = tgv_denoise_pdps(f, 0.1, 0.2, maxiter=MAXITER // 2,
+                           return_state=True)
+    _, _, state, _ = out
+    u_res, _ = tgv_denoise_pdps_pallas(f, 0.1, 0.2, maxiter=MAXITER // 2,
+                                       state0=state, interpret=True)
+    u_full, _ = tgv_denoise_pdps(f, 0.1, 0.2, maxiter=MAXITER)
+    np.testing.assert_allclose(np.asarray(u_res), np.asarray(u_full),
+                               atol=5e-6)
+
+
+def test_early_stop_in_kernel(rng):
+    f = stack(rng)
+    u_ref, _ = tgv_denoise_pdps_pallas(f, 0.1, 0.2, maxiter=4000,
+                                       interpret=True)
+    u_es, _ = tgv_denoise_pdps_pallas(f, 0.1, 0.2, maxiter=4000, tol=1e-4,
+                                      check_every=200, interpret=True)
+    np.testing.assert_allclose(np.asarray(u_es), np.asarray(u_ref),
+                               atol=5e-3)
+
+
+def test_grid_chunking(rng, monkeypatch):
+    """Force a tiny VMEM budget so the batch splits across grid steps
+    (including an uneven final chunk); results must not change."""
+    f = stack(rng, O=5)
+    u_ref, w_ref = tgv_denoise_pdps_pallas(f, 0.1, 0.2, maxiter=100,
+                                           interpret=True)
+    monkeypatch.setattr(tp, "_VMEM_BUDGET",
+                        2 * 20 * 16 * 16 * 4 + 1)  # 2 images per chunk
+    tp._pallas_impl.clear_cache()
+    u_c, w_c = tgv_denoise_pdps_pallas(f, 0.1, 0.2, maxiter=100,
+                                       interpret=True)
+    tp._pallas_impl.clear_cache()
+    np.testing.assert_allclose(np.asarray(u_c), np.asarray(u_ref), atol=0)
+    np.testing.assert_allclose(np.asarray(w_c), np.asarray(w_ref), atol=0)
+
+
+def test_oversize_routes_to_jnp(rng, monkeypatch):
+    """Beyond both budgets the dispatcher falls back to the jnp path."""
+    f = stack(rng, O=2)
+    monkeypatch.setattr(tp, "_VMEM_BUDGET", 1)
+    monkeypatch.setattr(tp, "_RESIDENT_BUDGET", 1)
+    tp._pallas_impl.clear_cache()
+    u, w = tgv_denoise_pdps_pallas(f, 0.1, 0.2, maxiter=100)
+    tp._pallas_impl.clear_cache()
+    u0, w0 = tgv_denoise_pdps(f, 0.1, 0.2, maxiter=100)
+    # same math under a different jit scope: f32 fusion-order rounding only
+    np.testing.assert_allclose(np.asarray(u), np.asarray(u0), atol=1e-6)
+
+
+def test_diff_layer_pallas_backend(rng):
+    """make_diff_tgv_denoise(backend='pallas') forward = jnp forward, and
+    the implicit gradient agrees between backends."""
+    import jax
+    clean = jnp.broadcast_to(jnp.linspace(0.0, 1.0, 12), (12, 12))
+    f = jnp.asarray(clean + 0.1 * rng.standard_normal((12, 12)))
+    s_jnp = make_diff_tgv_denoise(maxiter=MAXITER, backend="jnp")
+    s_pal = make_diff_tgv_denoise(maxiter=MAXITER, backend="pallas",
+                                  interpret=True)
+    a = (jnp.asarray(0.1), jnp.asarray(0.2))
+
+    def loss(solve, alphas):
+        return 0.5 * jnp.sum((solve(f, alphas) - clean) ** 2)
+
+    l0, g0 = jax.value_and_grad(lambda al: loss(s_jnp, al))(a)
+    l1, g1 = jax.value_and_grad(lambda al: loss(s_pal, al))(a)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=1e-6)
+
+
+def test_rejects_map_alpha(rng):
+    f = stack(rng)
+    with pytest.raises(NotImplementedError):
+        tgv_denoise_pdps_pallas(f, jnp.ones((16, 16)), 0.2, maxiter=10,
+                                interpret=True)
