@@ -489,6 +489,62 @@ def run(quick: bool = False, backend: str = "pallas",
             out["value"] = round(big_device, 4)
             return out
 
+    # --- TGV² (beyond-reference model family) ------------------------------
+    if only in (None, "tgv"):
+        from bpldenoising_tpu.learning import make_tgv_learning_function
+        from bpldenoising_tpu.solvers.tgv_pallas import \
+            tgv_denoise_pdps_pallas
+
+        # bilevel learn: host TR loop, each evaluation = ONE dispatch
+        # (fused-kernel 5000-iter solve + implicit-CG vjp in a single jit)
+        tgv_lf = make_tgv_learning_function(maxiter=inner, backend=backend)
+        tgv_params = _params(outer) | dict(delta0=0.02)
+        tgv_x0 = np.array([0.05, 0.05])
+
+        def run_tgv():
+            res = bilevel_learn(ds, tgv_lf, xinit=tgv_x0,
+                                params=tgv_params)
+            _sync(res.u)
+            return res
+
+        res_tgv, tgv_wall = _best_of(run_tgv)
+        tgv_psnr = float(np.mean(np.asarray(psnr(ds[0], res_tgv.u))))
+
+        # raw fused-kernel throughput at scale (floor-subtracted device
+        # rate, same protocol as the TV batch-256 number; TGV state is
+        # ~3× TV's so batch-64 already saturates the chip)
+        tgv_big = jnp.tile(ds[1], (7, 1, 1))[:64]
+        tgv_iters = 200 if quick else 2000
+        if backend == "pallas":
+            run_tgv_big = lambda: tgv_denoise_pdps_pallas(
+                tgv_big, 0.1, 0.2, maxiter=tgv_iters)
+        else:
+            from bpldenoising_tpu.solvers import tgv_denoise_pdps
+            run_tgv_big = lambda: tgv_denoise_pdps(
+                tgv_big, 0.1, 0.2, maxiter=tgv_iters)
+        _sync(run_tgv_big()[0])
+        tgv_wall_big = tgv_floor = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _sync(trivial(ds[1]))
+            tgv_floor = min(tgv_floor, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            _sync(run_tgv_big()[0])
+            tgv_wall_big = min(tgv_wall_big, time.perf_counter() - t0)
+        tgv_device = max(tgv_wall_big - tgv_floor, 1e-9)
+        tgv_rate_dev = 64 * 128 * 128 * tgv_iters / tgv_device / 1e9
+
+        out.update({
+            "tgv_learn_walltime_s": round(tgv_wall, 4),
+            "tgv_learned_alpha": [round(float(a), 6) for a in res_tgv.x],
+            "tgv_final_cost": round(float(res_tgv.cost), 4),
+            "tgv_psnr_db": round(tgv_psnr, 3),
+            "tgv_gpix_iter_per_sec_batch64_device": round(tgv_rate_dev, 2),
+        })
+        if only == "tgv":
+            out["value"] = round(tgv_device, 4)
+            return out
+
     return out
 
 
@@ -517,7 +573,7 @@ def main():
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--measure-baseline", action="store_true")
     ap.add_argument("--only", default=None,
-                    choices=["flagship", "one_kernel", "throughput"],
+                    choices=["flagship", "one_kernel", "throughput", "tgv"],
                     help="measure only one kernel family's section "
                          "(used by scripts/pin_schedule.py)")
     ap.add_argument("--flagship-only", action="store_true",

@@ -53,6 +53,7 @@ PHASES = {
     "throughput": ("throughput", ("BPL_MOSAIC_SALT_PDPS_COLD",)),
     "one_kernel": ("one_kernel", ("BPL_MOSAIC_SALT_OK",
                                   "BPL_MOSAIC_SALT_OK_TILED")),
+    "tgv": ("tgv", ("BPL_MOSAIC_SALT_TGV",)),
 }
 
 
