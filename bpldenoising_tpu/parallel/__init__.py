@@ -3,6 +3,7 @@ from .mesh import (BATCH_AXIS, make_batch_mesh, make_batch_rows_mesh,
                    pad_batch, shard_batch)
 from .sharded import (
     make_sharded_sumregs_learning_function,
+    make_sharded_tgv_learning_function,
     make_sharded_tv_learning_function,
 )
 
@@ -12,4 +13,5 @@ __all__ = [
     "pad_batch", "BATCH_AXIS",
     "make_sharded_tv_learning_function",
     "make_sharded_sumregs_learning_function",
+    "make_sharded_tgv_learning_function",
 ]

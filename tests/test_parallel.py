@@ -322,3 +322,69 @@ class TestInitializeDistributed:
         monkeypatch.setattr(jax.distributed, "initialize", fake_init)
         assert initialize_distributed("1.2.3.4:99", 4, 0) is True
         assert calls["args"] == ("1.2.3.4:99", 4, 0)
+
+
+class TestShardedTGV:
+    """Data-parallel TGV² learning function (beyond-reference family)."""
+
+    def test_matches_single_device(self, rng, mesh):
+        from bpldenoising_tpu.learning import tgv_learning_function
+        from bpldenoising_tpu.parallel import \
+            make_sharded_tgv_learning_function
+        ds = small_ds(rng)
+        x = np.array([0.1, 0.2])
+        # CG run to stall on both sides: per-shard vs joint Krylov
+        # subspaces agree only once the backward solves are converged
+        # (same caveat as GRAD_RTOL above)
+        lf = make_sharded_tgv_learning_function(
+            mesh, maxiter=300, cg_tol=1e-12, cg_maxiter=4000)
+        u_s, cost_s, grad_s = lf(x, ds, 0.01)
+        u_r, cost_r, grad_r = tgv_learning_function(
+            x, ds, 0.01, maxiter=300, cg_tol=1e-12, cg_maxiter=4000)
+        np.testing.assert_allclose(np.asarray(u_s), np.asarray(u_r),
+                                   rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(float(cost_s), float(cost_r), rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(grad_s), np.asarray(grad_r),
+                                   rtol=1e-6)
+
+    def test_uneven_batch(self, rng, mesh):
+        from bpldenoising_tpu.learning import tgv_learning_function
+        from bpldenoising_tpu.parallel import \
+            make_sharded_tgv_learning_function
+        ds = small_ds(rng, O=5)   # 5 images over 8 devices: zero-padded
+        x = np.array([0.1, 0.2])
+        lf = make_sharded_tgv_learning_function(
+            mesh, maxiter=200, cg_tol=1e-12, cg_maxiter=4000)
+        u_s, cost_s, grad_s = lf(x, ds, 0.01)
+        u_r, cost_r, grad_r = tgv_learning_function(
+            x, ds, 0.01, maxiter=200, cg_tol=1e-12, cg_maxiter=4000)
+        assert u_s.shape == u_r.shape
+        np.testing.assert_allclose(float(cost_s), float(cost_r), rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(grad_s), np.asarray(grad_r),
+                                   rtol=1e-6)
+
+    def test_pallas_interpret_under_mesh(self, rng, mesh):
+        from bpldenoising_tpu.parallel import \
+            make_sharded_tgv_learning_function
+        ds = small_ds(rng)
+        x = np.array([0.1, 0.2])
+        lf_p = make_sharded_tgv_learning_function(
+            mesh, maxiter=150, backend="pallas", interpret=True)
+        lf_j = make_sharded_tgv_learning_function(mesh, maxiter=150)
+        u_p, cost_p, grad_p = lf_p(x, ds, 0.01)
+        u_j, cost_j, grad_j = lf_j(x, ds, 0.01)
+        np.testing.assert_allclose(float(cost_p), float(cost_j), rtol=1e-8)
+        np.testing.assert_allclose(np.asarray(grad_p), np.asarray(grad_j),
+                                   rtol=1e-5)
+
+    def test_full_bilevel_loop(self, rng, mesh):
+        from bpldenoising_tpu.parallel import \
+            make_sharded_tgv_learning_function
+        ds = small_ds(rng)
+        lf = make_sharded_tgv_learning_function(mesh, maxiter=200)
+        params = Params(eta1=0.25, eta2=0.75, beta1=0.25, beta2=1.9,
+                        delta0=0.02, maxiter=3, tol=1e-5, verbose_iter=0)
+        res = bilevel_learn(ds, lf, xinit=np.array([0.05, 0.05]),
+                            params=params)
+        assert res.x.shape == (2,)
+        assert np.all(np.asarray(res.x) > 0)
