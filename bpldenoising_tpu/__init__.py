@@ -40,12 +40,13 @@ __all__ = [
     "diff_tv_denoise", "diff_denoise",
 ]
 
-from .experiments import (TGVDenoise, scalar_bilevel_tgv_learn,
-                          validate_tgv_parameter)
+from .experiments import (TGVDenoise, patch_bilevel_tgv_learn,
+                          scalar_bilevel_tgv_learn, validate_tgv_parameter)
 from .learning import tgv_learning_function
 from .solvers import (diff_tgv_denoise, tgv_denoise_pdps,
                       tgv_denoise_pdps_pallas)
 __all__ += ["TGVDenoise", "scalar_bilevel_tgv_learn",
+            "patch_bilevel_tgv_learn",
             "validate_tgv_parameter", "tgv_learning_function",
             "diff_tgv_denoise", "tgv_denoise_pdps",
             "tgv_denoise_pdps_pallas"]

@@ -21,7 +21,8 @@ from .api import (L2CostFunction, _canon, _np_dtype, _run_bilevel,
                   _validate, default_params, merge, testdataset)
 from ..utils.config import Params
 
-__all__ = ["tgv_bilevel_params", "scalar_bilevel_tgv_learn",
+__all__ = ["tgv_bilevel_params", "patch_tgv_bilevel_params",
+           "scalar_bilevel_tgv_learn", "patch_bilevel_tgv_learn",
            "validate_tgv_parameter", "TGVDenoise"]
 
 # same TR schedule as the reference families (src/BPLDenoising.jl:316-323);
@@ -29,6 +30,12 @@ __all__ = ["tgv_bilevel_params", "scalar_bilevel_tgv_learn",
 tgv_bilevel_params = Params(
     eta1=0.25, eta2=0.75, beta1=0.25, beta2=1.9, delta0=0.02,
     alpha0=np.array([0.05, 0.05]))
+
+# patch analogue (cf. patch_sumregs_bilevel_params, ref :455-462): an
+# (m, n, 2) stack of (α₁, α₀) grids upsampled piecewise-constant
+patch_tgv_bilevel_params = Params(
+    eta1=0.25, eta2=0.75, beta1=0.25, beta2=1.5, delta0=0.02,
+    alpha0=0.05 * np.ones((2, 2, 2)))
 
 
 def _resolve_backend(backend: str) -> str:
@@ -63,6 +70,31 @@ def scalar_bilevel_tgv_learn(visualise: bool = False, **kwargs):
     params = _canon(params)
     params = params | dict(save_prefix="tgv_optimal_parameter_"
                            + params.dataset_name)
+    for m in ("single_loop", "tr_fused"):
+        if params.get("method") == m:
+            raise ValueError(f"method={m!r} is not available for the TGV "
+                             "family; use the default trust-region loop")
+    lf_kwargs = dict(
+        maxiter=int(params.inner_maxiter),
+        backend=_resolve_backend(params.get("backend", "auto")))
+    if params.get("inner_tol") is not None:
+        lf_kwargs["tol"] = float(params.inner_tol)
+    if params.get("tgv_gamma") is not None:
+        lf_kwargs["gamma"] = float(params.tgv_gamma)
+    lf = make_tgv_learning_function(**lf_kwargs)
+    return _run_bilevel(params, lf, visualise, stretch_all=True)
+
+
+def patch_bilevel_tgv_learn(visualise: bool = False, **kwargs):
+    """Learn spatially-varying (α₁, α₀) patch grids — the TGV analogue of
+    ``patch_bilevel_tv_learn`` (ref ``src/BPLDenoising.jl:359-376``); the
+    learned (m, n, 2) stack is saved as two stretched parameter-map PNGs."""
+    params = merge(default_params, patch_tgv_bilevel_params, kwargs)
+    params = _canon(params)
+    shape = tuple(np.asarray(params.alpha0).shape)
+    params = params | dict(
+        save_prefix=f"tgv_optimal_parameter_patch_{shape}_"
+        + params.dataset_name)
     for m in ("single_loop", "tr_fused"):
         if params.get("method") == m:
             raise ValueError(f"method={m!r} is not available for the TGV "

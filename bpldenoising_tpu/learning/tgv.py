@@ -41,7 +41,14 @@ def _step_fn(maxiter: int, gamma: float, cg_tol: float, cg_maxiter: int,
     @jax.jit
     def step(x, utrue, f):
         def cost_fn(x_):
-            u = solve(f, (x_[0], x_[1]))
+            if x_.ndim == 3:   # (m, n, 2) patch grids → upsample (the
+                # pullback to the grids rides AD through the linear PatchOp)
+                from ..ops import PatchOp
+                pop = PatchOp(tuple(x_.shape[:2]), tuple(f.shape[-2:]))
+                alphas = (pop.apply(x_[..., 0]), pop.apply(x_[..., 1]))
+            else:
+                alphas = (x_[0], x_[1])
+            u = solve(f, alphas)
             return 0.5 * jnp.sum((u - utrue) ** 2), u
 
         (cost, u), grad = jax.value_and_grad(cost_fn, has_aux=True)(x)
@@ -58,7 +65,10 @@ def tgv_learning_function(x, ds, delta, *, maxiter: int = 5000,
     """L4 learning function for TGV² denoising.
 
     Args:
-      x: parameter 2-vector ``[α₁, α₀]`` (first-order, second-order weight).
+      x: parameter 2-vector ``[α₁, α₀]`` (first-order, second-order weight)
+        or an (m, n, 2) stack of patch grids for spatially-varying weights
+        (the TGV analogue of the reference's patch parameterization,
+        ``src/TVLearningFunctionVec.jl:57-70``).
       ds: ``(true_images, noisy_images)`` stacks of shape (O, M, N).
       delta: trust-region radius (contract compatibility; the smoothed
         hypergradient has no exact/regularized switch).
@@ -73,9 +83,10 @@ def tgv_learning_function(x, ds, delta, *, maxiter: int = 5000,
     if squeeze:
         utrue, f = utrue[None], f[None]
     x = jnp.asarray(x, utrue.dtype)
-    if x.shape != (2,):
+    if x.shape != (2,) and not (x.ndim == 3 and x.shape[-1] == 2):
         raise ValueError(f"TGV parameter must be a length-2 vector "
-                         f"[alpha1, alpha0], got shape {x.shape}")
+                         f"[alpha1, alpha0] or an (m, n, 2) patch stack, "
+                         f"got shape {x.shape}")
     step = _step_fn(int(maxiter), float(gamma), float(cg_tol),
                     int(cg_maxiter), float(tau0), float(sigma0),
                     None if tol is None else float(tol), int(check_every),

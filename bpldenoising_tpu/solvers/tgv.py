@@ -149,11 +149,12 @@ def tgv_denoise_pdps(f, alpha1, alpha0, *, tau0=0.99, sigma0=0.99,
 
 
 def tgv_energy(f, u, w, alpha1, alpha0):
-    """Primal TGV² energy per image: (..., M, N) → (...)."""
+    """Primal TGV² energy per image: (..., M, N) → (...).  ``alpha1`` /
+    ``alpha0`` are scalars or (M, N) maps (spatially-varying weights)."""
     fid = 0.5 * jnp.sum((u - f) ** 2, axis=(-2, -1))
-    t1 = jnp.sum(xi(_GRAD.apply(u) - w), axis=(-2, -1))
-    t0 = jnp.sum(xi(sym_grad(w)), axis=(-2, -1))
-    return fid + alpha1 * t1 + alpha0 * t0
+    t1 = jnp.sum(alpha1 * xi(_GRAD.apply(u) - w), axis=(-2, -1))
+    t0 = jnp.sum(alpha0 * xi(sym_grad(w)), axis=(-2, -1))
+    return fid + t1 + t0
 
 
 # ---------------------------------------------------------------------------
@@ -179,10 +180,18 @@ def _dpsi(field, gamma):
     return psi, s, jac
 
 
+def _amul(a, field):
+    """Multiply a (..., C, M, N) field by a scalar or (M, N)-map weight."""
+    return field * (a[..., None, :, :] if jnp.ndim(a) >= 2 else a)
+
+
 def _build_joint_system(u, w, a1, a0, gamma):
     """SPD joint Hessian H of the smoothed energy at (u, w), its Jacobi
     diagonal, and the ψ fields for the α-cotangents.  Stacked layout:
-    plane 0 = u, planes 1:3 = w."""
+    plane 0 = u, planes 1:3 = w.  ``a1``/``a0`` may be (M, N) maps: the
+    spatially-varying weight sits INSIDE the stencil adjoints
+    (∇ᵀ(a₁ψ), Eᵀ(a₀ψ)), which keeps H symmetric (a·diagonal commutes with
+    the pointwise Dψ but not with the stencils)."""
     y = _GRAD.apply(u) - w
     z = sym_grad(w)
     psi_y, s_y, Dy = _dpsi(y, gamma)
@@ -191,23 +200,23 @@ def _build_joint_system(u, w, a1, a0, gamma):
     def H(x):
         du = x[..., 0, :, :]
         dw = x[..., 1:3, :, :]
-        hy = Dy(_GRAD.apply(du) - dw)
-        hz = Dz(sym_grad(dw))
-        Hu = du + a1 * _GRAD.apply_adjoint(hy)
-        Hw = -a1 * hy + a0 * sym_div(hz)
+        a1hy = _amul(a1, Dy(_GRAD.apply(du) - dw))
+        a0hz = _amul(a0, Dz(sym_grad(dw)))
+        Hu = du + _GRAD.apply_adjoint(a1hy)
+        Hw = -a1hy + sym_div(a0hz)
         return jnp.concatenate([Hu[..., None, :, :], Hw], axis=-3)
 
     # Jacobi preconditioner (isotropic approximation: the rank-one part of
     # Dψ is dropped, exact where |y| < γ)
-    sy2 = jnp.stack([s_y, s_y], axis=-3)
-    diag_u = 1.0 + a1 * _GRAD.gram_diag(sy2)
-    e_r = dminus_gram(s_z, -2) + 0.5 * dminus_gram(s_z, -1)
-    e_c = dminus_gram(s_z, -1) + 0.5 * dminus_gram(s_z, -2)
-    diag_w_r = a1 * s_y + a0 * e_r
-    diag_w_c = a1 * s_y + a0 * e_c
+    a1sy = a1 * s_y   # s_y/s_z are per-pixel (..., M, N): plain products
+    a0sz = a0 * s_z
+    sy2 = jnp.stack([a1sy, a1sy], axis=-3)
+    diag_u = 1.0 + _GRAD.gram_diag(sy2)
+    e_r = dminus_gram(a0sz, -2) + 0.5 * dminus_gram(a0sz, -1)
+    e_c = dminus_gram(a0sz, -1) + 0.5 * dminus_gram(a0sz, -2)
     diag = jnp.concatenate(
         [diag_u[..., None, :, :],
-         jnp.stack([diag_w_r, diag_w_c], axis=-3)], axis=-3)
+         jnp.stack([a1sy + e_r, a1sy + e_c], axis=-3)], axis=-3)
     return H, diag, psi_y, psi_z
 
 
@@ -227,6 +236,11 @@ def make_diff_tgv_denoise(maxiter: int = 5000, gamma: float = 1e-4,
         from .tgv_pallas import tgv_denoise_pdps_pallas
 
         def _fsolve(f, alphas):
+            if jnp.ndim(alphas[0]) or jnp.ndim(alphas[1]):
+                # fused kernel is scalar-α only; map weights take the jnp path
+                return tgv_denoise_pdps(f, alphas[0], alphas[1], tau0=tau0,
+                                        sigma0=sigma0, maxiter=maxiter,
+                                        tol=tol, check_every=check_every)
             return tgv_denoise_pdps_pallas(
                 f, alphas[0], alphas[1], tau0=tau0, sigma0=sigma0,
                 maxiter=maxiter, tol=tol, check_every=check_every,
@@ -258,9 +272,18 @@ def make_diff_tgv_denoise(maxiter: int = 5000, gamma: float = 1e-4,
         lu = lam[..., 0, :, :]
         lw = lam[..., 1:3, :, :]
         df = lu
-        da1 = -jnp.sum(psi_y * (_GRAD.apply(lu) - lw))
-        da0 = -jnp.sum(psi_z * sym_grad(lw))
-        return df, (da1.astype(a1.dtype), da0.astype(a0.dtype))
+
+        def reduce_like(g, a):
+            # per-pixel sensitivity map → cotangent shaped like the weight:
+            # batch-sum for an (M, N) map, full sum for a scalar
+            if jnp.ndim(a) >= 2:
+                return jnp.sum(g.reshape((-1,) + g.shape[-2:]),
+                               axis=0).astype(a.dtype)
+            return jnp.sum(g).astype(a.dtype)
+
+        g1 = -scalarprod(psi_y, _GRAD.apply(lu) - lw)
+        g0 = -scalarprod(psi_z, sym_grad(lw))
+        return df, (reduce_like(g1, a1), reduce_like(g0, a0))
 
     solve.defvjp(fwd, bwd)
     return solve

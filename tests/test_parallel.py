@@ -374,8 +374,10 @@ class TestShardedTGV:
         u_p, cost_p, grad_p = lf_p(x, ds, 0.01)
         u_j, cost_j, grad_j = lf_j(x, ds, 0.01)
         np.testing.assert_allclose(float(cost_p), float(cost_j), rtol=1e-8)
+        # default-cg_tol backward: forward-path rounding differences leave
+        # ~1e-5 relative noise in the implicit gradient
         np.testing.assert_allclose(np.asarray(grad_p), np.asarray(grad_j),
-                                   rtol=1e-5)
+                                   rtol=5e-5)
 
     def test_full_bilevel_loop(self, rng, mesh):
         from bpldenoising_tpu.parallel import \

@@ -240,3 +240,55 @@ class TestTGVExperiments:
         assert np.asarray(u).shape == (2, 16, 16)
         with pytest.raises(ValueError):
             TGVDenoise(f, [0.1, 0.2, 0.3], maxiter=10)
+
+
+class TestMapAlphaTGV:
+    """Spatially-varying (map/patch) TGV weights."""
+
+    def test_map_matches_scalar_when_constant(self, rng):
+        from bpldenoising_tpu.solvers.tgv import tgv_denoise_pdps
+        _, f = ramp_problem(rng, n=16)
+        u_s, w_s = tgv_denoise_pdps(f, 0.1, 0.2, maxiter=400)
+        a1 = jnp.full((16, 16), 0.1)
+        a0 = jnp.full((16, 16), 0.2)
+        u_m, w_m = tgv_denoise_pdps(f, a1, a0, maxiter=400)
+        np.testing.assert_allclose(np.asarray(u_m), np.asarray(u_s),
+                                   atol=1e-12)
+
+    def test_energy_map_matches_scalar(self, rng):
+        from bpldenoising_tpu.solvers.tgv import tgv_energy
+        _, f = ramp_problem(rng, n=12)
+        w = jnp.asarray(rng.standard_normal((2, 12, 12)))
+        e_s = float(tgv_energy(f, f, w, 0.1, 0.2))
+        e_m = float(tgv_energy(f, f, w, jnp.full((12, 12), 0.1),
+                               jnp.full((12, 12), 0.2)))
+        np.testing.assert_allclose(e_m, e_s, rtol=1e-12)
+
+    def test_patch_grad_matches_fd(self, rng):
+        from bpldenoising_tpu.learning import tgv_learning_function
+        utrue, f = ramp_problem(rng, n=12)
+        ds = (utrue[None], f[None])
+        x = 0.1 * np.ones((2, 2, 2))
+        x[..., 1] = 0.2
+        u, cost, grad = tgv_learning_function(x, ds, 0.01, maxiter=1500)
+        assert grad.shape == (2, 2, 2)
+        eps = 1e-4
+        for idx in [(0, 0, 0), (1, 1, 1), (0, 1, 0)]:
+            e = np.zeros((2, 2, 2))
+            e[idx] = eps
+            _, cp, _ = tgv_learning_function(x + e, ds, 0.01, maxiter=1500)
+            _, cm, _ = tgv_learning_function(x - e, ds, 0.01, maxiter=1500)
+            fd = (float(cp) - float(cm)) / (2 * eps)
+            assert abs(float(grad[idx]) - fd) < 5e-2 * max(1.0, abs(fd)), \
+                (idx, float(grad[idx]), fd)
+
+    def test_patch_learn_experiment(self, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        from bpldenoising_tpu.experiments import patch_bilevel_tgv_learn
+        res = patch_bilevel_tgv_learn(
+            inner_maxiter=200, maxiter=3, dataset_name="circle",
+            num_samples=1)
+        assert res.x.shape == (2, 2, 2)
+        d = os.path.join("output", "circle_128_10")
+        files = sorted(os.listdir(d))
+        assert sum("_par_" in f for f in files) == 2   # two stretched maps
