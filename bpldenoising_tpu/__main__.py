@@ -85,6 +85,11 @@ def main(argv=None):
     p.add_argument("--alpha0", type=float, nargs=2, default=[0.05, 0.05],
                    metavar=("A1", "A0"),
                    help="initial (first-order, second-order) weights")
+    p = sub.add_parser("patch-tgv", help="learn spatially-varying TGV "
+                       "weight maps (beyond-reference)")
+    common(p)
+    p.add_argument("--patch", type=int, default=2)
+    p.add_argument("--alpha0", type=float, default=0.05)
     p = sub.add_parser("validate-tgv")
     p.add_argument("parameter", type=float, nargs=2)
     p.add_argument("--dataset", default="cameraman_128_5")
@@ -179,6 +184,13 @@ def _dispatch(args):
         with _trace(trace_dir):
             res = scalar_bilevel_tgv_learn(
                 visualise=args.visualise, alpha0=np.asarray(args.alpha0),
+                **kw())
+    elif args.cmd == "patch-tgv":
+        from bpldenoising_tpu.experiments import patch_bilevel_tgv_learn
+        with _trace(trace_dir):
+            res = patch_bilevel_tgv_learn(
+                visualise=args.visualise,
+                alpha0=args.alpha0 * np.ones((args.patch, args.patch, 2)),
                 **kw())
     elif args.cmd == "validate-tgv":
         from bpldenoising_tpu.experiments import validate_tgv_parameter

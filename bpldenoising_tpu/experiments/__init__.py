@@ -31,9 +31,11 @@ __all__ = [
     "patch_sumregs_bilevel_params",
 ]
 
-from .tgv import (TGVDenoise, patch_bilevel_tgv_learn,
-                  patch_tgv_bilevel_params, scalar_bilevel_tgv_learn,
-                  tgv_bilevel_params, validate_tgv_parameter)
+from .tgv import (TGVDenoise, generate_tgv_cost, generate_tgv_cost_plot,
+                  patch_bilevel_tgv_learn, patch_tgv_bilevel_params,
+                  scalar_bilevel_tgv_learn, tgv_bilevel_params,
+                  validate_tgv_parameter)
 __all__ += ["TGVDenoise", "scalar_bilevel_tgv_learn",
             "patch_bilevel_tgv_learn", "tgv_bilevel_params",
-            "patch_tgv_bilevel_params", "validate_tgv_parameter"]
+            "patch_tgv_bilevel_params", "validate_tgv_parameter",
+            "generate_tgv_cost", "generate_tgv_cost_plot"]

@@ -10,6 +10,7 @@ other family.
 
 from __future__ import annotations
 
+import os
 import sys
 
 import jax.numpy as jnp
@@ -23,6 +24,7 @@ from ..utils.config import Params
 
 __all__ = ["tgv_bilevel_params", "patch_tgv_bilevel_params",
            "scalar_bilevel_tgv_learn", "patch_bilevel_tgv_learn",
+           "generate_tgv_cost", "generate_tgv_cost_plot",
            "validate_tgv_parameter", "TGVDenoise"]
 
 # same TR schedule as the reference families (src/BPLDenoising.jl:316-323);
@@ -108,6 +110,56 @@ def patch_bilevel_tgv_learn(visualise: bool = False, **kwargs):
         lf_kwargs["gamma"] = float(params.tgv_gamma)
     lf = make_tgv_learning_function(**lf_kwargs)
     return _run_bilevel(params, lf, visualise, stretch_all=True)
+
+
+def generate_tgv_cost(dataset_name, parameter_range_1, parameter_range_2,
+                      *, num_samples=1, maxiter=5000, dtype="float64"):
+    """2-D cost landscape over the TGV weight pair (α₁, α₀) — the TGV
+    analogue of ``generate_2d_tv_cost`` (ref ``src/BPLDenoising.jl:136-160``;
+    the reference uses such sweeps as its learning-validation oracle).  One
+    vmapped batched solve over the flattened grid; caches to
+    ``<ds>_tgv_cost_2d.npz`` in the standard layout, plottable with
+    :func:`generate_tgv_cost_plot`."""
+    import jax
+
+    from .api import _canon as canon, _load, _out_dir
+    params = canon(merge(default_params, dataset_name=dataset_name,
+                         num_samples=num_samples, dtype=dtype))
+    true_, data = _load(params)
+    r1 = np.asarray(parameter_range_1, dtype=np.float64)
+    r2 = np.asarray(parameter_range_2, dtype=np.float64)
+    A1, A0 = np.meshgrid(r1, r2, indexing="ij")
+    pairs = jnp.asarray(np.stack([A1.ravel(), A0.ravel()], axis=1),
+                        true_.dtype)
+
+    def one(pair):
+        u, _ = tgv_denoise_pdps(data, pair[0], pair[1], maxiter=maxiter)
+        return 0.5 * jnp.sum((u - true_) ** 2)
+
+    costs = np.asarray(jax.jit(jax.vmap(one))(pairs)).reshape(A1.shape)
+    out = _out_dir(params)
+    np.savez(os.path.join(out, f"{params.dataset_name}_tgv_cost_2d.npz"),
+             parameter_range_1=r1, parameter_range_2=r2, costs=costs)
+    return costs
+
+
+def generate_tgv_cost_plot(dataset_name):
+    """Contour plot of the (α₁, α₀) sweep (cf. ref
+    ``src/BPLDenoising.jl:160-178``)."""
+    from ..data import full_datasetname
+    from ..viz.plots import plot_cost_contour
+    from .api import default_save_prefix
+    dataset_name = full_datasetname(dataset_name)
+    path = os.path.join(default_save_prefix, dataset_name,
+                        f"{dataset_name}_tgv_cost_2d.npz")
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"No cost calculation found at {path}")
+    z = np.load(path)
+    base = os.path.join(default_save_prefix, dataset_name,
+                        f"{dataset_name}_tgv_cost_plot_2d")
+    plot_cost_contour(z["parameter_range_1"], z["parameter_range_2"],
+                      z["costs"], base)
+    return base
 
 
 def validate_tgv_parameter(parameter, **kwargs):

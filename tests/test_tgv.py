@@ -292,3 +292,13 @@ class TestMapAlphaTGV:
         d = os.path.join("output", "circle_128_10")
         files = sorted(os.listdir(d))
         assert sum("_par_" in f for f in files) == 2   # two stretched maps
+
+    def test_cost_sweep_and_plot(self, tmp_path, monkeypatch):
+        monkeypatch.chdir(tmp_path)
+        from bpldenoising_tpu.experiments import (generate_tgv_cost,
+                                                  generate_tgv_cost_plot)
+        c = generate_tgv_cost("circle", np.logspace(-2, -1, 3),
+                              np.logspace(-2, -1, 3), maxiter=100)
+        assert c.shape == (3, 3) and np.all(np.isfinite(c))
+        base = generate_tgv_cost_plot("circle")
+        assert os.path.exists(base + ".png")
