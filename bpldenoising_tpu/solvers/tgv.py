@@ -220,6 +220,36 @@ def _build_joint_system(u, w, a1, a0, gamma):
     return H, diag, psi_y, psi_z
 
 
+def tgv_implicit_cotangents(u, w, alphas, v, *, gamma: float = 1e-4,
+                            cg_tol: float = 1e-6, cg_maxiter: int = 400):
+    """Implicit-function-theorem cotangents at a TGV solution (u, w).
+
+    Given the loss cotangent ``v = ∂J/∂u``, solves the SPD smoothed joint
+    system once and returns ``(df, (dα₁, dα₀))`` — the same rule the
+    ``custom_vjp`` layer applies, exposed directly so the learning function
+    can pair it with a WARM-STARTED forward solve (the IFT evaluates at the
+    returned solution, so how the solver got there is irrelevant)."""
+    a1 = jnp.asarray(alphas[0], u.dtype)
+    a0 = jnp.asarray(alphas[1], u.dtype)
+    H, diag, psi_y, psi_z = _build_joint_system(u, w, a1, a0, gamma)
+    rhs = jnp.concatenate([v[..., None, :, :], jnp.zeros_like(w)], axis=-3)
+    lam, _ = cg(H, rhs, tol=cg_tol, maxiter=cg_maxiter, M=lambda r: r / diag)
+    lu = lam[..., 0, :, :]
+    lw = lam[..., 1:3, :, :]
+
+    def reduce_like(g, a):
+        # per-pixel sensitivity map → cotangent shaped like the weight:
+        # batch-sum for an (M, N) map, full sum for a scalar
+        if jnp.ndim(a) >= 2:
+            return jnp.sum(g.reshape((-1,) + g.shape[-2:]),
+                           axis=0).astype(a.dtype)
+        return jnp.sum(g).astype(a.dtype)
+
+    g1 = -scalarprod(psi_y, _GRAD.apply(lu) - lw)
+    g0 = -scalarprod(psi_z, sym_grad(lw))
+    return lu, (reduce_like(g1, a1), reduce_like(g0, a0))
+
+
 def make_diff_tgv_denoise(maxiter: int = 5000, gamma: float = 1e-4,
                           cg_tol: float = 1e-6, cg_maxiter: int = 400,
                           tau0: float = 0.99, sigma0: float = 0.99,
@@ -262,28 +292,10 @@ def make_diff_tgv_denoise(maxiter: int = 5000, gamma: float = 1e-4,
 
     def bwd(res, v):
         u, w, alphas = res
-        a1 = jnp.asarray(alphas[0], u.dtype)
-        a0 = jnp.asarray(alphas[1], u.dtype)
-        H, diag, psi_y, psi_z = _build_joint_system(u, w, a1, a0, gamma)
-        rhs = jnp.concatenate(
-            [v[..., None, :, :], jnp.zeros_like(w)], axis=-3)
-        lam, _ = cg(H, rhs, tol=cg_tol, maxiter=cg_maxiter,
-                    M=lambda r: r / diag)
-        lu = lam[..., 0, :, :]
-        lw = lam[..., 1:3, :, :]
-        df = lu
-
-        def reduce_like(g, a):
-            # per-pixel sensitivity map → cotangent shaped like the weight:
-            # batch-sum for an (M, N) map, full sum for a scalar
-            if jnp.ndim(a) >= 2:
-                return jnp.sum(g.reshape((-1,) + g.shape[-2:]),
-                               axis=0).astype(a.dtype)
-            return jnp.sum(g).astype(a.dtype)
-
-        g1 = -scalarprod(psi_y, _GRAD.apply(lu) - lw)
-        g0 = -scalarprod(psi_z, sym_grad(lw))
-        return df, (reduce_like(g1, a1), reduce_like(g0, a0))
+        df, dalphas = tgv_implicit_cotangents(
+            u, w, alphas, v, gamma=gamma, cg_tol=cg_tol,
+            cg_maxiter=cg_maxiter)
+        return df, dalphas
 
     solve.defvjp(fwd, bwd)
     return solve

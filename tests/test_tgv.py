@@ -302,3 +302,39 @@ class TestMapAlphaTGV:
         assert c.shape == (3, 3) and np.all(np.isfinite(c))
         base = generate_tgv_cost_plot("circle")
         assert os.path.exists(base + ".png")
+
+
+class TestTGVWarmStart:
+    def test_factory_chains_state_with_tol(self, rng):
+        """With an early-stop tol the factory warm-starts evaluation k+1
+        from evaluation k's solver state; gradients at nearby α must agree
+        with cold evaluations to solver precision."""
+        from bpldenoising_tpu.learning import (make_tgv_learning_function,
+                                               tgv_learning_function)
+        utrue, f = ramp_problem(rng, n=16)
+        ds = (utrue[None], f[None])
+        lf = make_tgv_learning_function(maxiter=8000, tol=1e-7,
+                                        check_every=100)
+        xs = [np.array([0.1, 0.2]), np.array([0.105, 0.2]),
+              np.array([0.1, 0.21])]
+        for x in xs:
+            _, c_w, g_w = lf(x, ds, 0.01)
+            _, c_c, g_c = tgv_learning_function(x, ds, 0.01, maxiter=8000,
+                                                tol=1e-7, check_every=100)
+            # warm and cold stop at slightly different points of the
+            # O(1/k) tail; measured agreement ~0.1% cost / ~1% grad
+            np.testing.assert_allclose(float(c_w), float(c_c), rtol=5e-3)
+            np.testing.assert_allclose(np.asarray(g_w), np.asarray(g_c),
+                                       rtol=5e-2)
+
+    def test_no_tol_no_chaining(self, rng):
+        """Fixed-budget (no tol) evaluations stay cold — bit-identical
+        across repeat calls at the same α."""
+        from bpldenoising_tpu.learning import make_tgv_learning_function
+        utrue, f = ramp_problem(rng, n=12)
+        ds = (utrue[None], f[None])
+        lf = make_tgv_learning_function(maxiter=300)
+        _, c1, g1 = lf(np.array([0.1, 0.2]), ds, 0.01)
+        _, c2, g2 = lf(np.array([0.1, 0.2]), ds, 0.01)
+        assert float(c1) == float(c2)
+        np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
