@@ -77,6 +77,25 @@ def main():
     step("patch_bilevel_sumregs_learn (2x2x3)",
          lambda: api.patch_bilevel_sumregs_learn(**common))
 
+    # beyond-reference TGV² family (method/checkpoint flags don't apply)
+    from bpldenoising_tpu import experiments as ex
+    tgv_common = dict(inner_maxiter=inner, maxiter=outer, dtype=args.dtype,
+                      backend=args.backend)
+    step("scalar_bilevel_tgv_learn (cameraman_128_5)",
+         lambda: ex.scalar_bilevel_tgv_learn(**tgv_common))
+    step("patch_bilevel_tgv_learn (2x2x2)",
+         lambda: ex.patch_bilevel_tgv_learn(**tgv_common))
+    step("validate_tgv_parameter",
+         lambda: ex.validate_tgv_parameter(
+             np.array([0.08, 0.16]), dataset_name="cameraman_128_5",
+             inner_maxiter=sweep_iters, dtype=args.dtype))
+    step("generate_tgv_cost + plot (circle)",
+         lambda: (ex.generate_tgv_cost(
+             "circle", np.logspace(-2, -0.5, max(3, points // 2)),
+             np.logspace(-2, -0.5, max(3, points // 2)),
+             maxiter=sweep_iters, dtype=args.dtype),
+             ex.generate_tgv_cost_plot("circle"))[-1])
+
     # validations at plausible learned parameters
     step("validate_tv_parameter (0.07 on faces_val)",
          lambda: api.validate_tv_parameter(
