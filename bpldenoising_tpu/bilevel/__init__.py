@@ -5,6 +5,7 @@ from .first_order_pallas import (single_loop_pallas,
                                  single_loop_pallas_tiled,
                                  single_loop_tv_pallas)
 from .fused import FusedResult, bilevel_learn_fused
+from .fused_tgv import bilevel_learn_tgv_fused
 from .harness import BilevelState, LiveView, bilevel_iterate
 from .trust_region import BilevelResult, TRModel, bilevel_learn, dogleg_box
 
@@ -15,5 +16,5 @@ __all__ = [
     "SingleLoopResult", "single_loop_tv_pallas", "single_loop_pallas",
     "single_loop_pallas_tiled",
     "first_order_pallas",
-    "bilevel_learn_fused", "FusedResult",
+    "bilevel_learn_fused", "bilevel_learn_tgv_fused", "FusedResult",
 ]

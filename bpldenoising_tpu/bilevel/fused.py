@@ -43,7 +43,6 @@ log's time column is zeroed — the host records total wall time only.
 from __future__ import annotations
 
 import functools
-import time
 from typing import NamedTuple, Optional
 
 import jax
@@ -54,12 +53,11 @@ from jax import lax
 from ..models import DenoiseModel, tv_model
 from ..ops import PatchOp
 from .first_order import _check_positive_x0, _param_layout
+from .tr_core import make_tr_machinery, run_segmented
 from ..solvers.hypergrad import HypergradConfig, exact_hypergrad, reg_hypergrad
 from ..solvers.hypergrad_pallas import (exact_hypergrad_pallas,
                                         hypergrad_vmem_planes,
                                         reg_hypergrad_pallas)
-from ..solvers.lbfgs import (lbfgs_apply, lbfgs_init, lbfgs_solve,
-                             lbfgs_update)
 from ..solvers.pdps_pallas import _VMEM_LIMIT as _HG_VMEM_LIMIT
 from ..solvers.pdps import _denoise_pdps_impl
 from ..solvers.pdps_pallas import _pallas_impl
@@ -97,46 +95,6 @@ def _machinery(utrue, f, *, model: DenoiseModel, pop: Optional[PatchOp],
     dtype = f.dtype
     K = model.K
     n = int(np.prod(param_shape, dtype=int)) if param_shape else 1
-    use_lbfgs = n > int(lbfgs_threshold)
-    eps_pos = jnp.asarray(jnp.finfo(dtype).eps, dtype)
-    tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
-    tol = jnp.asarray(tol, dtype)
-    eta1 = jnp.asarray(eta1, dtype)
-    eta2 = jnp.asarray(eta2, dtype)
-    beta1 = jnp.asarray(beta1, dtype)
-    beta2 = jnp.asarray(beta2, dtype)
-
-    # ---- quadratic model (dense BFGS or fixed-history L-BFGS) ------------
-    if use_lbfgs:
-        def model_init():
-            return lbfgs_init(n, int(lbfgs_memory), dtype, init_scale=0.1)
-
-        def model_newton(ms, g):
-            return -lbfgs_solve(ms, g)
-
-        model_apply = lbfgs_apply
-        model_update = lbfgs_update
-    else:
-        def model_init():
-            return jnp.eye(n, dtype=dtype) * 0.1
-
-        def model_newton(B, g):
-            return jnp.linalg.solve(B, -g[:, None])[:, 0]
-
-        def model_apply(B, v):
-            return B @ v
-
-        def model_update(B, y, s):
-            sy = s @ y
-            ok = sy > 1e-12 * jnp.linalg.norm(s) * jnp.linalg.norm(y)
-            Bs = B @ s
-            sBs = s @ Bs
-            Bp = B + jnp.outer(y, y) / jnp.where(sy == 0, 1.0, sy)
-            Bp = jnp.where(sBs > 0,
-                           Bp - jnp.outer(Bs, Bs) / jnp.where(sBs == 0, 1.0,
-                                                              sBs),
-                           Bp)
-            return jnp.where(ok, Bp, B)
 
     # ---- parameterization ------------------------------------------------
     def alphas_of(xflat):
@@ -189,12 +147,18 @@ def _machinery(utrue, f, *, model: DenoiseModel, pop: Optional[PatchOp],
                      and _hg_planes * f.size * jnp.dtype(dtype).itemsize
                      <= _HG_VMEM_LIMIT // 2)
 
-    def eval_lf(xflat, delta, state0, padjs):
-        """``padjs = (p_exact, p_reg)``: the two gradient branches solve
-        systems with OPPOSITE-sign right-hand sides (exact: u−ū,
-        regularized: ū−u), so each branch warm-starts from ITS OWN previous
-        adjoint state — mixing them would warm-start near the negation of
-        the solution (the host factory keys per branch the same way)."""
+    def eval_lf(xflat, delta, st):
+        """Chained warm state ``st = (solver_state, (p_exact, p_reg))``;
+        ``None`` cold-starts.  The two gradient branches solve systems with
+        OPPOSITE-sign right-hand sides (exact: u−ū, regularized: ū−u), so
+        each branch warm-starts from ITS OWN previous adjoint state —
+        mixing them would warm-start near the negation of the solution
+        (the host factory keys per branch the same way)."""
+        if st is None:
+            state0 = None
+            padjs = (jnp.zeros_like(f), jnp.zeros_like(f))
+        else:
+            state0, padjs = st
         alphas = alphas_of(xflat)
         # parity mode (inner_tol None = the reference's fixed budget) also
         # cold-starts every solve, exactly like the reference / host path
@@ -227,106 +191,16 @@ def _machinery(utrue, f, *, model: DenoiseModel, pop: Optional[PatchOp],
             is_exact, exact_branch, reg_branch, (u, utrue, alphas))
         padjs = (jnp.where(is_exact, p, p_exact),
                  jnp.where(is_exact, p_reg, p))
-        return u, cost, pullback(grads), state, padjs
+        return u, cost, pullback(grads), (state, padjs)
 
-    # ---- trust-region pieces (jnp ports of .trust_region) ---------------
-    def bounds(x, delta):
-        return jnp.maximum(-delta, eps_pos - x), jnp.full_like(x, delta)
-
-    def in_bounds(p, lb, ub):
-        return jnp.all((p >= lb) & (p <= ub))
-
-    def ray_to_bound(d, lb, ub):
-        """Largest t ≥ 0 with t·d in [lb, ub] (0 for d = 0 — fixes the
-        host path's d=0 → inf·0 NaN edge)."""
-        d_safe = jnp.where(d == 0, 1.0, d)
-        ratios = jnp.where(d > 0, ub / d_safe,
-                           jnp.where(d < 0, lb / d_safe, jnp.inf))
-        t = jnp.min(ratios)
-        return jnp.where(jnp.isfinite(t), jnp.maximum(t, 0.0), 0.0)
-
-    def seg_to_bound(p0, d, lb, ub):
-        d_safe = jnp.where(d == 0, 1.0, d)
-        hi = jnp.where(d > 0, (ub - p0) / d_safe,
-                       jnp.where(d < 0, (lb - p0) / d_safe, jnp.inf))
-        return jnp.clip(jnp.min(hi), 0.0, 1.0)
-
-    def dogleg(x, g, Bst, delta):
-        lb, ub = bounds(x, delta)
-        pn = model_newton(Bst, g)
-        pn_ok = jnp.all(jnp.isfinite(pn))
-        pn_in = jnp.logical_and(pn_ok, in_bounds(pn, lb, ub))
-        gBg = g @ model_apply(Bst, g)
-        gg = g @ g
-        pc = jnp.where(gBg <= jnp.finfo(dtype).eps * gg,
-                       -g * 1e12, -(gg / jnp.where(gBg == 0, 1.0, gBg)) * g)
-        pc_in = in_bounds(pc, lb, ub)
-        dvec = pc / jnp.maximum(jnp.linalg.norm(pc), tiny)
-        pc_clip = dvec * ray_to_bound(dvec, lb, ub)
-        pn_safe = jnp.where(jnp.isfinite(pn), pn, 0.0)
-        t = seg_to_bound(pc, pn_safe - pc, lb, ub)
-        p_seg = pc + t * (pn_safe - pc)
-        return jnp.where(pn_in, pn_safe,
-                         jnp.where(~pc_in, pc_clip,
-                                   jnp.where(pn_ok, p_seg, pc)))
-
-    # ---- init (ref init_rest, src/TRBox.jl:34-52) ------------------------
-    def init_carry(x0, delta0):
-        x = jnp.asarray(x0, dtype).reshape(-1)
-        delta = jnp.asarray(delta0, dtype)
-        p0_cold = (jnp.zeros_like(f), jnp.zeros_like(f))
-        u, fx, gx, state, padj = eval_lf(x, delta, None, p0_cold)
-        Bst = model_init()
-        log0 = jnp.zeros((maxiter, 4), dtype)
-        return (jnp.asarray(0, jnp.int32), x, Bst, delta, fx, gx, u, state,
-                padj, log0)
-
-    def cond(carry):
-        it = carry[0]
-        delta = carry[3]
-        return jnp.logical_and(it < maxiter, delta >= tol)
-
-    def body(carry):
-        (it, x, Bst, delta, fx, gx, u, state, padj, log) = carry
-        p = dogleg(x, gx, Bst, delta)
-        x_new = x + p
-        u_new, fx_new, gx_new, state_new, padj_new = eval_lf(
-            x_new, delta, state, padj)
-
-        predf = -(p @ gx) - 0.5 * (p @ model_apply(Bst, p))
-        rho = jnp.where(predf == 0, -jnp.inf, (fx - fx_new) / predf)
-
-        Bst = model_update(Bst, gx_new - gx, p)
-
-        pnorm = jnp.linalg.norm(p)
-        delta_new = jnp.where(
-            rho < eta1, beta1 * delta,
-            jnp.where(jnp.logical_and(rho > eta2, pnorm > 0.8 * delta),
-                      beta2 * delta, delta))
-        delta_new = jnp.where(predf < 0, beta1 * delta_new, delta_new)
-
-        accepted = rho > 0
-        x = jnp.where(accepted, x_new, x)
-        fx = jnp.where(accepted, fx_new, fx)
-        gx = jnp.where(accepted, gx_new, gx)
-        u = jnp.where(accepted, u_new, u)
-        resid = jnp.where(accepted, pnorm, 0.0)
-
-        log = lax.dynamic_update_slice(
-            log,
-            jnp.stack([fx, jnp.linalg.norm(gx), delta_new,
-                       resid])[None].astype(dtype),
-            (it, jnp.asarray(0, it.dtype)))
-        # solver/adjoint warm states always advance to the latest evaluation
-        # (a rejected step's state is still a near-solution warm start)
-        return (it + 1, x, Bst, delta_new, fx, gx, u, state_new, padj_new,
-                log)
-
-    return init_carry, cond, body
+    return make_tr_machinery(
+        eval_lf, n=n, dtype=dtype, maxiter=maxiter, tol=tol, eta1=eta1,
+        eta2=eta2, beta1=beta1, beta2=beta2,
+        lbfgs_threshold=lbfgs_threshold, lbfgs_memory=lbfgs_memory)
 
 
 def _finalize(carry, param_shape) -> FusedResult:
-    it, x, _, _, fx, gx, u, _, _, log = carry
+    it, x, _, _, fx, gx, u, _, log = carry
     return FusedResult(x=x.reshape(param_shape), u=u, cost=fx,
                        g_norm=jnp.linalg.norm(gx), iterations=it, log=log)
 
@@ -372,30 +246,19 @@ def _run_segmented(utrue, f, x0, kw, *, log_every: int,
                    segment_callback=None, init_B=None):
     """Host driver for chunked dispatch: one device program per ``log_every``
     outer iterations, wall-clock recorded at every hop."""
-    maxiter = kw["maxiter"]
-    tol_f = kw["tol"]
-    carry = _fused_init_impl(utrue, f, x0, **kw)
-    if init_B is not None:
+    def post_init(carry):
+        if init_B is None:
+            return carry
         B = jnp.asarray(init_B, f.dtype)
         if B.shape == carry[2].shape:   # dense model only
-            carry = carry[:2] + (B,) + carry[3:]
-    times = np.zeros((maxiter,), np.float64)
-    prev_it = 0
-    t0 = time.perf_counter()
-    while True:
-        carry = _fused_segment_impl(utrue, f, carry, seg=int(log_every),
-                                    **kw)
-        it, delta = jax.device_get((carry[0], carry[3]))
-        it = int(it)
-        elapsed = time.perf_counter() - t0
-        # every iteration of this segment gets the segment-end cumulative
-        # time: no invented sub-segment precision (module docstring)
-        times[prev_it:it] = elapsed
-        if segment_callback is not None:
-            segment_callback(it, carry, elapsed)
-        if it >= maxiter or float(delta) < tol_f or it == prev_it:
-            break
-        prev_it = it
+            return carry[:2] + (B,) + carry[3:]
+        return carry
+
+    carry, times = run_segmented(
+        lambda: _fused_init_impl(utrue, f, x0, **kw),
+        lambda c: _fused_segment_impl(utrue, f, c, seg=int(log_every), **kw),
+        maxiter=kw["maxiter"], tol=kw["tol"], log_every=int(log_every),
+        segment_callback=segment_callback, post_init=post_init)
     res = _finalize(carry, kw["param_shape"])
     return res._replace(times=times[:int(res.iterations)])
 
@@ -432,7 +295,8 @@ def bilevel_learn_fused(ds, *, xinit, params, model: DenoiseModel = None,
         gains per-iteration (segment-granular) wall times and
         ``segment_callback(it, carry, elapsed_s)`` fires after every
         segment (checkpointing, per-iterate snapshots; carry layout:
-        ``(it, x_flat, Bst, delta, fx, gx, u, state, padj, log)``).
+        ``(it, x_flat, Bst, delta, fx, gx, u, state, log)`` with
+        ``state = (pdps_state, (p_exact, p_reg))``).
         Adds one dispatch round-trip per segment.  Not combinable with
         ``mesh``.
       init_B: optional dense BFGS matrix restored into the carry

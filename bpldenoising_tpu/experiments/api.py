@@ -495,7 +495,7 @@ def _run_fused(params, model_kind, stretch_all=False):
             it_abs = it + it_offset
             if writer is not None:
                 x_d, bst, delta_d, log_d = (carry[1], carry[2], carry[3],
-                                            carry[9])
+                                            carry[8])
                 x_h, delta_h, log_h = jax.device_get((x_d, delta_d, log_d))
                 rows = [[e.iter, e.time, e.function_value, e.g_norm,
                          e.delta, e.step_norm] for e in init_entries]
@@ -521,6 +521,21 @@ def _run_fused(params, model_kind, stretch_all=False):
         delta_t=delta_t,
         log_every=None if log_every is None else int(log_every),
         segment_callback=seg_cb, init_B=init_B)
+    out = _fused_to_result(res, it_offset=it_offset,
+                           init_entries=init_entries)
+    b, b_noisy = _stretched_inputs(ds, stretch_all)
+    save_results(params, b, b_noisy, out.x, linear_stretch(out.u),
+                 out.state)
+    return out
+
+
+def _fused_to_result(res, *, it_offset: int = 0, init_entries=()):
+    """FusedResult (device log matrix) → host BilevelResult with a
+    BilevelState log matching the host loop's entry schema."""
+    from ..bilevel.harness import BilevelState
+    from ..bilevel.trust_region import BilevelResult
+    from ..viz.log import BilevelLogEntry
+
     st = BilevelState()
     st.log.extend(init_entries)
     k = int(res.iterations)
@@ -531,12 +546,9 @@ def _run_fused(params, model_kind, stretch_all=False):
         st.log.append(BilevelLogEntry(i + 1 + it_offset, float(times[i]),
                                       float(log[i, 0]), float(log[i, 1]),
                                       float(log[i, 2]), float(log[i, 3])))
-    out = BilevelResult(x=np.asarray(res.x), u=np.asarray(res.u), state=st,
-                        cost=float(res.cost), g_norm=float(res.g_norm),
-                        iterations=k + it_offset)
-    b, b_noisy = _stretched_inputs(ds, stretch_all)
-    save_results(params, b, b_noisy, out.x, linear_stretch(out.u), st)
-    return out
+    return BilevelResult(x=np.asarray(res.x), u=np.asarray(res.u), state=st,
+                         cost=float(res.cost), g_norm=float(res.g_norm),
+                         iterations=k + it_offset)
 
 
 def _run_bilevel(params, learning_function, visualise, stretch_all=False):

@@ -65,6 +65,43 @@ def TGVDenoise(data, parameter, maxiter: int = 10000,
     return u
 
 
+def _run_tgv_fused(params, stretch_all=True):
+    """Fused on-device TGV trust-region path (``method='tr_fused'``):
+    identical TR semantics to the host loop but the whole outer loop is one
+    device program (:func:`..bilevel.fused_tgv.bilevel_learn_tgv_fused`).
+    ``log_every=j`` restores per-segment wall-clock logging; checkpoint/
+    resume/per-iterate snapshots stay on the host path (``method='tr'``)."""
+    import jax
+
+    from ..bilevel.fused_tgv import bilevel_learn_tgv_fused
+    from .api import (_fused_to_result, _load, _reject_flags,
+                      _stretched_inputs, linear_stretch, save_results)
+
+    _reject_flags(params, "tr_fused",
+                  ("checkpoint", "resume", "save_iterations"))
+    backend = _resolve_backend(params.get("backend", "auto"))
+    mesh = None
+    if params.get("data_parallel"):
+        from ..parallel import make_batch_mesh
+        mesh = make_batch_mesh()
+    ds = _load(params)
+    log_every = params.get("log_every")
+    res = bilevel_learn_tgv_fused(
+        ds, xinit=jnp.asarray(params.alpha0, ds[0].dtype), params=params,
+        inner_maxiter=int(params.inner_maxiter),
+        inner_tol=params.get("inner_tol"),
+        gamma=(1e-4 if params.get("tgv_gamma") is None
+               else float(params.tgv_gamma)),
+        backend=backend, mesh=mesh,
+        interpret=backend == "pallas" and jax.default_backend() == "cpu",
+        log_every=None if log_every is None else int(log_every))
+    out = _fused_to_result(res)
+    b, b_noisy = _stretched_inputs(ds, stretch_all)
+    save_results(params, b, b_noisy, out.x, linear_stretch(out.u),
+                 out.state)
+    return out
+
+
 def scalar_bilevel_tgv_learn(visualise: bool = False, **kwargs):
     """Learn (α₁, α₀) by the trust-region bilevel loop (the TGV analogue of
     ``scalar_bilevel_sumregs_learn``, ref ``src/BPLDenoising.jl:432-449``)."""
@@ -72,10 +109,11 @@ def scalar_bilevel_tgv_learn(visualise: bool = False, **kwargs):
     params = _canon(params)
     params = params | dict(save_prefix="tgv_optimal_parameter_"
                            + params.dataset_name)
-    for m in ("single_loop", "tr_fused"):
-        if params.get("method") == m:
-            raise ValueError(f"method={m!r} is not available for the TGV "
-                             "family; use the default trust-region loop")
+    if params.get("method") == "single_loop":
+        raise ValueError("method='single_loop' is not available for the "
+                         "TGV family; use 'tr' or 'tr_fused'")
+    if params.get("method") == "tr_fused":
+        return _run_tgv_fused(params, stretch_all=True)
     lf_kwargs = dict(
         maxiter=int(params.inner_maxiter),
         backend=_resolve_backend(params.get("backend", "auto")))
@@ -97,10 +135,11 @@ def patch_bilevel_tgv_learn(visualise: bool = False, **kwargs):
     params = params | dict(
         save_prefix=f"tgv_optimal_parameter_patch_{shape}_"
         + params.dataset_name)
-    for m in ("single_loop", "tr_fused"):
-        if params.get("method") == m:
-            raise ValueError(f"method={m!r} is not available for the TGV "
-                             "family; use the default trust-region loop")
+    if params.get("method") == "single_loop":
+        raise ValueError("method='single_loop' is not available for the "
+                         "TGV family; use 'tr' or 'tr_fused'")
+    if params.get("method") == "tr_fused":
+        return _run_tgv_fused(params, stretch_all=True)
     lf_kwargs = dict(
         maxiter=int(params.inner_maxiter),
         backend=_resolve_backend(params.get("backend", "auto")))

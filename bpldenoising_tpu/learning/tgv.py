@@ -83,7 +83,7 @@ _step_jit = jax.jit(_step, static_argnames=_STEP_STATICS)
 
 def tgv_learning_function(x, ds, delta, *, maxiter: int = 5000,
                           gamma: float = 1e-4, cg_tol: float = 1e-6,
-                          cg_maxiter: int = 400, tau0: float = 0.99,
+                          cg_maxiter: int = 1000, tau0: float = 0.99,
                           sigma0: float = 0.99, tol=None,
                           check_every: int = 500, backend: str = "jnp",
                           s0=None, return_aux: bool = False):

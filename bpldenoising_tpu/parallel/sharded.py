@@ -195,7 +195,7 @@ def make_sharded_sumregs_learning_function(
 
 def make_sharded_tgv_learning_function(
         mesh: Mesh, *, maxiter: int = 5000, gamma: float = 1e-4,
-        cg_tol: float = 1e-6, cg_maxiter: int = 400, backend: str = "jnp",
+        cg_tol: float = 1e-6, cg_maxiter: int = 1000, backend: str = "jnp",
         interpret: bool = False):
     """Sharded equivalent of
     :func:`bpldenoising_tpu.learning.tgv_learning_function` (beyond-reference

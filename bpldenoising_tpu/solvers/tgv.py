@@ -52,7 +52,7 @@ from jax import lax
 from ..ops import FwdGradientOp, proj_norm21_ball, scalarprod, xi
 from ..ops.grad import dminus_gram
 from ..ops.tgv import TGV_OPNORM_SQ, sym_div, sym_grad
-from .krylov import cg
+from .krylov import cg_batched
 
 __all__ = ["tgv_denoise_pdps", "tgv_energy", "make_diff_tgv_denoise",
            "diff_tgv_denoise", "TGV_PDPS_DEFAULTS"]
@@ -221,19 +221,29 @@ def _build_joint_system(u, w, a1, a0, gamma):
 
 
 def tgv_implicit_cotangents(u, w, alphas, v, *, gamma: float = 1e-4,
-                            cg_tol: float = 1e-6, cg_maxiter: int = 400):
+                            cg_tol: float = 1e-6, cg_maxiter: int = 1000,
+                            lam0=None, return_lam: bool = False):
     """Implicit-function-theorem cotangents at a TGV solution (u, w).
 
     Given the loss cotangent ``v = ∂J/∂u``, solves the SPD smoothed joint
     system once and returns ``(df, (dα₁, dα₀))`` — the same rule the
     ``custom_vjp`` layer applies, exposed directly so the learning function
     can pair it with a WARM-STARTED forward solve (the IFT evaluates at the
-    returned solution, so how the solver got there is irrelevant)."""
+    returned solution, so how the solver got there is irrelevant).
+
+    ``lam0`` warm-starts the adjoint CG from a previous evaluation's
+    multiplier (``return_lam=True`` appends it to the return) — the fused
+    trust-region loop chains it across evaluations, where consecutive
+    systems differ only by a small (u, w, α) perturbation."""
     a1 = jnp.asarray(alphas[0], u.dtype)
     a0 = jnp.asarray(alphas[1], u.dtype)
     H, diag, psi_y, psi_z = _build_joint_system(u, w, a1, a0, gamma)
     rhs = jnp.concatenate([v[..., None, :, :], jnp.zeros_like(w)], axis=-3)
-    lam, _ = cg(H, rhs, tol=cg_tol, maxiter=cg_maxiter, M=lambda r: r / diag)
+    # per-image inner products (item_ndim=3 → the (3, M, N) stacked planes):
+    # every image's adjoint solve is independent of how the batch is grouped,
+    # so data-parallel shards reproduce the joint solve exactly
+    lam, _ = cg_batched(H, rhs, x0=lam0, tol=cg_tol, maxiter=cg_maxiter,
+                        M=lambda r: r / diag, item_ndim=3)
     lu = lam[..., 0, :, :]
     lw = lam[..., 1:3, :, :]
 
@@ -247,11 +257,12 @@ def tgv_implicit_cotangents(u, w, alphas, v, *, gamma: float = 1e-4,
 
     g1 = -scalarprod(psi_y, _GRAD.apply(lu) - lw)
     g0 = -scalarprod(psi_z, sym_grad(lw))
-    return lu, (reduce_like(g1, a1), reduce_like(g0, a0))
+    out = lu, (reduce_like(g1, a1), reduce_like(g0, a0))
+    return out + (lam,) if return_lam else out
 
 
 def make_diff_tgv_denoise(maxiter: int = 5000, gamma: float = 1e-4,
-                          cg_tol: float = 1e-6, cg_maxiter: int = 400,
+                          cg_tol: float = 1e-6, cg_maxiter: int = 1000,
                           tau0: float = 0.99, sigma0: float = 0.99,
                           tol=None, check_every: int = 500,
                           backend: str = "jnp", interpret: bool = False):

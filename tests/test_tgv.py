@@ -220,10 +220,10 @@ class TestTGVExperiments:
         assert any(f.endswith("_quality.txt") for f in files)
         assert any("reco" in f for f in files)
 
-    def test_tgv_rejects_fused_methods(self):
+    def test_tgv_rejects_single_loop(self):
         from bpldenoising_tpu.experiments import scalar_bilevel_tgv_learn
         with pytest.raises(ValueError):
-            scalar_bilevel_tgv_learn(method="tr_fused", **self.FAST)
+            scalar_bilevel_tgv_learn(method="single_loop", **self.FAST)
 
     def test_validate_tgv(self):
         from bpldenoising_tpu.experiments import validate_tgv_parameter

@@ -101,6 +101,46 @@ class TestKrylov:
         _, prec = cg(A, b, tol=1e-10, maxiter=1000, M=lambda r: r / d)
         assert int(prec.iters) < int(plain.iters)
 
+    def test_cg_batched_grouping_invariance(self, rng):
+        """Per-item inner products: each item's solution (and trajectory)
+        is independent of batch grouping — a stacked solve must equal the
+        per-item solves bitwise-ish, unlike joint-inner-product cg."""
+        from bpldenoising_tpu.solvers.krylov import cg_batched
+        n = 12
+        mats, rhs = [], []
+        for _ in range(3):
+            Ak = rng.standard_normal((n, n))
+            mats.append(Ak @ Ak.T + n * np.eye(n))
+            rhs.append(rng.standard_normal(n))
+        Aj = jnp.asarray(np.stack(mats))
+        b = jnp.asarray(np.stack(rhs))
+
+        def A(v):   # blockwise: (..., 3, n) @ per-item matrix
+            return jnp.einsum("kij,...kj->...ki", Aj, v)
+
+        x_all, info = cg_batched(A, b, tol=1e-12, maxiter=300, item_ndim=1)
+        assert bool(jnp.all(info.converged))
+        assert info.resnorm.shape == (3,)
+        for k in range(3):
+            xk, _ = cg_batched(lambda v: Aj[k] @ v, b[k], tol=1e-12,
+                               maxiter=300, item_ndim=1)
+            np.testing.assert_allclose(np.asarray(x_all[k]),
+                                       np.asarray(xk), atol=1e-12)
+            np.testing.assert_allclose(np.asarray(Aj[k] @ x_all[k]),
+                                       np.asarray(b[k]), atol=1e-7)
+
+    def test_cg_batched_warm_start(self, rng):
+        from bpldenoising_tpu.solvers.krylov import cg_batched
+        n = 16
+        Ak = rng.standard_normal((n, n))
+        A = jnp.asarray(Ak @ Ak.T + n * np.eye(n))
+        b = jnp.asarray(rng.standard_normal(n))
+        x, info_cold = cg_batched(lambda v: A @ v, b, tol=1e-10,
+                                  maxiter=300)
+        _, info_warm = cg_batched(lambda v: A @ v, b, x0=x, tol=1e-10,
+                                  maxiter=300)
+        assert int(info_warm.iters) <= 1
+
     def test_bicgstab_nonsymmetric(self, rng):
         n = 40
         A = rng.standard_normal((n, n)) + n * np.eye(n)
