@@ -510,6 +510,19 @@ def run(quick: bool = False, backend: str = "pallas",
         res_tgv, tgv_wall = _best_of(run_tgv)
         tgv_psnr = float(np.mean(np.asarray(psnr(ds[0], res_tgv.u))))
 
+        # fused TGV trust region: the ENTIRE outer loop as one dispatch
+        # (warm-started inner solves + adjoint CG chained in the carry)
+        from bpldenoising_tpu.bilevel.fused_tgv import bilevel_learn_tgv_fused
+
+        def run_tgv_fused():
+            res = bilevel_learn_tgv_fused(
+                ds, xinit=tgv_x0, params=tgv_params, inner_maxiter=inner,
+                inner_tol=1e-6, backend=backend)
+            _sync(res.u)
+            return res
+
+        res_tgvf, tgv_fused_wall = _best_of(run_tgv_fused)
+
         # raw fused-kernel throughput at scale (floor-subtracted device
         # rate, same protocol as the TV batch-256 number; TGV state is
         # ~3× TV's so batch-64 already saturates the chip)
@@ -539,6 +552,10 @@ def run(quick: bool = False, backend: str = "pallas",
             "tgv_learned_alpha": [round(float(a), 6) for a in res_tgv.x],
             "tgv_final_cost": round(float(res_tgv.cost), 4),
             "tgv_psnr_db": round(tgv_psnr, 3),
+            "tgv_fused_walltime_s": round(tgv_fused_wall, 4),
+            "tgv_fused_alpha": [round(float(a), 6)
+                                for a in np.asarray(res_tgvf.x)],
+            "tgv_fused_final_cost": round(float(res_tgvf.cost), 4),
             "tgv_gpix_iter_per_sec_batch64_device": round(tgv_rate_dev, 2),
         })
         if only == "tgv":

@@ -167,7 +167,8 @@ def bilevel_learn_tgv_fused(ds, *, xinit, params,
                             backend: str = "pallas", mesh=None,
                             interpret: bool = False,
                             log_every: int | None = None,
-                            segment_callback=None) -> FusedResult:
+                            segment_callback=None,
+                            init_B=None) -> FusedResult:
     """Run the full TGV² trust-region bilevel learning as one device program.
 
     Args:
@@ -183,7 +184,7 @@ def bilevel_learn_tgv_fused(ds, *, xinit, params,
         (:func:`..solvers.tgv.tgv_implicit_cotangents`).
       backend: "pallas" (fused TGV kernel; scalar weights only — patch
         grids take the XLA stencil path) or "jnp".
-      mesh / log_every / segment_callback: as in
+      mesh / log_every / segment_callback / init_B: as in
         :func:`.fused.bilevel_learn_fused` (carry layout
         ``(it, x_flat, Bst, delta, fx, gx, u, (state, lam), log)``).
 
@@ -220,11 +221,20 @@ def bilevel_learn_tgv_fused(ds, *, xinit, params,
             raise ValueError("log_every (chunked dispatch) does not "
                              "compose with mesh= data parallelism; drive "
                              "segments from the host or drop log_every")
+        def post_init(carry):
+            if init_B is None:
+                return carry
+            B = jnp.asarray(init_B, f.dtype)
+            if B.shape == carry[2].shape:   # dense model only
+                return carry[:2] + (B,) + carry[3:]
+            return carry
+
         carry, times = run_segmented(
             lambda: _init_impl(utrue, f, x0, **kw),
             lambda c: _segment_impl(utrue, f, c, seg=int(log_every), **kw),
             maxiter=kw["maxiter"], tol=kw["tol"],
-            log_every=int(log_every), segment_callback=segment_callback)
+            log_every=int(log_every), segment_callback=segment_callback,
+            post_init=post_init)
         res = _finalize(carry, kw["param_shape"])
         return res._replace(times=times[:int(res.iterations)])
     if mesh is None:

@@ -432,16 +432,8 @@ def _run_fused(params, model_kind, stretch_all=False):
     checkpointing and per-iterate PNG snapshots at ~1/j of the
     latency saving."""
     from ..bilevel.fused import bilevel_learn_fused
-    from ..bilevel.harness import BilevelState
-    from ..bilevel.trust_region import BilevelResult
     from ..models import sumregs_model, tv_model
-    from ..viz.log import BilevelLogEntry
 
-    log_every = params.get("log_every")
-    wants_hops = any(params.get(k) for k in
-                     ("checkpoint", "resume", "save_iterations"))
-    if log_every is None and wants_hops:
-        log_every = 5   # default segment length for observable runs
     backend = params.get("backend", "auto")
     if backend == "auto":
         backend = "pallas" if jax.default_backend() != "cpu" else "jnp"
@@ -455,7 +447,42 @@ def _run_fused(params, model_kind, stretch_all=False):
     # (ref: TV Δt=1e-6, sumregs Δt=1e-3 — src/SumRegsLearningFunction.jl:14)
     delta_t = 1e-6 if model_kind == "tv" else 1e-3
 
-    # -- resume / checkpoint / per-iterate snapshots (segmented mode) ------
+    (params, log_every, seg_cb, init_B, it_offset,
+     init_entries) = _fused_observability(params)
+
+    res = bilevel_learn_fused(
+        ds, xinit=jnp.asarray(params.alpha0, ds[0].dtype), params=params,
+        model=model, inner_maxiter=int(params.inner_maxiter),
+        inner_tol=params.get("inner_tol"), backend=backend, mesh=mesh,
+        delta_t=delta_t,
+        log_every=None if log_every is None else int(log_every),
+        segment_callback=seg_cb, init_B=init_B)
+    out = _fused_to_result(res, it_offset=it_offset,
+                           init_entries=init_entries)
+    b, b_noisy = _stretched_inputs(ds, stretch_all)
+    save_results(params, b, b_noisy, out.x, linear_stretch(out.u),
+                 out.state)
+    return out
+
+
+def _fused_observability(params):
+    """Resume/checkpoint/per-iterate-snapshot hooks for the one-dispatch
+    (fused) paths, shared by every model family.  The hooks run as a
+    segment callback in chunked-dispatch mode (``log_every=j``; implied by
+    any of checkpoint/resume/save_iterations).  Returns
+    ``(params, log_every, seg_cb, init_B, it_offset, init_entries)`` —
+    ``params`` gains the resumed ``alpha0``/``delta0``/reduced ``maxiter``.
+
+    Carry layout contract (``bilevel/tr_core.py``):
+    ``(it, x_flat, Bst, delta, fx, gx, u, state, log)``.
+    """
+    from ..viz.log import BilevelLogEntry
+
+    log_every = params.get("log_every")
+    wants_hops = any(params.get(k) for k in
+                     ("checkpoint", "resume", "save_iterations"))
+    if log_every is None and wants_hops:
+        log_every = 5   # default segment length for observable runs
     out_dir = _out_dir(params)
     ckpt_path = os.path.join(out_dir, params.save_prefix + "_ckpt.npz")
     init_B = None
@@ -514,19 +541,7 @@ def _run_fused(params, model_kind, stretch_all=False):
             if save_iter_fn is not None:
                 save_iter_fn(it_abs, np.asarray(jax.device_get(carry[6][0])))
 
-    res = bilevel_learn_fused(
-        ds, xinit=jnp.asarray(params.alpha0, ds[0].dtype), params=params,
-        model=model, inner_maxiter=int(params.inner_maxiter),
-        inner_tol=params.get("inner_tol"), backend=backend, mesh=mesh,
-        delta_t=delta_t,
-        log_every=None if log_every is None else int(log_every),
-        segment_callback=seg_cb, init_B=init_B)
-    out = _fused_to_result(res, it_offset=it_offset,
-                           init_entries=init_entries)
-    b, b_noisy = _stretched_inputs(ds, stretch_all)
-    save_results(params, b, b_noisy, out.x, linear_stretch(out.u),
-                 out.state)
-    return out
+    return params, log_every, seg_cb, init_B, it_offset, init_entries
 
 
 def _fused_to_result(res, *, it_offset: int = 0, init_entries=()):

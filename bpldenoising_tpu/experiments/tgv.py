@@ -69,23 +69,23 @@ def _run_tgv_fused(params, stretch_all=True):
     """Fused on-device TGV trust-region path (``method='tr_fused'``):
     identical TR semantics to the host loop but the whole outer loop is one
     device program (:func:`..bilevel.fused_tgv.bilevel_learn_tgv_fused`).
-    ``log_every=j`` restores per-segment wall-clock logging; checkpoint/
-    resume/per-iterate snapshots stay on the host path (``method='tr'``)."""
+    ``log_every=j`` runs the loop in j-iteration segments, restoring
+    per-segment wall-clock logging, npz checkpoint/resume and per-iterate
+    PNG snapshots (the same hooks as the TV/sumregs fused path)."""
     import jax
 
     from ..bilevel.fused_tgv import bilevel_learn_tgv_fused
-    from .api import (_fused_to_result, _load, _reject_flags,
+    from .api import (_fused_observability, _fused_to_result, _load,
                       _stretched_inputs, linear_stretch, save_results)
 
-    _reject_flags(params, "tr_fused",
-                  ("checkpoint", "resume", "save_iterations"))
     backend = _resolve_backend(params.get("backend", "auto"))
     mesh = None
     if params.get("data_parallel"):
         from ..parallel import make_batch_mesh
         mesh = make_batch_mesh()
     ds = _load(params)
-    log_every = params.get("log_every")
+    (params, log_every, seg_cb, init_B, it_offset,
+     init_entries) = _fused_observability(params)
     res = bilevel_learn_tgv_fused(
         ds, xinit=jnp.asarray(params.alpha0, ds[0].dtype), params=params,
         inner_maxiter=int(params.inner_maxiter),
@@ -94,8 +94,10 @@ def _run_tgv_fused(params, stretch_all=True):
                else float(params.tgv_gamma)),
         backend=backend, mesh=mesh,
         interpret=backend == "pallas" and jax.default_backend() == "cpu",
-        log_every=None if log_every is None else int(log_every))
-    out = _fused_to_result(res)
+        log_every=None if log_every is None else int(log_every),
+        segment_callback=seg_cb, init_B=init_B)
+    out = _fused_to_result(res, it_offset=it_offset,
+                           init_entries=init_entries)
     b, b_noisy = _stretched_inputs(ds, stretch_all)
     save_results(params, b, b_noisy, out.x, linear_stretch(out.u),
                  out.state)

@@ -77,12 +77,15 @@ def main():
     step("patch_bilevel_sumregs_learn (2x2x3)",
          lambda: api.patch_bilevel_sumregs_learn(**common))
 
-    # beyond-reference TGV² family (method/checkpoint flags don't apply)
+    # beyond-reference TGV² family
     from bpldenoising_tpu import experiments as ex
     tgv_common = dict(inner_maxiter=inner, maxiter=outer, dtype=args.dtype,
                       backend=args.backend)
     step("scalar_bilevel_tgv_learn (cameraman_128_5)",
          lambda: ex.scalar_bilevel_tgv_learn(**tgv_common))
+    step("scalar_bilevel_tgv_learn method=tr_fused",
+         lambda: ex.scalar_bilevel_tgv_learn(method="tr_fused",
+                                             **tgv_common))
     step("patch_bilevel_tgv_learn (2x2x2)",
          lambda: ex.patch_bilevel_tgv_learn(**tgv_common))
     step("validate_tgv_parameter",

@@ -176,8 +176,34 @@ class TestExperimentFrontEnd:
                                       **self.FAST)
         assert res.x.shape == (2, 2, 2)
 
-    def test_rejects_checkpoint_flags(self):
+    def test_checkpoint_and_log_times(self):
+        """checkpoint=True switches to chunked dispatch: ckpt.npz exists
+        and the per-iteration log carries real (monotone) wall times —
+        same observability contract as the TV/sumregs fused path."""
         from bpldenoising_tpu.experiments import scalar_bilevel_tgv_learn
-        with pytest.raises(ValueError, match="checkpoint"):
-            scalar_bilevel_tgv_learn(method="tr_fused", checkpoint=True,
-                                     **self.FAST)
+        res = scalar_bilevel_tgv_learn(method="tr_fused", checkpoint=True,
+                                       log_every=2,
+                                       alpha0=np.array([0.05, 0.05]),
+                                       **self.FAST)
+        d = os.path.join("output", "circle_128_10")
+        assert any(f.endswith("_ckpt.npz") for f in os.listdir(d))
+        times = [e.time for e in res.state.log]
+        assert len(times) == res.iterations
+        assert all(t > 0 for t in times)
+
+    def test_resume_continues(self):
+        """Interrupt after 2 iterations, resume with the full budget: the
+        resumed run continues iteration numbering and lands where an
+        uninterrupted run lands."""
+        from bpldenoising_tpu.experiments import scalar_bilevel_tgv_learn
+        kw = dict(self.FAST, maxiter=4, alpha0=np.array([0.05, 0.05]))
+        full = scalar_bilevel_tgv_learn(method="tr_fused", **kw)
+        scalar_bilevel_tgv_learn(method="tr_fused", checkpoint=True,
+                                 log_every=2, **dict(kw, maxiter=2))
+        res = scalar_bilevel_tgv_learn(method="tr_fused", resume=True,
+                                       log_every=2, **kw)
+        assert res.iterations >= 3
+        iters = [e.iter for e in res.state.log]
+        assert iters == sorted(iters) and len(set(iters)) == len(iters)
+        np.testing.assert_allclose(np.asarray(res.x), np.asarray(full.x),
+                                   rtol=5e-2)
