@@ -22,9 +22,9 @@ There is no exact/regularized switch: the γ-Huber-smoothed implicit
 gradient is the only branch (cf. ``src/TVLearningFunctionVec.jl:137-161``),
 so the radius is ignored by the evaluation.
 
-``backend="pallas"`` runs the scalar-weight forward solve in the fused
-VMEM-resident TGV kernel (:mod:`..solvers.tgv_pallas`); spatially-varying
-(patch) weights take the XLA stencil path.  ``mesh=`` shards the image
+``backend="pallas"`` runs the forward solve in the fused VMEM-resident
+TGV kernel (:mod:`..solvers.tgv_pallas`) for scalar AND spatially-varying
+(patch-upsampled map) weights.  ``mesh=`` shards the image
 batch (shard_map + psum on cost/gradient) — the replicated trust-region
 logic is identical on every device and multi-chip training is still one
 dispatch.  ``log_every=j`` drives the loop in j-iteration segments with a
@@ -62,7 +62,7 @@ def _machinery(utrue, f, *, pop, param_shape: tuple, maxiter: int, tol,
                lbfgs_memory: int):
     dtype = f.dtype
     n = int(np.prod(param_shape, dtype=int))
-    use_pallas = backend == "pallas" and pop is None
+    use_pallas = backend == "pallas"
 
     def alphas_of(xflat):
         x = xflat.reshape(param_shape)
@@ -182,8 +182,8 @@ def bilevel_learn_tgv_fused(ds, *, xinit, params,
         also disables the solver/adjoint warm-start chaining).
       gamma / cg_tol / cg_maxiter: implicit-gradient knobs
         (:func:`..solvers.tgv.tgv_implicit_cotangents`).
-      backend: "pallas" (fused TGV kernel; scalar weights only — patch
-        grids take the XLA stencil path) or "jnp".
+      backend: "pallas" (fused TGV kernel, scalar or map weights) or
+        "jnp".
       mesh / log_every / segment_callback / init_B: as in
         :func:`.fused.bilevel_learn_fused` (carry layout
         ``(it, x_flat, Bst, delta, fx, gx, u, (state, lam), log)``).

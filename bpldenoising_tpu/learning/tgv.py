@@ -38,7 +38,7 @@ __all__ = ["tgv_learning_function", "make_tgv_learning_function"]
 
 def _solve(f, a1, a0, s0, *, maxiter, tau0, sigma0, tol, check_every,
            backend):
-    if backend == "pallas" and not (jnp.ndim(a1) or jnp.ndim(a0)):
+    if backend == "pallas":
         from ..solvers.tgv_pallas import tgv_denoise_pdps_pallas
         interpret = backend == "pallas" and \
             jax.default_backend() == "cpu"

@@ -277,11 +277,6 @@ def make_diff_tgv_denoise(maxiter: int = 5000, gamma: float = 1e-4,
         from .tgv_pallas import tgv_denoise_pdps_pallas
 
         def _fsolve(f, alphas):
-            if jnp.ndim(alphas[0]) or jnp.ndim(alphas[1]):
-                # fused kernel is scalar-α only; map weights take the jnp path
-                return tgv_denoise_pdps(f, alphas[0], alphas[1], tau0=tau0,
-                                        sigma0=sigma0, maxiter=maxiter,
-                                        tol=tol, check_every=check_every)
             return tgv_denoise_pdps_pallas(
                 f, alphas[0], alphas[1], tau0=tau0, sigma0=sigma0,
                 maxiter=maxiter, tol=tol, check_every=check_every,

@@ -101,7 +101,8 @@ def _tgv_body(f, a1, a0, masks):
 
 
 def _make_kernel(maxiter: int, tau_init: float, sigma_init: float, tol,
-                 check_every: int, warm: bool, return_state: bool):
+                 check_every: int, warm: bool, return_state: bool,
+                 map_alpha: bool):
     def tgv_kernel(*refs):
         f_ref, a1_ref, a0_ref = refs[0], refs[1], refs[2]
         pos = 3
@@ -112,8 +113,14 @@ def _make_kernel(maxiter: int, tau_init: float, sigma_init: float, tol,
 
         f = f_ref[:]
         dtype = f.dtype
-        a1 = a1_ref[0, 0]
-        a0 = a0_ref[0, 0]
+        if map_alpha:
+            # (1, M, N) VMEM blocks shared by every batch chunk; the
+            # per-pixel weights broadcast against the (chunk, M, N) planes
+            a1 = a1_ref[:][0]
+            a0 = a0_ref[:][0]
+        else:
+            a1 = a1_ref[0, 0]
+            a0 = a0_ref[0, 0]
         tau = jnp.asarray(tau_init, dtype)
         sigma = jnp.asarray(sigma_init, dtype)
 
@@ -161,7 +168,7 @@ def _make_kernel(maxiter: int, tau_init: float, sigma_init: float, tol,
             out_refs[1][:] = carry[1]
             out_refs[2][:] = carry[2]
 
-    return schedule_salt(tgv_kernel, key="tgv")
+    return schedule_salt(tgv_kernel, key="tgv_map" if map_alpha else "tgv")
 
 
 def _chunk_size(O: int, M: int, N: int, itemsize: int, extra_planes: int,
@@ -182,9 +189,10 @@ def _pallas_impl(f, a1, a0, state0=None, *, tau0, sigma0, maxiter, tol,
     dtype = f.dtype
     L = TGV_OPNORM_SQ ** 0.5
     warm = state0 is not None
+    map_alpha = bool(jnp.ndim(a1) or jnp.ndim(a0))
 
     extra = (1 if tol is not None else 0) + (8 if warm else 0) \
-        + (8 if return_state else 3)
+        + (8 if return_state else 3) + (2 if map_alpha else 0)
     chunk = _chunk_size(O, M, N, dtype.itemsize, extra, _VMEM_BUDGET)
     if chunk < 1:
         chunk = min(1, _chunk_size(O, M, N, dtype.itemsize, extra,
@@ -211,11 +219,21 @@ def _pallas_impl(f, a1, a0, state0=None, *, tau0, sigma0, maxiter, tol,
 
     batch_spec = pl.BlockSpec((chunk, M, N), lambda o: (o, 0, 0),
                               memory_space=pltpu.VMEM)
-    scalar_spec = pl.BlockSpec((1, 1), lambda o: (0, 0),
-                               memory_space=pltpu.SMEM)
-    in_specs = [batch_spec, scalar_spec, scalar_spec]
-    args = [pad(f), jnp.reshape(a1.astype(dtype), (1, 1)),
-            jnp.reshape(a0.astype(dtype), (1, 1))]
+    if map_alpha:
+        # weights broadcast over batch: one (M, N) plane, every grid step
+        # maps to the same block (scalar weights expand to maps so a mixed
+        # scalar/map pair needs no third kernel variant)
+        alpha_spec = pl.BlockSpec((1, M, N), lambda o: (0, 0, 0),
+                                  memory_space=pltpu.VMEM)
+        a1_arg = jnp.broadcast_to(a1.astype(dtype), (M, N))[None]
+        a0_arg = jnp.broadcast_to(a0.astype(dtype), (M, N))[None]
+    else:
+        alpha_spec = pl.BlockSpec((1, 1), lambda o: (0, 0),
+                                  memory_space=pltpu.SMEM)
+        a1_arg = jnp.reshape(a1.astype(dtype), (1, 1))
+        a0_arg = jnp.reshape(a0.astype(dtype), (1, 1))
+    in_specs = [batch_spec, alpha_spec, alpha_spec]
+    args = [pad(f), a1_arg, a0_arg]
     if warm:
         for plane in _state_planes(state0):
             args.append(pad(plane))
@@ -224,7 +242,8 @@ def _pallas_impl(f, a1, a0, state0=None, *, tau0, sigma0, maxiter, tol,
     n_out = 8 if return_state else 3
     kernel = _make_kernel(int(maxiter), float(tau0) / L, float(sigma0) / L,
                           None if tol is None else float(tol),
-                          int(check_every), warm, bool(return_state))
+                          int(check_every), warm, bool(return_state),
+                          map_alpha)
 
     flops_per_iter = 110 * M * N  # 5 stencil pairs + 2 projections, rough
     outs = pl.pallas_call(
@@ -268,7 +287,10 @@ def tgv_denoise_pdps_pallas(f, alpha1, alpha0, *, tau0=0.99, sigma0=0.99,
                             return_state: bool = False,
                             interpret: bool = False):
     """Drop-in fused-kernel replacement for
-    :func:`bpldenoising_tpu.solvers.tgv.tgv_denoise_pdps` (scalar α₁/α₀).
+    :func:`bpldenoising_tpu.solvers.tgv.tgv_denoise_pdps`; ``alpha1`` /
+    ``alpha0`` are scalars or (M, N) per-pixel weight maps (spatially
+    varying — e.g. upsampled patch grids; the maps ride VMEM as one
+    batch-shared plane each).
 
     Returns ``(u, w)``; with ``return_state``, ``(u, w, state)`` where
     ``state = (u, w, p, q)`` chains into a later call's ``state0``.
@@ -279,10 +301,13 @@ def tgv_denoise_pdps_pallas(f, alpha1, alpha0, *, tau0=0.99, sigma0=0.99,
         f = f[None]
         if state0 is not None:
             state0 = tuple(s[None] for s in state0)
-    if jnp.ndim(alpha1) or jnp.ndim(alpha0):
-        raise NotImplementedError(
-            "tgv_denoise_pdps_pallas supports scalar (alpha1, alpha0) only; "
-            "use the jnp path for map-valued weights")
+    for name, a in (("alpha1", alpha1), ("alpha0", alpha0)):
+        if jnp.ndim(a) not in (0, 2):
+            raise ValueError(f"{name} must be a scalar or an (M, N) map, "
+                             f"got shape {jnp.shape(a)}")
+        if jnp.ndim(a) == 2 and jnp.shape(a) != f.shape[-2:]:
+            raise ValueError(f"{name} map shape {jnp.shape(a)} != image "
+                             f"shape {f.shape[-2:]}")
     out = _pallas_impl(f, jnp.asarray(alpha1, f.dtype),
                        jnp.asarray(alpha0, f.dtype),
                        _state_to_tuple(state0), tau0=float(tau0),

@@ -133,8 +133,62 @@ def test_diff_layer_pallas_backend(rng):
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g0), rtol=1e-6)
 
 
-def test_rejects_map_alpha(rng):
+def test_map_alpha_constant_matches_scalar(rng):
+    """(M, N) maps filled with a constant must reproduce the scalar-weight
+    kernel exactly (same iteration, weights broadcast per pixel)."""
     f = stack(rng)
-    with pytest.raises(NotImplementedError):
-        tgv_denoise_pdps_pallas(f, jnp.ones((16, 16)), 0.2, maxiter=10,
+    u0, w0 = tgv_denoise_pdps_pallas(f, 0.1, 0.2, maxiter=MAXITER,
+                                     interpret=True)
+    u1, w1 = tgv_denoise_pdps_pallas(f, jnp.full((16, 16), 0.1),
+                                     jnp.full((16, 16), 0.2),
+                                     maxiter=MAXITER, interpret=True)
+    np.testing.assert_allclose(np.asarray(u1), np.asarray(u0), atol=1e-7)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w0), atol=1e-7)
+
+
+def test_map_alpha_matches_jnp_oracle(rng):
+    """Genuinely varying per-pixel weights vs the jnp map-α oracle —
+    including a mixed scalar/map pair (the scalar broadcasts in-kernel)."""
+    f = stack(rng, dtype=jnp.float64)
+    a1 = jnp.asarray(0.05 + 0.1 * rng.random((16, 16)))
+    a0 = jnp.asarray(0.05 + 0.2 * rng.random((16, 16)))
+    u0, w0 = tgv_denoise_pdps(f, a1, a0, maxiter=MAXITER)
+    u1, w1 = tgv_denoise_pdps_pallas(f, a1, a0, maxiter=MAXITER,
+                                     interpret=True)
+    np.testing.assert_allclose(np.asarray(u1), np.asarray(u0), atol=1e-13)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(w0), atol=1e-13)
+    u0m, _ = tgv_denoise_pdps(f, a1, 0.2, maxiter=MAXITER)
+    u1m, _ = tgv_denoise_pdps_pallas(f, a1, 0.2, maxiter=MAXITER,
+                                     interpret=True)
+    np.testing.assert_allclose(np.asarray(u1m), np.asarray(u0m),
+                               atol=1e-13)
+
+
+def test_map_alpha_warm_start_and_early_stop(rng):
+    f = stack(rng)
+    a1 = jnp.full((16, 16), 0.1)
+    a0 = jnp.asarray(0.1 + 0.2 * rng.random((16, 16)), jnp.float32)
+    u_full, _ = tgv_denoise_pdps_pallas(f, a1, a0, maxiter=MAXITER,
+                                        interpret=True)
+    _, _, state = tgv_denoise_pdps_pallas(f, a1, a0, maxiter=MAXITER // 2,
+                                          return_state=True, interpret=True)
+    u_res, _ = tgv_denoise_pdps_pallas(f, a1, a0, maxiter=MAXITER // 2,
+                                       state0=state, interpret=True)
+    np.testing.assert_allclose(np.asarray(u_res), np.asarray(u_full),
+                               atol=1e-6)
+    u_ref, _ = tgv_denoise_pdps_pallas(f, a1, a0, maxiter=4000,
+                                       interpret=True)
+    u_es, _ = tgv_denoise_pdps_pallas(f, a1, a0, maxiter=4000, tol=1e-4,
+                                      check_every=200, interpret=True)
+    np.testing.assert_allclose(np.asarray(u_es), np.asarray(u_ref),
+                               atol=5e-3)
+
+
+def test_rejects_bad_alpha_shape(rng):
+    f = stack(rng)
+    with pytest.raises(ValueError, match="map"):
+        tgv_denoise_pdps_pallas(f, jnp.ones((8, 8)), 0.2, maxiter=10,
+                                interpret=True)
+    with pytest.raises(ValueError, match="scalar or an"):
+        tgv_denoise_pdps_pallas(f, jnp.ones((3,)), 0.2, maxiter=10,
                                 interpret=True)
