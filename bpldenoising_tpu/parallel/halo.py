@@ -39,7 +39,8 @@ from ..ops.grad import (
 )
 
 __all__ = ["denoise_pdps_row_sharded", "denoise_pdps_batch_row_sharded",
-           "ROWS_AXIS"]
+           "tgv_denoise_pdps_row_sharded",
+           "tgv_denoise_pdps_batch_row_sharded", "ROWS_AXIS"]
 
 ROWS_AXIS = "rows"
 
@@ -246,6 +247,131 @@ def denoise_pdps_row_sharded(f, alphas, model: DenoiseModel, mesh: Mesh, *,
                    in_specs=(P(ROWS_AXIS, None),) + a_specs,
                    out_specs=P(ROWS_AXIS, None))
     return jax.jit(fn)(f, *alphas)
+
+
+def _local_tgv(maxiter: int, tau_v, sigma_v):
+    """Per-shard joint-primal TGV² CP body on a local (m, N) row block
+    (state planes u, w_r, w_c, p_r, p_c, q_rr, q_cc, q_rc — the plane
+    layout of the fused kernel, :mod:`..solvers.tgv_pallas`); stencils
+    along the global rows axis halo-exchange one boundary row, column
+    stencils are local.  Weights are scalars or (m, N) row blocks of the
+    (M, N) maps."""
+    import math
+    _SQRT2 = math.sqrt(2.0)
+
+    def local(f_blk, a1, a0):
+        dtype = f_blk.dtype
+        tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+        a1_sq = a1 * a1
+        a0_sq = a0 * a0
+        z = 0.0 * f_blk      # varying-type zeros (see _local_pdps)
+        carry0 = (f_blk, z, z, z, z, z, z, z)
+
+        def body(_, c):
+            u, wr, wc, pr, pc, qrr, qcc, qrc = c
+            div_p = _dplus_T_rows(pr) + dplus_T(pc, -1)
+            u_new = (u - tau_v * div_p + tau_v * f_blk) / (1.0 + tau_v)
+            er = _dminus_T_rows(qrr) + dminus_T(qrc, -1) / _SQRT2
+            ec = dminus_T(qcc, -1) + _dminus_T_rows(qrc) / _SQRT2
+            wr_new = wr + tau_v * (pr - er)
+            wc_new = wc + tau_v * (pc - ec)
+            ubar = 2.0 * u_new - u
+            wbr = 2.0 * wr_new - wr
+            wbc = 2.0 * wc_new - wc
+            pr_t = pr + sigma_v * (_dplus_rows(ubar) - wbr)
+            pc_t = pc + sigma_v * (dplus(ubar, -1) - wbc)
+            n2 = pr_t * pr_t + pc_t * pc_t
+            s = jnp.where(n2 <= a1_sq, 1.0, a1 * lax.rsqrt(n2 + tiny))
+            err = _dminus_rows(wbr)
+            ecc = dminus(wbc, -1)
+            erc = (dminus(wbr, -1) + _dminus_rows(wbc)) / _SQRT2
+            qrr_t = qrr + sigma_v * err
+            qcc_t = qcc + sigma_v * ecc
+            qrc_t = qrc + sigma_v * erc
+            n2q = qrr_t * qrr_t + qcc_t * qcc_t + qrc_t * qrc_t
+            sq = jnp.where(n2q <= a0_sq, 1.0, a0 * lax.rsqrt(n2q + tiny))
+            return (u_new, wr_new, wc_new, pr_t * s, pc_t * s,
+                    qrr_t * sq, qcc_t * sq, qrc_t * sq)
+
+        u, wr, wc, *_ = lax.fori_loop(0, maxiter, body, carry0)
+        return u, jnp.stack([wr, wc], axis=0)
+
+    return local
+
+
+def _tgv_step_sizes(f, tau0, sigma0):
+    from ..ops.tgv import TGV_OPNORM_SQ
+    L = jnp.sqrt(jnp.asarray(TGV_OPNORM_SQ, f.dtype))
+    return (jnp.asarray(tau0, f.dtype) / L,
+            jnp.asarray(sigma0, f.dtype) / L)
+
+
+def _tgv_alpha_spec(a):
+    return P(ROWS_AXIS, None) if a.ndim >= 2 else P()
+
+
+def tgv_denoise_pdps_row_sharded(f, alpha1, alpha0, mesh: Mesh, *,
+                                 tau0=0.99, sigma0=0.99, maxiter=5000):
+    """Joint-primal TGV² Chambolle–Pock on a single (M, N) image
+    row-sharded over ``mesh`` — the spatial-decomposition analogue of
+    :func:`..solvers.tgv.tgv_denoise_pdps` for images beyond one chip
+    (each iteration: 8 nearest-neighbor halo exchanges riding ICI —
+    ∇ᵀp, Eᵀq ×2, ∇ū, E w̄ ×3).  ``alpha1``/``alpha0`` are scalars or
+    (M, N) maps (sharded by rows).  M must divide by the mesh size.
+
+    Returns ``(u, w)`` like the single-chip solver."""
+    f = jnp.asarray(f)
+    if f.ndim != 2:
+        raise ValueError("row-sharded solver expects a single (M, N) image")
+    a1 = jnp.asarray(alpha1, f.dtype)
+    a0 = jnp.asarray(alpha0, f.dtype)
+    n_shards = mesh.shape[ROWS_AXIS]
+    if f.shape[0] % n_shards:
+        raise ValueError(
+            f"rows {f.shape[0]} not divisible by mesh size {n_shards}")
+    tau_v, sigma_v = _tgv_step_sizes(f, tau0, sigma0)
+    local = _local_tgv(int(maxiter), tau_v, sigma_v)
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(ROWS_AXIS, None), _tgv_alpha_spec(a1),
+                             _tgv_alpha_spec(a0)),
+                   out_specs=(P(ROWS_AXIS, None), P(None, ROWS_AXIS, None)))
+    return jax.jit(fn)(f, a1, a0)
+
+
+def tgv_denoise_pdps_batch_row_sharded(f, alpha1, alpha0, mesh: Mesh, *,
+                                       tau0=0.99, sigma0=0.99,
+                                       maxiter=5000):
+    """TGV² on an (O, M, N) stack over a 2-D (batch × rows) mesh — the
+    TGV analogue of :func:`denoise_pdps_batch_row_sharded` (data
+    parallelism composed with spatial decomposition; one batched
+    ``ppermute`` per stencil application carries every local image's
+    boundary row at once)."""
+    f = jnp.asarray(f)
+    if f.ndim != 3:
+        raise ValueError("expected an (O, M, N) stack")
+    a1 = jnp.asarray(alpha1, f.dtype)
+    a0 = jnp.asarray(alpha0, f.dtype)
+    from .mesh import BATCH_AXIS
+    n_batch = mesh.shape[BATCH_AXIS]
+    n_rows = mesh.shape[ROWS_AXIS]
+    if f.shape[0] % n_batch:
+        raise ValueError(
+            f"batch {f.shape[0]} not divisible by mesh axis {n_batch}")
+    if f.shape[1] % n_rows:
+        raise ValueError(
+            f"rows {f.shape[1]} not divisible by mesh axis {n_rows}")
+    tau_v, sigma_v = _tgv_step_sizes(f, tau0, sigma0)
+    local = _local_tgv(int(maxiter), tau_v, sigma_v)
+
+    def local_batched(f_blk, a1_blk, a0_blk):
+        return jax.vmap(lambda fi: local(fi, a1_blk, a0_blk))(f_blk)
+
+    fn = shard_map(local_batched, mesh=mesh,
+                   in_specs=(P(BATCH_AXIS, ROWS_AXIS, None),
+                             _tgv_alpha_spec(a1), _tgv_alpha_spec(a0)),
+                   out_specs=(P(BATCH_AXIS, ROWS_AXIS, None),
+                              P(BATCH_AXIS, None, ROWS_AXIS, None)))
+    return jax.jit(fn)(f, a1, a0)
 
 
 def denoise_pdps_batch_row_sharded(f, alphas, model: DenoiseModel,

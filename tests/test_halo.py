@@ -127,3 +127,49 @@ class TestBatchRowSharded:
         with pytest.raises(ValueError, match="rows 30"):
             denoise_pdps_batch_row_sharded(jnp.zeros((2, 30, 16)), (0.1,),
                                            tv_model(), mesh2d)
+
+
+# ---------------------------------------------------------------------------
+# TGV² family: row-sharded joint-primal CP (spatial decomposition for the
+# beyond-reference second-order model)
+# ---------------------------------------------------------------------------
+
+from bpldenoising_tpu.parallel.halo import (
+    tgv_denoise_pdps_batch_row_sharded, tgv_denoise_pdps_row_sharded)
+from bpldenoising_tpu.solvers.tgv import tgv_denoise_pdps
+
+
+class TestRowShardedTGV:
+    def test_scalar_matches(self, mesh, rng):
+        f = jnp.asarray(rng.standard_normal((32, 16)))
+        u_ref, w_ref = tgv_denoise_pdps(f, 0.1, 0.2, maxiter=600)
+        u, w = tgv_denoise_pdps_row_sharded(f, 0.1, 0.2, mesh, maxiter=600)
+        np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref),
+                                   atol=1e-10)
+        np.testing.assert_allclose(np.asarray(w), np.asarray(w_ref),
+                                   atol=1e-10)
+
+    def test_alpha_map_matches(self, mesh, rng):
+        f = jnp.asarray(rng.standard_normal((32, 16)))
+        a1 = jnp.asarray(rng.uniform(0.05, 0.2, (32, 16)))
+        a0 = jnp.asarray(rng.uniform(0.05, 0.3, (32, 16)))
+        u_ref, _ = tgv_denoise_pdps(f, a1, a0, maxiter=400)
+        u, _ = tgv_denoise_pdps_row_sharded(f, a1, a0, mesh, maxiter=400)
+        np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref),
+                                   atol=1e-10)
+
+    def test_indivisible_raises(self, mesh):
+        with pytest.raises(ValueError, match="rows 30"):
+            tgv_denoise_pdps_row_sharded(jnp.zeros((30, 16)), 0.1, 0.2,
+                                         mesh)
+
+    def test_batch_rows_matches(self, rng):
+        mesh2d = make_batch_rows_mesh(2, 4)
+        f = jnp.asarray(rng.standard_normal((4, 32, 16)))
+        u_ref, w_ref = tgv_denoise_pdps(f, 0.1, 0.2, maxiter=200)
+        u, w = tgv_denoise_pdps_batch_row_sharded(f, 0.1, 0.2, mesh2d,
+                                                  maxiter=200)
+        np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref),
+                                   atol=1e-10)
+        np.testing.assert_allclose(np.asarray(w), np.asarray(w_ref),
+                                   atol=1e-10)
