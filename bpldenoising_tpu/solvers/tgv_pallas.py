@@ -179,6 +179,218 @@ def _chunk_size(O: int, M: int, N: int, itemsize: int, extra_planes: int,
     return min(O, budget // (planes * M * N * itemsize))
 
 
+# ---------------------------------------------------------------------------
+# Spatially-tiled kernel: images whose 9-plane state exceeds VMEM
+# ---------------------------------------------------------------------------
+#
+# Same redundant-computation halo-chunk scheme as the TV kernel
+# (``pdps_pallas._tiled_impl``): run chunks of T joint-CP iterations per
+# kernel invocation on overlapping row tiles.  One TGV iteration's stencil
+# reach is 2 rows (∇ᵀp/Eᵀq into the primal update, then ∇ū/E w̄ into the
+# dual update), so a halo of H = 2T rows makes every tile-interior value
+# after T in-VMEM iterations EXACT; between chunks the 8 state planes
+# round-trip HBM once (~T× less HBM traffic than the jnp path).  Boundary
+# masks are evaluated at GLOBAL row coordinates, so halo/padding garbage
+# never crosses the true image boundary.
+
+# TGV carries ~19 blocks per grid step (f + 2 possible weight maps + 8 in
+# + 8 out) vs the TV K=1 kernel's 8 — the per-plane budget scales down
+# accordingly from the TV kernel's measured 960 KiB ceiling.
+_TGV_TILE_PLANE_BYTES = 384 * 1024
+
+
+def _tgv_tile_plan(M: int, N: int, itemsize: int, chunk_iters: int = 8):
+    """Pick (tile_rows, chunk_iters) for the tiled TGV kernel; None when
+    even a minimal tile cannot fit (route to the jnp/HBM path)."""
+    rows_max = _TGV_TILE_PLANE_BYTES // (N * itemsize)
+    for T in (chunk_iters, 6, 4):
+        H = 2 * T
+        tile = (rows_max - 2 * H) // 8 * 8
+        if tile >= max(2 * H, 32):
+            tile = min(tile, M)
+            n_tiles = -(-M // tile)
+            tile = min(tile, -(-(-(-M // n_tiles)) // 8) * 8)
+            return tile, T
+    return None
+
+
+def _make_tiled_kernel(T: int, tau_init: float, sigma_init: float,
+                       map_alpha: bool, n_rows_global: int, n_tiles: int,
+                       tile_rows: int, halo: int):
+    def tgv_tiled_kernel(*refs):
+        f_ref, a1_ref, a0_ref = refs[0], refs[1], refs[2]
+        state0_refs = refs[3:11]
+        out_refs = refs[11:]
+
+        f = f_ref[:]
+        dtype = f.dtype
+        if map_alpha:
+            a1 = a1_ref[:][0]
+            a0 = a0_ref[:][0]
+        else:
+            a1 = a1_ref[0, 0]
+            a0 = a0_ref[0, 0]
+        tau = jnp.asarray(tau_init, dtype)
+        sigma = jnp.asarray(sigma_init, dtype)
+
+        # tile's global row offset from the grid position (image-major:
+        # o = img·n_tiles + tile)
+        tile_idx = pl.program_id(0) % n_tiles
+        row_offset = tile_idx * tile_rows - halo
+        masks = make_masks(f.shape, row_offset=row_offset,
+                           n_rows_global=n_rows_global)
+        body = _tgv_body(f, a1, a0, masks)
+        step = functools.partial(body, tau, sigma)
+
+        carry = lax.fori_loop(0, T, lambda k, c: step(c),
+                              tuple(r[:] for r in state0_refs))
+        for r, plane in zip(out_refs, carry):
+            r[:] = plane
+
+    return schedule_salt(tgv_tiled_kernel, key="tgv_tiled")
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tau0", "sigma0", "maxiter", "tol", "check_every",
+                     "tile_rows", "chunk_iters", "return_state",
+                     "interpret"))
+def _tiled_impl(f, a1, a0, state0=None, *, tau0, sigma0, maxiter, tol,
+                check_every, tile_rows: int, chunk_iters: int,
+                return_state, interpret):
+    import numpy as np
+
+    O, M, N = f.shape
+    dtype = f.dtype
+    L = TGV_OPNORM_SQ ** 0.5
+    T = int(chunk_iters)
+    H = 2 * T
+    n_tiles = -(-M // tile_rows)
+    M_pad = n_tiles * tile_rows
+    rows = tile_rows + 2 * H
+    map_alpha = bool(jnp.ndim(a1) or jnp.ndim(a0))
+
+    def pad_rows(x):
+        return jnp.pad(x, ((0, 0), (H, M_pad - M + H), (0, 0)))
+
+    def to_tiles(x):
+        xp = pad_rows(x)
+        t = jnp.stack([lax.slice_in_dim(xp, i * tile_rows,
+                                        i * tile_rows + rows, axis=1)
+                       for i in range(n_tiles)], axis=1)
+        return t.reshape(x.shape[0] * n_tiles, rows, N)
+
+    def from_tiles(t, O_):
+        t = t.reshape(O_, n_tiles, rows, N)[:, :, H:H + tile_rows]
+        return t.reshape(O_, M_pad, N)[:, :M]
+
+    f_tiles = to_tiles(f)
+    tile_spec = pl.BlockSpec((1, rows, N), lambda o: (o, 0, 0),
+                             memory_space=pltpu.VMEM)
+    if map_alpha:
+        alpha_spec = pl.BlockSpec((1, rows, N), lambda o: (o % n_tiles, 0, 0),
+                                  memory_space=pltpu.VMEM)
+        a1_arg = to_tiles(jnp.broadcast_to(a1.astype(dtype), (M, N))[None])
+        a0_arg = to_tiles(jnp.broadcast_to(a0.astype(dtype), (M, N))[None])
+    else:
+        alpha_spec = pl.BlockSpec((1, 1), lambda o: (0, 0),
+                                  memory_space=pltpu.SMEM)
+        a1_arg = jnp.reshape(a1.astype(dtype), (1, 1))
+        a0_arg = jnp.reshape(a0.astype(dtype), (1, 1))
+    in_specs = [tile_spec, alpha_spec, alpha_spec] + [tile_spec] * 8
+    out_specs = [tile_spec] * 8
+    out_shape = [jax.ShapeDtypeStruct((O * n_tiles, rows, N), dtype)] * 8
+    grid = O * n_tiles
+
+    def halo_exchange(t):
+        """Refresh halos from neighbor interiors, in tiled space (see the
+        TV tiled kernel); boundary tiles receive wrapped garbage that the
+        global-coordinate masks keep dead."""
+        t4 = t.reshape(O, n_tiles, rows, N)
+        top = jnp.roll(t4, 1, axis=1)[:, :, tile_rows:tile_rows + H]
+        mid = t4[:, :, H:H + tile_rows]
+        bot = jnp.roll(t4, -1, axis=1)[:, :, H:2 * H]
+        return jnp.concatenate([top, mid, bot],
+                               axis=2).reshape(O * n_tiles, rows, N)
+
+    tau_v = float(tau0) / L
+    sigma_v = float(sigma0) / L
+
+    def run_chunk(kern, planes_t):
+        outs = pl.pallas_call(
+            kern, grid=grid, in_specs=in_specs, out_specs=out_specs,
+            out_shape=out_shape, interpret=bool(interpret),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT),
+        )(f_tiles, a1_arg, a0_arg, *planes_t)
+        return tuple(halo_exchange(o) for o in outs)
+
+    if state0 is not None:
+        planes = _state_planes(state0)
+    else:
+        z = jnp.zeros_like(f)
+        planes = (f,) + (z,) * 7
+    planes_t = tuple(to_tiles(p) for p in planes)
+
+    kernel = _make_tiled_kernel(T, tau_v, sigma_v, map_alpha, M, n_tiles,
+                                tile_rows, H)
+    n_full, tail = divmod(int(maxiter), T)
+
+    if tol is None:
+        planes_t = lax.fori_loop(
+            0, n_full, lambda r, pt: run_chunk(kernel, pt), planes_t)
+    else:
+        tol_ = jnp.asarray(tol, dtype)
+        n_rounds = -(-int(maxiter) // T)
+        q = max(1, round(check_every / T))
+        # count each valid image row exactly once (halo rows are duplicated
+        # and padded rows evolve nonzero through the boundary stencils)
+        ridx = np.arange(rows)
+        owned = (ridx >= H) & (ridx < H + tile_rows)
+        gl = (np.arange(n_tiles)[:, None] * tile_rows + (ridx - H)[None, :])
+        w_np = (owned[None, :] & (gl < M)).astype(np.float64)
+        w_valid = jnp.asarray(w_np[None, :, :, None], dtype)
+
+        def _masked_sum(t4):
+            return jnp.sum(w_valid * t4)
+
+        def cond(c):
+            _, _, r, delta = c
+            return jnp.logical_and(r < n_rounds, delta > tol_)
+
+        def round_body(c):
+            planes_t, u_snap, r, delta = c
+            planes_new = run_chunk(kernel, planes_t)
+            check = (r + 1) % q == 0
+            u4 = planes_new[0].reshape(O, n_tiles, rows, N)
+            s4 = u_snap.reshape(O, n_tiles, rows, N)
+            num = _masked_sum((u4 - s4) ** 2)
+            den = jnp.maximum(_masked_sum(u4 ** 2),
+                              jnp.asarray(1e-24, dtype))
+            delta = jnp.where(check, jnp.sqrt(num / den), delta)
+            u_snap = jnp.where(check, planes_new[0], u_snap)
+            return (planes_new, u_snap, r + 1, delta)
+
+        planes_t, _, _, _ = lax.while_loop(
+            cond, round_body,
+            (planes_t, planes_t[0], jnp.asarray(0, jnp.int32),
+             jnp.asarray(jnp.inf, dtype)))
+
+    if tail and tol is None:
+        tail_kernel = _make_tiled_kernel(tail, tau_v, sigma_v, map_alpha,
+                                         M, n_tiles, tile_rows, H)
+        planes_t = run_chunk(tail_kernel, planes_t)
+
+    out = tuple(from_tiles(p, O) for p in planes_t)
+    u = out[0]
+    w = jnp.stack(out[1:3], axis=-3)
+    if return_state:
+        state = (u, w, jnp.stack(out[3:5], axis=-3),
+                 jnp.stack(out[5:8], axis=-3))
+        return u, w, state
+    return u, w
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("maxiter", "tau0", "sigma0", "tol", "check_every",
@@ -198,8 +410,17 @@ def _pallas_impl(f, a1, a0, state0=None, *, tau0, sigma0, maxiter, tol,
         chunk = min(1, _chunk_size(O, M, N, dtype.itemsize, extra,
                                    _RESIDENT_BUDGET))
     if chunk < 1:
-        # beyond whole-image residency: HBM-resident jnp path (the TGV
-        # spatial-tiling analogue of the TV trapezoid kernel is future work)
+        # beyond whole-image residency: spatially-tiled halo-chunk kernel
+        # (HBM round trip every T iterations instead of every iteration)
+        plan = _tgv_tile_plan(M, N, dtype.itemsize)
+        if plan is not None:
+            return _tiled_impl(
+                f, a1, a0, _state_to_tuple(state0), tau0=tau0,
+                sigma0=sigma0, maxiter=maxiter, tol=tol,
+                check_every=check_every, tile_rows=plan[0],
+                chunk_iters=plan[1], return_state=return_state,
+                interpret=interpret)
+        # last resort: HBM-resident jnp path
         from .tgv import _tgv_impl
         out = _tgv_impl(f, a1, a0, _state_to_tuple(state0),
                         tau0=tau0, sigma0=sigma0, maxiter=maxiter, tol=tol,

@@ -101,10 +101,12 @@ def test_grid_chunking(rng, monkeypatch):
 
 
 def test_oversize_routes_to_jnp(rng, monkeypatch):
-    """Beyond both budgets the dispatcher falls back to the jnp path."""
+    """Beyond both batch budgets AND the tile plan the dispatcher falls
+    back to the jnp path."""
     f = stack(rng, O=2)
     monkeypatch.setattr(tp, "_VMEM_BUDGET", 1)
     monkeypatch.setattr(tp, "_RESIDENT_BUDGET", 1)
+    monkeypatch.setattr(tp, "_tgv_tile_plan", lambda *a, **k: None)
     tp._pallas_impl.clear_cache()
     u, w = tgv_denoise_pdps_pallas(f, 0.1, 0.2, maxiter=100)
     tp._pallas_impl.clear_cache()
@@ -182,6 +184,93 @@ def test_map_alpha_warm_start_and_early_stop(rng):
                                       check_every=200, interpret=True)
     np.testing.assert_allclose(np.asarray(u_es), np.asarray(u_ref),
                                atol=5e-3)
+
+
+# ---------------------------------------------------------------------------
+# Spatially-tiled TGV kernel (images beyond the whole-image VMEM budget)
+# ---------------------------------------------------------------------------
+
+from bpldenoising_tpu.solvers.tgv_pallas import _tgv_tile_plan, _tiled_impl
+
+
+def test_tiled_exact_vs_oracle(rng):
+    """The halo-chunk scheme (T-iteration chunks, halo H=2T) is EXACT for
+    the joint-primal TGV iteration (stencil reach 2 rows/iteration)."""
+    f = jnp.asarray(rng.standard_normal((2, 40, 16)), jnp.float64)
+    u_ref, w_ref = tgv_denoise_pdps(f, 0.1, 0.2, maxiter=100)
+    u_t, w_t = _tiled_impl(f, jnp.asarray(0.1), jnp.asarray(0.2),
+                           tau0=0.99, sigma0=0.99, maxiter=100, tol=None,
+                           check_every=500, tile_rows=16, chunk_iters=3,
+                           return_state=False, interpret=True)
+    np.testing.assert_allclose(np.asarray(u_t), np.asarray(u_ref),
+                               atol=1e-13)
+    np.testing.assert_allclose(np.asarray(w_t), np.asarray(w_ref),
+                               atol=1e-13)
+
+
+def test_tiled_map_alpha_and_state(rng):
+    f = jnp.asarray(rng.standard_normal((1, 40, 16)), jnp.float64)
+    a1 = jnp.asarray(rng.uniform(0.05, 0.2, (40, 16)))
+    a0 = jnp.asarray(rng.uniform(0.05, 0.3, (40, 16)))
+    u_ref, w_ref, st_ref, _ = tgv_denoise_pdps(f, a1, a0, maxiter=60,
+                                               return_state=True)
+    u_t, w_t, st = _tiled_impl(f, a1, a0, tau0=0.99, sigma0=0.99,
+                               maxiter=60, tol=None, check_every=500,
+                               tile_rows=16, chunk_iters=4,
+                               return_state=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(u_t), np.asarray(u_ref),
+                               atol=1e-13)
+    for a, b in zip(st, st_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-13)
+
+
+def test_tiled_warm_start_and_tol(rng):
+    f = jnp.asarray(rng.standard_normal((1, 40, 16)), jnp.float64)
+    _, _, st1, _ = tgv_denoise_pdps(f, 0.1, 0.2, maxiter=80,
+                                    return_state=True)
+    u_t, _ = _tiled_impl(f, jnp.asarray(0.12), jnp.asarray(0.2),
+                         tuple(st1), tau0=0.99, sigma0=0.99, maxiter=40,
+                         tol=None, check_every=500, tile_rows=16,
+                         chunk_iters=4, return_state=False, interpret=True)
+    u_ref, _ = tgv_denoise_pdps(f, 0.12, 0.2, maxiter=40, state0=st1)
+    np.testing.assert_allclose(np.asarray(u_t), np.asarray(u_ref),
+                               atol=1e-13)
+
+    u_star, _ = tgv_denoise_pdps(f, 0.1, 0.2, maxiter=20000)
+    u_tol, _ = _tiled_impl(f, jnp.asarray(0.1), jnp.asarray(0.2),
+                           tau0=0.99, sigma0=0.99, maxiter=20000, tol=1e-9,
+                           check_every=100, tile_rows=16, chunk_iters=10,
+                           return_state=False, interpret=True)
+    np.testing.assert_allclose(np.asarray(u_tol), np.asarray(u_star),
+                               atol=1e-5)
+
+
+def test_auto_routing_to_tiled(rng, monkeypatch):
+    """Oversized images route to the tiled TGV kernel before the jnp
+    fallback."""
+    calls = {}
+    orig = tp._tiled_impl
+
+    def spy(*a, **k):
+        calls["tiled"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(tp, "_tiled_impl", spy)
+    monkeypatch.setattr(tp, "_chunk_size", lambda *a, **k: 0)
+    monkeypatch.setattr(tp, "_tgv_tile_plan", lambda *a, **k: (16, 3))
+    f = stack(rng, O=1)
+    u, _ = tgv_denoise_pdps_pallas(f, 0.1, 0.2, maxiter=30, interpret=True)
+    u_ref, _ = tgv_denoise_pdps(f, 0.1, 0.2, maxiter=30)
+    assert calls.get("tiled")
+    np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref), atol=5e-6)
+
+
+def test_tgv_tile_plan_properties():
+    plan = _tgv_tile_plan(1024, 1024, 4)
+    assert plan is not None
+    tile, T = plan
+    assert tile % 8 == 0 and tile >= 2 * (2 * T)
+    assert _tgv_tile_plan(4096, 65536, 8) is None  # absurd width: no plan
 
 
 def test_rejects_bad_alpha_shape(rng):
