@@ -1,0 +1,228 @@
+"""Single-loop first-order TGV² bilevel learning — entirely on device.
+
+The TGV analogue of :mod:`.first_order` (same single-loop idea, cf.
+Suonperä & Valkonen, arXiv:2408.08123): instead of solving the joint-primal
+Chambolle–Pock problem to convergence per outer evaluation (the
+trust-region paths), the inner (u, w, p, q) state, the adjoint multiplier
+λ and the weights are advanced *together*:
+
+    per outer step:
+      1. ``n_inner`` joint-CP iterations at the current (α₁, α₀)
+         (warm-started state, :func:`..solvers.tgv._step`);
+      2. ``n_adj`` Jacobi-CG iterations on the γ-Huber smoothed joint
+         system at the current iterate (warm-started λ; PER-IMAGE inner
+         products, so the trajectory is independent of batch grouping and
+         data-parallel shards reproduce the joint run exactly);
+      3. an Adam step on log(α₁, α₀) (positivity by construction) using
+         the approximate hypergradient
+         g₁ = −⟨ψ_γ(∇u−w), ∇λᵤ−λ_w⟩, g₀ = −⟨ψ_γ(Ew), Eλ_w⟩.
+
+The whole loop is one ``lax.scan`` under one ``jit`` — no host round trips
+until the final result.  Supports the 2-vector and (m, n, 2) patch-grid
+parameterizations and a 1-D batch mesh (shard_map; the only collectives
+are the per-step psum of the two gradient reductions and the cost).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops import PatchOp, scalarprod
+from ..ops.grad import FwdGradientOp
+from ..ops.tgv import TGV_OPNORM_SQ, sym_grad
+from ..solvers.tgv import _build_joint_system, _step
+from .first_order import SingleLoopResult, _check_positive_x0
+
+__all__ = ["single_loop_tgv_learn"]
+
+_GRAD = FwdGradientOp()
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("outer", "n_inner", "n_adj", "pop", "param_shape",
+                     "axis_name", "optimizer"))
+def _single_loop_tgv_impl(utrue, f, x0, *, outer: int, n_inner: int,
+                          n_adj: int, pop: Optional[PatchOp],
+                          param_shape: tuple, lr, gamma, tau0, sigma0,
+                          beta1, beta2, eps,
+                          axis_name: Optional[str] = None, optimizer=None):
+    dtype = f.dtype
+    L = jnp.sqrt(jnp.asarray(TGV_OPNORM_SQ, dtype))
+    tau = jnp.asarray(tau0, dtype) / L
+    sigma = jnp.asarray(sigma0, dtype) / L
+    gamma = jnp.asarray(gamma, dtype)
+
+    def alphas_of(x):
+        if pop is None:
+            return x[0], x[1]
+        return pop.apply(x[..., 0]), pop.apply(x[..., 1])
+
+    def pullback(g1, g0):
+        """Per-pixel sensitivity maps (summed over the local batch) →
+        parameter shape; psum over the mesh first so every device sees the
+        replicated gradient."""
+        if axis_name is not None:
+            g1 = lax.psum(g1, axis_name)
+            g0 = lax.psum(g0, axis_name)
+        if pop is None:
+            return jnp.stack([jnp.sum(g1), jnp.sum(g0)])
+        return jnp.stack([pop.apply_adjoint(jnp.sum(g1, axis=0)),
+                          pop.apply_adjoint(jnp.sum(g0, axis=0))], axis=-1)
+
+    def _vdot(a, b):
+        # per-image dots (batched CG): each image's adjoint iteration is
+        # independent of batch grouping, so mesh runs match joint runs
+        return jnp.sum(a * b, axis=(-3, -2, -1))
+
+    def _bc(s):
+        return s[..., None, None, None]
+
+    def cg_steps(H, diag, b, lam):
+        r = b - H(lam)
+        z = r / diag
+        d = z
+        rz = _vdot(r, z)
+
+        def body(_, carry):
+            lam, r, z, d, rz = carry
+            Hd = H(d)
+            denom = _vdot(d, Hd)
+            a = rz / jnp.where(denom == 0, 1.0, denom)
+            lam = lam + _bc(a) * d
+            r = r - _bc(a) * Hd
+            z = r / diag
+            rz_new = _vdot(r, z)
+            beta = rz_new / jnp.where(rz == 0, 1.0, rz)
+            d = z + _bc(beta) * d
+            return (lam, r, z, d, rz_new)
+
+        lam, _, _, _, _ = lax.fori_loop(0, n_adj, body, (lam, r, z, d, rz))
+        return lam
+
+    def outer_step(carry, _):
+        state, lam, z, opt_state, t = carry
+        x = jnp.exp(z)
+        a1, a0 = alphas_of(x)
+        step = functools.partial(_step, f, a1, a0, tau, sigma)
+        state = lax.fori_loop(0, n_inner, lambda k, s: step(s), state)
+        u, w = state[0], state[1]
+        H, diag, psi_y, psi_z = _build_joint_system(u, w, a1, a0, gamma)
+        rhs = jnp.concatenate([(utrue - u)[..., None, :, :],
+                               jnp.zeros_like(w)], axis=-3)
+        lam = cg_steps(H, diag, rhs, lam)
+        lu = lam[..., 0, :, :]
+        lw = lam[..., 1:3, :, :]
+        # λ solves H λ = ū − u (NOT u − ū like the exact-solve learning
+        # function), so the chain-rule minus signs cancel: g = +⟨ψ, ·⟩
+        g1 = scalarprod(psi_y, _GRAD.apply(lu) - lw)
+        g0 = scalarprod(psi_z, sym_grad(lw))
+        g_x = pullback(g1, g0)
+        g_z = g_x * x                    # chain rule through x = exp(z)
+        t = t + 1
+        if optimizer is not None:
+            updates, opt_state = optimizer.update(g_z, opt_state, z)
+            z_new = z + updates
+        else:
+            m, v = opt_state
+            m = beta1 * m + (1 - beta1) * g_z
+            v = beta2 * v + (1 - beta2) * g_z ** 2
+            mhat = m / (1 - beta1 ** t)
+            vhat = v / (1 - beta2 ** t)
+            z_new = z - lr * mhat / (jnp.sqrt(vhat) + eps)
+            opt_state = (m, v)
+        cost = 0.5 * jnp.sum((u - utrue) ** 2)
+        if axis_name is not None:
+            cost = lax.psum(cost, axis_name)
+        return (state, lam, z_new, opt_state, t), (x, cost)
+
+    # cold start (0·f keeps the mesh-varying type, as in solvers.tgv)
+    zf = 0.0 * f[..., None, :, :]
+    vec = jnp.zeros(f.shape[:-2] + (2,) + f.shape[-2:], dtype) + zf
+    ten = jnp.zeros(f.shape[:-2] + (3,) + f.shape[-2:], dtype) + zf
+    state0 = (f, vec, vec, ten)
+    lam0 = jnp.zeros(f.shape[:-2] + (3,) + f.shape[-2:], dtype) + zf
+    z0 = jnp.log(jnp.asarray(x0, dtype))
+    if optimizer is not None:
+        opt_state0 = optimizer.init(z0)
+    else:
+        opt_state0 = (jnp.zeros(param_shape, dtype),
+                      jnp.zeros(param_shape, dtype))
+    carry0 = (state0, lam0, z0, opt_state0, jnp.zeros((), dtype))
+
+    carry, (alphas_traj, costs) = lax.scan(outer_step, carry0, None,
+                                           length=outer)
+    state, _, z, _, _ = carry
+    u = state[0]
+    final_cost = 0.5 * jnp.sum((u - utrue) ** 2)
+    if axis_name is not None:
+        final_cost = lax.psum(final_cost, axis_name)
+    return SingleLoopResult(alpha=jnp.exp(z), u=u, cost=final_cost,
+                            alpha_trajectory=alphas_traj,
+                            cost_trajectory=costs)
+
+
+def single_loop_tgv_learn(utrue, f, x0, *, outer: int = 300,
+                          n_inner: int = 40, n_adj: int = 10,
+                          lr: float = 0.05, gamma: float = 1e-4,
+                          tau0: float = 0.99, sigma0: float = 0.99,
+                          beta1: float = 0.9, beta2: float = 0.999,
+                          eps: float = 1e-8, mesh=None,
+                          optimizer=None) -> SingleLoopResult:
+    """Single-loop TGV² bilevel learning.
+
+    ``x0``: strictly positive ``[α₁, α₀]`` 2-vector or (m, n, 2) patch
+    stack (the parameter lives in log space).  ``optimizer``: optional
+    optax transformation on log α (same caveats as
+    :func:`.first_order.single_loop_learn`).  ``mesh``: optional 1-D batch
+    mesh; zero-padded images contribute exactly nothing (their solve of
+    f = 0 is 0 = ū, so λ and both gradient maps vanish).
+    """
+    utrue = jnp.asarray(utrue)
+    f = jnp.asarray(f, utrue.dtype)
+    squeeze = f.ndim == 2
+    if squeeze:
+        utrue, f = utrue[None], f[None]
+    x0 = jnp.asarray(x0, utrue.dtype)
+    _check_positive_x0(x0)
+    if x0.shape == (2,):
+        pop = None
+    elif x0.ndim == 3 and x0.shape[-1] == 2:
+        pop = PatchOp(tuple(x0.shape[:2]), tuple(f.shape[-2:]))
+    else:
+        raise ValueError(f"TGV parameter must be a length-2 vector "
+                         f"[alpha1, alpha0] or an (m, n, 2) patch stack, "
+                         f"got shape {x0.shape}")
+    kw = dict(outer=int(outer), n_inner=int(n_inner), n_adj=int(n_adj),
+              pop=pop, param_shape=tuple(x0.shape), lr=lr, gamma=gamma,
+              tau0=tau0, sigma0=sigma0, beta1=beta1, beta2=beta2, eps=eps,
+              optimizer=optimizer)
+    if mesh is not None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from ..parallel.mesh import BATCH_AXIS, pad_batch
+
+        O = utrue.shape[0]
+        n_shards = mesh.shape[BATCH_AXIS]
+        utrue_p, _ = pad_batch(utrue, n_shards)
+        f_p, _ = pad_batch(f, n_shards)
+        b, r = P(BATCH_AXIS), P()
+        out_specs = SingleLoopResult(alpha=r, u=b, cost=r,
+                                     alpha_trajectory=r, cost_trajectory=r)
+        fn = shard_map(
+            lambda ut, ff: _single_loop_tgv_impl(
+                ut, ff, x0, axis_name=BATCH_AXIS, **kw),
+            mesh=mesh, in_specs=(b, b), out_specs=out_specs)
+        res = jax.jit(fn)(utrue_p, f_p)
+        res = res._replace(u=res.u[:O])
+    else:
+        res = _single_loop_tgv_impl(utrue, f, x0, **kw)
+    if squeeze:
+        res = res._replace(u=res.u[0])
+    return res

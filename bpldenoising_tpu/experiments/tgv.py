@@ -65,6 +65,43 @@ def TGVDenoise(data, parameter, maxiter: int = 10000,
     return u
 
 
+def _run_tgv_single_loop(params, stretch_all=True):
+    """Single-loop first-order TGV path behind the same experiment surface
+    (``method='single_loop'``; artifacts match the TR paths')."""
+    from ..bilevel.first_order_tgv import single_loop_tgv_learn
+    from ..bilevel.harness import BilevelState
+    from ..bilevel.trust_region import BilevelResult
+    from ..viz.log import BilevelLogEntry
+    from .api import (_load, _reject_flags, _stretched_inputs,
+                      linear_stretch, save_results)
+
+    _reject_flags(params, "single_loop",
+                  ("checkpoint", "resume", "save_iterations", "inner_tol"))
+    mesh = None
+    if params.get("data_parallel"):
+        from ..parallel import make_batch_mesh
+        mesh = make_batch_mesh()
+    ds = _load(params)
+    res = single_loop_tgv_learn(
+        ds[0], ds[1], np.asarray(params.alpha0),
+        outer=int(params.sl_outer), n_inner=int(params.sl_inner),
+        n_adj=int(params.sl_adj), lr=float(params.sl_lr),
+        gamma=(1e-4 if params.get("tgv_gamma") is None
+               else float(params.tgv_gamma)), mesh=mesh)
+    st = BilevelState()
+    costs = np.asarray(res.cost_trajectory)
+    for i, c in enumerate(costs):
+        if (i + 1) % max(1, len(costs) // 20) == 0:
+            st.log.append(BilevelLogEntry(i + 1, 0.0, float(c), 0.0, 0.0,
+                                          0.0))
+    out = BilevelResult(x=np.asarray(res.alpha), u=np.asarray(res.u),
+                        state=st, cost=float(res.cost), g_norm=float("nan"),
+                        iterations=int(params.sl_outer))
+    b, b_noisy = _stretched_inputs(ds, stretch_all)
+    save_results(params, b, b_noisy, out.x, linear_stretch(out.u), st)
+    return out
+
+
 def _run_tgv_fused(params, stretch_all=True):
     """Fused on-device TGV trust-region path (``method='tr_fused'``):
     identical TR semantics to the host loop but the whole outer loop is one
@@ -112,8 +149,7 @@ def scalar_bilevel_tgv_learn(visualise: bool = False, **kwargs):
     params = params | dict(save_prefix="tgv_optimal_parameter_"
                            + params.dataset_name)
     if params.get("method") == "single_loop":
-        raise ValueError("method='single_loop' is not available for the "
-                         "TGV family; use 'tr' or 'tr_fused'")
+        return _run_tgv_single_loop(params, stretch_all=True)
     if params.get("method") == "tr_fused":
         return _run_tgv_fused(params, stretch_all=True)
     lf_kwargs = dict(
@@ -138,8 +174,7 @@ def patch_bilevel_tgv_learn(visualise: bool = False, **kwargs):
         save_prefix=f"tgv_optimal_parameter_patch_{shape}_"
         + params.dataset_name)
     if params.get("method") == "single_loop":
-        raise ValueError("method='single_loop' is not available for the "
-                         "TGV family; use 'tr' or 'tr_fused'")
+        return _run_tgv_single_loop(params, stretch_all=True)
     if params.get("method") == "tr_fused":
         return _run_tgv_fused(params, stretch_all=True)
     lf_kwargs = dict(

@@ -220,10 +220,12 @@ class TestTGVExperiments:
         assert any(f.endswith("_quality.txt") for f in files)
         assert any("reco" in f for f in files)
 
-    def test_tgv_rejects_single_loop(self):
+    def test_tgv_single_loop_front_end(self):
         from bpldenoising_tpu.experiments import scalar_bilevel_tgv_learn
-        with pytest.raises(ValueError):
-            scalar_bilevel_tgv_learn(method="single_loop", **self.FAST)
+        res = scalar_bilevel_tgv_learn(method="single_loop", sl_outer=20,
+                                       sl_inner=20, sl_adj=5, **self.FAST)
+        assert res.x.shape == (2,)
+        assert np.all(np.asarray(res.x) > 0)
 
     def test_validate_tgv(self):
         from bpldenoising_tpu.experiments import validate_tgv_parameter
