@@ -35,12 +35,26 @@ from jax import lax
 from ..ops import PatchOp, scalarprod
 from ..ops.grad import FwdGradientOp
 from ..ops.tgv import TGV_OPNORM_SQ, sym_grad
+from ..solvers.krylov import cg_batched
 from ..solvers.tgv import _build_joint_system, _step
 from .first_order import SingleLoopResult, _check_positive_x0
 
-__all__ = ["single_loop_tgv_learn"]
+__all__ = ["single_loop_tgv_learn", "tgv_param_layout"]
 
 _GRAD = FwdGradientOp()
+
+
+def tgv_param_layout(x0, image_shape) -> Optional[PatchOp]:
+    """(2,) weight vector → None; (m, n, 2) patch stack → its PatchOp.
+    Shared by every TGV entry point so the parameterization rule cannot
+    drift between them."""
+    if x0.shape == (2,):
+        return None
+    if x0.ndim == 3 and x0.shape[-1] == 2:
+        return PatchOp(tuple(x0.shape[:2]), tuple(image_shape))
+    raise ValueError(f"TGV parameter must be a length-2 vector "
+                     f"[alpha1, alpha0] or an (m, n, 2) patch stack, "
+                     f"got shape {x0.shape}")
 
 
 @functools.partial(
@@ -75,34 +89,12 @@ def _single_loop_tgv_impl(utrue, f, x0, *, outer: int, n_inner: int,
         return jnp.stack([pop.apply_adjoint(jnp.sum(g1, axis=0)),
                           pop.apply_adjoint(jnp.sum(g0, axis=0))], axis=-1)
 
-    def _vdot(a, b):
-        # per-image dots (batched CG): each image's adjoint iteration is
-        # independent of batch grouping, so mesh runs match joint runs
-        return jnp.sum(a * b, axis=(-3, -2, -1))
-
-    def _bc(s):
-        return s[..., None, None, None]
-
     def cg_steps(H, diag, b, lam):
-        r = b - H(lam)
-        z = r / diag
-        d = z
-        rz = _vdot(r, z)
-
-        def body(_, carry):
-            lam, r, z, d, rz = carry
-            Hd = H(d)
-            denom = _vdot(d, Hd)
-            a = rz / jnp.where(denom == 0, 1.0, denom)
-            lam = lam + _bc(a) * d
-            r = r - _bc(a) * Hd
-            z = r / diag
-            rz_new = _vdot(r, z)
-            beta = rz_new / jnp.where(rz == 0, 1.0, rz)
-            d = z + _bc(beta) * d
-            return (lam, r, z, d, rz_new)
-
-        lam, _, _, _, _ = lax.fori_loop(0, n_adj, body, (lam, r, z, d, rz))
+        # fixed n_adj Jacobi-CG steps with PER-IMAGE inner products
+        # (cg_batched, tol=0): each image's adjoint iteration is
+        # independent of batch grouping, so mesh runs match joint runs
+        lam, _ = cg_batched(H, b, x0=lam, tol=0.0, maxiter=n_adj,
+                            M=lambda r: r / diag, item_ndim=3)
         return lam
 
     def outer_step(carry, _):
@@ -190,14 +182,7 @@ def single_loop_tgv_learn(utrue, f, x0, *, outer: int = 300,
         utrue, f = utrue[None], f[None]
     x0 = jnp.asarray(x0, utrue.dtype)
     _check_positive_x0(x0)
-    if x0.shape == (2,):
-        pop = None
-    elif x0.ndim == 3 and x0.shape[-1] == 2:
-        pop = PatchOp(tuple(x0.shape[:2]), tuple(f.shape[-2:]))
-    else:
-        raise ValueError(f"TGV parameter must be a length-2 vector "
-                         f"[alpha1, alpha0] or an (m, n, 2) patch stack, "
-                         f"got shape {x0.shape}")
+    pop = tgv_param_layout(x0, f.shape[-2:])
     kw = dict(outer=int(outer), n_inner=int(n_inner), n_adj=int(n_adj),
               pop=pop, param_shape=tuple(x0.shape), lr=lr, gamma=gamma,
               tau0=tau0, sigma0=sigma0, beta1=beta1, beta2=beta2, eps=eps,

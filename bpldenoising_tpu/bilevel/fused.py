@@ -53,7 +53,7 @@ from jax import lax
 from ..models import DenoiseModel, tv_model
 from ..ops import PatchOp
 from .first_order import _check_positive_x0, _param_layout
-from .tr_core import make_tr_machinery, run_segmented
+from .tr_core import make_tr_machinery, run_segmented, splice_dense_B
 from ..solvers.hypergrad import HypergradConfig, exact_hypergrad, reg_hypergrad
 from ..solvers.hypergrad_pallas import (exact_hypergrad_pallas,
                                         hypergrad_vmem_planes,
@@ -247,12 +247,7 @@ def _run_segmented(utrue, f, x0, kw, *, log_every: int,
     """Host driver for chunked dispatch: one device program per ``log_every``
     outer iterations, wall-clock recorded at every hop."""
     def post_init(carry):
-        if init_B is None:
-            return carry
-        B = jnp.asarray(init_B, f.dtype)
-        if B.shape == carry[2].shape:   # dense model only
-            return carry[:2] + (B,) + carry[3:]
-        return carry
+        return splice_dense_B(carry, init_B, f.dtype)
 
     carry, times = run_segmented(
         lambda: _fused_init_impl(utrue, f, x0, **kw),

@@ -40,10 +40,10 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from ..ops import PatchOp
 from .first_order import _check_positive_x0
+from .first_order_tgv import tgv_param_layout
 from .fused import FusedResult
-from .tr_core import make_tr_machinery, run_segmented
+from .tr_core import make_tr_machinery, run_segmented, splice_dense_B
 from ..solvers.tgv import _tgv_impl, tgv_implicit_cotangents
 
 __all__ = ["bilevel_learn_tgv_fused"]
@@ -195,14 +195,7 @@ def bilevel_learn_tgv_fused(ds, *, xinit, params,
     if f.ndim == 2:
         utrue, f = utrue[None], f[None]
     x0 = jnp.asarray(xinit, f.dtype)
-    if x0.shape == (2,):
-        pop = None
-    elif x0.ndim == 3 and x0.shape[-1] == 2:
-        pop = PatchOp(tuple(x0.shape[:2]), tuple(f.shape[-2:]))
-    else:
-        raise ValueError(f"TGV parameter must be a length-2 vector "
-                         f"[alpha1, alpha0] or an (m, n, 2) patch stack, "
-                         f"got shape {x0.shape}")
+    pop = tgv_param_layout(x0, f.shape[-2:])
     _check_positive_x0(x0)
     kw = dict(
         pop=pop, param_shape=tuple(x0.shape),
@@ -222,12 +215,7 @@ def bilevel_learn_tgv_fused(ds, *, xinit, params,
                              "compose with mesh= data parallelism; drive "
                              "segments from the host or drop log_every")
         def post_init(carry):
-            if init_B is None:
-                return carry
-            B = jnp.asarray(init_B, f.dtype)
-            if B.shape == carry[2].shape:   # dense model only
-                return carry[:2] + (B,) + carry[3:]
-            return carry
+            return splice_dense_B(carry, init_B, f.dtype)
 
         carry, times = run_segmented(
             lambda: _init_impl(utrue, f, x0, **kw),

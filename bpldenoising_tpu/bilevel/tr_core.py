@@ -37,7 +37,7 @@ from jax import lax
 from ..solvers.lbfgs import (lbfgs_apply, lbfgs_init, lbfgs_solve,
                              lbfgs_update)
 
-__all__ = ["make_tr_machinery", "run_segmented"]
+__all__ = ["make_tr_machinery", "run_segmented", "splice_dense_B"]
 
 # carry layout (documented for segment callbacks):
 #   (it, x_flat, Bst, delta, fx, gx, u, state, log)
@@ -185,6 +185,20 @@ def make_tr_machinery(eval_lf: Callable, *, n: int, dtype, maxiter: int,
         return (it + 1, x, Bst, delta_new, fx, gx, u, state_new, log)
 
     return init_carry, cond, body
+
+
+def splice_dense_B(carry, init_B, dtype):
+    """Restore a checkpointed dense BFGS matrix into a fresh carry
+    (checkpoint resume; shared by every family's segmented driver).
+    No-op when the run uses the L-BFGS model (the checkpoint's dense B
+    does not apply) or the shapes disagree."""
+    if init_B is None:
+        return carry
+    B = jnp.asarray(init_B, dtype)
+    cur = carry[BST]
+    if isinstance(cur, jnp.ndarray) and B.shape == cur.shape:
+        return carry[:BST] + (B,) + carry[BST + 1:]
+    return carry
 
 
 def run_segmented(init_carry_fn: Callable, segment_fn: Callable, *,

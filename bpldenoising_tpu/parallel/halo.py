@@ -315,8 +315,9 @@ def tgv_denoise_pdps_row_sharded(f, alpha1, alpha0, mesh: Mesh, *,
     """Joint-primal TGV² Chambolle–Pock on a single (M, N) image
     row-sharded over ``mesh`` — the spatial-decomposition analogue of
     :func:`..solvers.tgv.tgv_denoise_pdps` for images beyond one chip
-    (each iteration: 8 nearest-neighbor halo exchanges riding ICI —
-    ∇ᵀp, Eᵀq ×2, ∇ū, E w̄ ×3).  ``alpha1``/``alpha0`` are scalars or
+    (each iteration: 6 nearest-neighbor halo exchanges riding ICI — ∇ᵀp,
+    Eᵀq ×2, ∇ū, E w̄ ×2; the E_cc plane is column-local).
+    ``alpha1``/``alpha0`` are scalars or
     (M, N) maps (sharded by rows).  M must divide by the mesh size.
 
     Returns ``(u, w)`` like the single-chip solver."""

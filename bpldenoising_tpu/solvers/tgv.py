@@ -277,10 +277,16 @@ def make_diff_tgv_denoise(maxiter: int = 5000, gamma: float = 1e-4,
         from .tgv_pallas import tgv_denoise_pdps_pallas
 
         def _fsolve(f, alphas):
-            return tgv_denoise_pdps_pallas(
-                f, alphas[0], alphas[1], tau0=tau0, sigma0=sigma0,
-                maxiter=maxiter, tol=tol, check_every=check_every,
-                interpret=interpret)
+            if all(jnp.ndim(a) in (0, 2) for a in alphas):
+                return tgv_denoise_pdps_pallas(
+                    f, alphas[0], alphas[1], tau0=tau0, sigma0=sigma0,
+                    maxiter=maxiter, tol=tol, check_every=check_every,
+                    interpret=interpret)
+            # kernel takes scalars / (M, N) maps; other broadcastable
+            # weight shapes (e.g. per-image stacks) keep the jnp path
+            return tgv_denoise_pdps(f, alphas[0], alphas[1], tau0=tau0,
+                                    sigma0=sigma0, maxiter=maxiter, tol=tol,
+                                    check_every=check_every)
     else:
         def _fsolve(f, alphas):
             return tgv_denoise_pdps(f, alphas[0], alphas[1], tau0=tau0,

@@ -316,14 +316,19 @@ def _tiled_impl(f, a1, a0, state0=None, *, tau0, sigma0, maxiter, tol,
     tau_v = float(tau0) / L
     sigma_v = float(sigma0) / L
 
-    def run_chunk(kern, planes_t):
-        outs = pl.pallas_call(
+    def run_chunk_raw(kern, planes_t):
+        """One T-iteration chunk; interiors of the outputs are exact, the
+        halos are stale until the next :func:`halo_exchange`."""
+        return pl.pallas_call(
             kern, grid=grid, in_specs=in_specs, out_specs=out_specs,
             out_shape=out_shape, interpret=bool(interpret),
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=_VMEM_LIMIT),
         )(f_tiles, a1_arg, a0_arg, *planes_t)
-        return tuple(halo_exchange(o) for o in outs)
+
+    def run_chunk(kern, planes_t):
+        return tuple(halo_exchange(o) for o in run_chunk_raw(kern,
+                                                             planes_t))
 
     if state0 is not None:
         planes = _state_planes(state0)
@@ -337,10 +342,23 @@ def _tiled_impl(f, a1, a0, state0=None, *, tau0, sigma0, maxiter, tol,
     n_full, tail = divmod(int(maxiter), T)
 
     if tol is None:
-        planes_t = lax.fori_loop(
-            0, n_full, lambda r, pt: run_chunk(kernel, pt), planes_t)
+        # the FINAL chunk's outputs skip the halo exchange — from_tiles
+        # keeps only the (exact) interiors, so refreshing halos that are
+        # about to be discarded is pure wasted HBM traffic
+        if tail:
+            planes_t = lax.fori_loop(
+                0, n_full, lambda r, pt: run_chunk(kernel, pt), planes_t)
+        elif n_full:
+            planes_t = lax.fori_loop(
+                0, n_full - 1, lambda r, pt: run_chunk(kernel, pt),
+                planes_t)
+            planes_t = run_chunk_raw(kernel, planes_t)
     else:
         tol_ = jnp.asarray(tol, dtype)
+        # early stopping rounds the budget up to whole chunks (at most
+        # T−1 iterations beyond maxiter when tol is never reached) — same
+        # semantics as the TV tiled kernel; the final round's halo
+        # exchange is kept (the stopping round is data-dependent)
         n_rounds = -(-int(maxiter) // T)
         q = max(1, round(check_every / T))
         # count each valid image row exactly once (halo rows are duplicated
@@ -379,7 +397,7 @@ def _tiled_impl(f, a1, a0, state0=None, *, tau0, sigma0, maxiter, tol,
     if tail and tol is None:
         tail_kernel = _make_tiled_kernel(tail, tau_v, sigma_v, map_alpha,
                                          M, n_tiles, tile_rows, H)
-        planes_t = run_chunk(tail_kernel, planes_t)
+        planes_t = run_chunk_raw(tail_kernel, planes_t)
 
     out = tuple(from_tiles(p, O) for p in planes_t)
     u = out[0]
