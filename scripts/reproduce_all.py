@@ -86,6 +86,11 @@ def main():
     step("scalar_bilevel_tgv_learn method=tr_fused",
          lambda: ex.scalar_bilevel_tgv_learn(method="tr_fused",
                                              **tgv_common))
+    step("scalar_bilevel_tgv_learn method=single_loop",
+         lambda: ex.scalar_bilevel_tgv_learn(
+             method="single_loop", sl_outer=max(20, outer * 5),
+             **{k: v for k, v in tgv_common.items()
+                if k != "inner_maxiter"}))
     step("patch_bilevel_tgv_learn (2x2x2)",
          lambda: ex.patch_bilevel_tgv_learn(**tgv_common))
     step("validate_tgv_parameter",
