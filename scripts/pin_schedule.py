@@ -53,7 +53,12 @@ PHASES = {
     "throughput": ("throughput", ("BPL_MOSAIC_SALT_PDPS_COLD",)),
     "one_kernel": ("one_kernel", ("BPL_MOSAIC_SALT_OK",
                                   "BPL_MOSAIC_SALT_OK_TILED")),
-    "tgv": ("tgv", ("BPL_MOSAIC_SALT_TGV",)),
+    # the map-weight and tiled TGV kernels are separate salt families
+    # (own module hashes) but are swept in lockstep with the main TGV salt
+    # — bench --only tgv compiles and exercises all three, and their
+    # measured lottery spread is small (~4%), so a joint draw suffices
+    "tgv": ("tgv", ("BPL_MOSAIC_SALT_TGV", "BPL_MOSAIC_SALT_TGV_MAP",
+                    "BPL_MOSAIC_SALT_TGV_TILED")),
 }
 
 
