@@ -218,6 +218,32 @@ def test_large_patch_grid_uses_lbfgs_and_matches_host(ds):
     assert isinstance(carry[2], LBFGSState)
 
 
+def test_splice_dense_B_guards_lbfgs_carry():
+    """Resuming a dense-B checkpoint into an L-BFGS run must be a no-op,
+    not an AttributeError (review finding, round 3)."""
+    import jax.numpy as jnp
+
+    from bpldenoising_tpu.bilevel.tr_core import splice_dense_B
+    from bpldenoising_tpu.solvers.lbfgs import lbfgs_init
+
+    dense = jnp.eye(3) * 0.1
+    carry_dense = (0, jnp.zeros(3), jnp.eye(3) * 0.5, 1.0, 0.0,
+                   jnp.zeros(3), None, None, None)
+    out = splice_dense_B(carry_dense, np.eye(3), jnp.float64)
+    np.testing.assert_array_equal(np.asarray(out[2]), np.eye(3))
+
+    carry_lbfgs = carry_dense[:2] + (lbfgs_init(3, 2, jnp.float64),) + \
+        carry_dense[3:]
+    out2 = splice_dense_B(carry_lbfgs, np.eye(3), jnp.float64)
+    assert out2[2] is carry_lbfgs[2]
+    assert splice_dense_B(carry_dense, None, jnp.float64) is carry_dense
+    # shape mismatch: no-op
+    out3 = splice_dense_B(carry_dense, np.eye(4), jnp.float64)
+    np.testing.assert_array_equal(np.asarray(out3[2]),
+                                  np.asarray(carry_dense[2]))
+    del dense
+
+
 def test_zero_gradient_no_nan(rng):
     """g = 0 (utrue is the exact TV solution of itself at the fixed point is
     unreachable, so synthesize: noisy == true constant image → u == f and
