@@ -646,8 +646,18 @@ def main():
         measure_baseline()
         return
     only = args.only or ("flagship" if args.flagship_only else None)
-    result = run(quick=args.quick, backend=args.backend,
-                 dtype_name=args.dtype, only=only)
+    try:
+        result = run(quick=args.quick, backend=args.backend,
+                     dtype_name=args.dtype, only=only)
+    except RuntimeError as e:
+        if "nable to initialize backend" not in str(e):
+            raise
+        # the tunneled TPU can be hard-down for hours (axon backend
+        # UNAVAILABLE); emit a diagnostic artifact instead of nothing so
+        # the round record shows WHY there is no measurement
+        result = {"metric": "bilevel learn walltime, faces_train_128_10",
+                  "value": None, "unit": "s", "vs_baseline": None,
+                  "error": f"TPU backend unavailable: {e}"}
     print(json.dumps(result))
 
 
