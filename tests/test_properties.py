@@ -115,3 +115,47 @@ class TestEnergyProperties:
             u = tv_denoise(f, a, maxiter=4000)
             tvs.append(float(norm21(op.apply(u))))
         assert tvs[0] > tvs[1] > tvs[2]
+
+
+class TestTGVImplementationConsistency:
+    """Fuzz: the three TGV inner-solver implementations (jnp stencils,
+    fused kernel in interpret mode, row-sharded halo solver) agree on
+    random shapes, batches and weight forms."""
+
+    @pytest.mark.parametrize("trial", range(3))
+    def test_random_problems(self, trial):
+        import jax
+        from jax.sharding import Mesh
+        from bpldenoising_tpu.parallel.halo import (
+            ROWS_AXIS, tgv_denoise_pdps_row_sharded)
+        from bpldenoising_tpu.solvers.tgv import tgv_denoise_pdps
+        from bpldenoising_tpu.solvers.tgv_pallas import (
+            tgv_denoise_pdps_pallas)
+
+        rng = np.random.default_rng(100 + trial)
+        O = int(rng.integers(1, 4))
+        M = int(rng.choice([16, 24, 32]))
+        N = int(rng.choice([16, 24]))
+        f = jnp.asarray(rng.standard_normal((O, M, N)))
+        if trial % 2:
+            a1 = jnp.asarray(rng.uniform(0.05, 0.3, (M, N)))
+            a0 = float(rng.uniform(0.05, 0.3))
+        else:
+            a1 = float(rng.uniform(0.05, 0.3))
+            a0 = float(rng.uniform(0.05, 0.3))
+        it = 150
+        u_ref, w_ref = tgv_denoise_pdps(f, a1, a0, maxiter=it)
+        u_k, w_k = tgv_denoise_pdps_pallas(f, a1, a0, maxiter=it,
+                                           interpret=True)
+        np.testing.assert_allclose(np.asarray(u_k), np.asarray(u_ref),
+                                   atol=1e-12)
+        np.testing.assert_allclose(np.asarray(w_k), np.asarray(w_ref),
+                                   atol=1e-12)
+        n_sh = 4 if M % 4 == 0 else 2
+        mesh = Mesh(np.array(jax.devices()[:n_sh]), (ROWS_AXIS,))
+        u_h, w_h = tgv_denoise_pdps_row_sharded(f[0], a1, a0, mesh,
+                                                maxiter=it)
+        np.testing.assert_allclose(np.asarray(u_h), np.asarray(u_ref[0]),
+                                   atol=1e-10)
+        np.testing.assert_allclose(np.asarray(w_h), np.asarray(w_ref[0]),
+                                   atol=1e-10)
