@@ -49,19 +49,27 @@ def _resolve_backend(backend: str) -> str:
 
 def TGVDenoise(data, parameter, maxiter: int = 10000,
                backend: str = "auto"):
-    """Batched TGV² denoising at a fixed (α₁, α₀) (companion of
-    ``TVDenoise``, ref ``src/BPLDenoising.jl:41-59``)."""
-    p = np.asarray(parameter, np.float64).reshape(-1)
-    if p.size != 2:
-        raise ValueError(f"TGV parameter must be (alpha1, alpha0), got "
-                         f"{np.shape(parameter)}")
+    """Batched TGV² denoising at a fixed (α₁, α₀) pair or an (m, n, 2)
+    patch-grid stack of spatially-varying weights (companion of
+    ``TVDenoise``'s scalar/patch forms, ref ``src/BPLDenoising.jl:41-82``)."""
+    data = jnp.asarray(data)
+    p = np.asarray(parameter, np.float64)
+    if p.ndim == 3 and p.shape[-1] == 2:   # patch grids → (M, N) maps
+        from ..ops import PatchOp
+        pop = PatchOp.for_image(p[..., 0],
+                                data[0] if data.ndim == 3 else data)
+        a1 = pop.apply(jnp.asarray(p[..., 0], data.dtype))
+        a0 = pop.apply(jnp.asarray(p[..., 1], data.dtype))
+    elif p.reshape(-1).size == 2:
+        a1, a0 = float(p.reshape(-1)[0]), float(p.reshape(-1)[1])
+    else:
+        raise ValueError(f"TGV parameter must be (alpha1, alpha0) or an "
+                         f"(m, n, 2) patch stack, got {np.shape(parameter)}")
     if _resolve_backend(backend) == "pallas":
         from ..solvers.tgv_pallas import tgv_denoise_pdps_pallas
-        u, _ = tgv_denoise_pdps_pallas(jnp.asarray(data), float(p[0]),
-                                       float(p[1]), maxiter=maxiter)
+        u, _ = tgv_denoise_pdps_pallas(data, a1, a0, maxiter=maxiter)
     else:
-        u, _ = tgv_denoise_pdps(jnp.asarray(data), float(p[0]), float(p[1]),
-                                maxiter=maxiter)
+        u, _ = tgv_denoise_pdps(data, a1, a0, maxiter=maxiter)
     return u
 
 

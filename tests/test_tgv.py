@@ -243,6 +243,24 @@ class TestTGVExperiments:
         with pytest.raises(ValueError):
             TGVDenoise(f, [0.1, 0.2, 0.3], maxiter=10)
 
+    def test_tgv_denoise_patch_parameter(self, rng):
+        """(m, n, 2) patch grids upsample to per-pixel weight maps (the
+        patch form of ref TVDenoise, src/BPLDenoising.jl:61-82); a
+        constant grid must reproduce the scalar pair."""
+        from bpldenoising_tpu.experiments import TGVDenoise
+        f = np.asarray(rng.standard_normal((1, 16, 16)))
+        grids = np.stack([np.full((2, 2), 0.1), np.full((2, 2), 0.2)],
+                         axis=-1)
+        u_p = TGVDenoise(f, grids, maxiter=300, backend="jnp")
+        u_s = TGVDenoise(f, [0.1, 0.2], maxiter=300, backend="jnp")
+        np.testing.assert_allclose(np.asarray(u_p), np.asarray(u_s),
+                                   atol=1e-12)
+        # validate front-end accepts the patch form too
+        from bpldenoising_tpu.experiments import validate_tgv_parameter
+        out = validate_tgv_parameter(grids, dataset_name="circle",
+                                     inner_maxiter=200, backend="jnp")
+        assert out["mean_psnr"] > 0
+
 
 class TestMapAlphaTGV:
     """Spatially-varying (map/patch) TGV weights."""
