@@ -100,7 +100,12 @@ def main(argv=None):
              "or the built-in circle phantom")
     p.add_argument("name", help="dataset dir name, e.g. mycircle_128_10")
     p.add_argument("--from-images", nargs="*", default=None, metavar="PNG",
-                   help="grayscale source images (default: circle phantom)")
+                   help="grayscale source images (default: built-in phantom)")
+    p.add_argument("--phantom", default="circle",
+                   choices=["circle", "ramp", "pyramid", "facets"],
+                   help="built-in phantom when no source images given "
+                        "(circle = piecewise-constant, TV's home turf; "
+                        "ramp/pyramid/facets = piecewise-affine, TGV's)")
     p.add_argument("--size", type=int, default=128,
                    help="phantom resolution when no source images given")
     p.add_argument("--sigma", type=float, default=0.1,
@@ -199,12 +204,15 @@ def _dispatch(args):
         print(out["cost"], out["mean_psnr"])
         return
     elif args.cmd == "make-dataset":
-        from bpldenoising_tpu.data import (circle_phantom, make_dataset,
-                                           read_png_gray)
+        from bpldenoising_tpu.data import (affine_phantom, circle_phantom,
+                                           make_dataset, read_png_gray)
         if args.from_images:
             imgs = [read_png_gray(f) for f in args.from_images]
-        else:
+        elif args.phantom == "circle":
             imgs = [circle_phantom(args.size)]
+        else:
+            imgs = [affine_phantom(args.size, kind=args.phantom,
+                                   seed=args.seed)]
         out = make_dataset(args.name, imgs, sigma=args.sigma,
                            seed=args.seed, out_root=args.out_root)
         print(out)

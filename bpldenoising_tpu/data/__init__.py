@@ -5,11 +5,12 @@ from .datasets import (
     remotedatasets,
     testdataset,
 )
-from .generate import add_noise, circle_phantom, make_dataset
+from .generate import (add_noise, affine_phantom, circle_phantom,
+                       make_dataset)
 from .png_io import read_png_gray, write_png_gray
 
 __all__ = [
     "testdataset", "load_dataset", "full_datasetname", "remotedatasets",
     "dataset_dir", "read_png_gray", "write_png_gray",
-    "circle_phantom", "add_noise", "make_dataset",
+    "circle_phantom", "affine_phantom", "add_noise", "make_dataset",
 ]

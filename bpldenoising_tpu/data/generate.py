@@ -31,7 +31,7 @@ import numpy as np
 from . import datasets as _registry
 from .png_io import write_png_gray
 
-__all__ = ["circle_phantom", "add_noise", "make_dataset"]
+__all__ = ["circle_phantom", "affine_phantom", "add_noise", "make_dataset"]
 
 
 def circle_phantom(size: int = 128, radius: float = 0.3,
@@ -45,6 +45,36 @@ def circle_phantom(size: int = 128, radius: float = 0.3,
     cy, cx = (center[0] * (size - 1), center[1] * (size - 1))
     r2 = (yy - cy) ** 2 + (xx - cx) ** 2
     return np.where(r2 <= (radius * size) ** 2, float(intensity), 0.0)
+
+
+def affine_phantom(size: int = 128, kind: str = "pyramid",
+                   seed: int | None = None) -> np.ndarray:
+    """Piecewise-AFFINE phantom (float64 (size, size) in [0, 1]) — the
+    image class TGV² reconstructs exactly where TV staircases
+    (Bredies–Kunisch–Pock 2010; :mod:`..solvers.tgv`), complementing the
+    piecewise-constant :func:`circle_phantom` that favors TV.
+
+    kinds: ``"ramp"`` (single linear gradient), ``"pyramid"`` (ℓ∞ cone —
+    four affine facets with gradient discontinuities), ``"facets"``
+    (random continuous piecewise-affine surface: the max of several random
+    planes, rescaled; ``seed`` selects the planes)."""
+    if size <= 0:
+        raise ValueError(f"size must be positive, got {size}")
+    yy, xx = np.mgrid[0:size, 0:size] / max(size - 1, 1)
+    if kind == "ramp":
+        return xx.astype(np.float64)
+    if kind == "pyramid":
+        return (1.0 - 2.0 * np.maximum(np.abs(yy - 0.5),
+                                       np.abs(xx - 0.5))).astype(np.float64)
+    if kind == "facets":
+        rng = np.random.default_rng(0 if seed is None else seed)
+        planes = [rng.uniform(-1, 1) * (yy - rng.uniform(0, 1))
+                  + rng.uniform(-1, 1) * (xx - rng.uniform(0, 1))
+                  for _ in range(5)]
+        z = np.maximum.reduce(planes)
+        lo, hi = z.min(), z.max()
+        return ((z - lo) / max(hi - lo, 1e-12)).astype(np.float64)
+    raise ValueError(f"unknown affine phantom kind {kind!r}")
 
 
 def add_noise(img: np.ndarray, sigma: float,
