@@ -25,13 +25,16 @@ from .png_io import read_png_gray
 __all__ = ["testdataset", "load_dataset", "full_datasetname",
            "remotedatasets", "dataset_dir"]
 
-# reference: src/Datasets.jl:11-17
+# reference: src/Datasets.jl:11-17 (+ pyramid_128_10, a bundled
+# piecewise-AFFINE phantom synthesized by data.generate — the TGV²
+# family's home-turf counterpart to the reference's circle disk)
 remotedatasets = [
     "cameraman_128_5",
     "cameraman_128_10",
     "faces_train_128_10",
     "faces_val_128_10",
     "circle_128_10",
+    "pyramid_128_10",
 ]
 
 def _resolve_dataset_dir() -> str:
