@@ -113,6 +113,18 @@ def run_matrix(mode: str) -> dict:
     res = bilevel_learn(ds, lf3, xinit=1e-3 * np.ones((2, 2, 3)), params=p)
     record("patch_sumregs_cameraman", ds, res, time.perf_counter() - t0)
 
+    # 5. TGV² weight pair on pyramid (the family's home-turf dataset),
+    # fused trust region (host TR is bit-identical at inner_tol=None —
+    # FIDELITY.md "TGV method agreement")
+    from bpldenoising_tpu.bilevel import bilevel_learn_tgv_fused
+    ds = load("pyramid_128_10", 1)
+    x0 = np.array([0.05, 0.05])
+    t0 = time.perf_counter()
+    res = bilevel_learn_tgv_fused(
+        ds, xinit=x0, params=tr_params(0.02) | dict(maxiter=15),
+        inner_maxiter=3000, inner_tol=None, backend=backend)
+    record("tgv_pair_pyramid", ds, res, time.perf_counter() - t0)
+
     return results
 
 
