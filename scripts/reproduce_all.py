@@ -32,10 +32,17 @@ def main():
     ap.add_argument("--method", default="tr", choices=["tr", "tr_fused"],
                     help="tr_fused runs every learning experiment as one "
                          "on-device loop (much faster; no checkpoints)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU platform (reproduce without "
+                         "accelerator hardware; the ambient axon TPU "
+                         "plugin otherwise grabs the backend even for "
+                         "--backend jnp, and a down tunnel kills the run)")
     args = ap.parse_args()
 
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     if args.dtype == "float64":
-        import jax
         jax.config.update("jax_enable_x64", True)
 
     import bpldenoising_tpu.experiments.api as api
