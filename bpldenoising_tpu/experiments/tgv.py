@@ -28,16 +28,21 @@ __all__ = ["tgv_bilevel_params", "patch_tgv_bilevel_params",
            "validate_tgv_parameter", "TGVDenoise"]
 
 # same TR schedule as the reference families (src/BPLDenoising.jl:316-323);
-# Δ₀/α₀ sized for the 2-vector weight
+# Δ₀/α₀ sized for the 2-vector weight.  sl_lr: the TGV cost is nearly
+# flat in α₀ far from the optimum, and Adam at the TV families' lr=0.05
+# outruns the fixed single-loop inner budget there (measured runaway to
+# α₀ ≈ 800 on pyramid_128_10, cost 3.3× the minimum; at 0.02 it lands
+# slightly DEEPER than the trust region — FIDELITY.md "TGV method
+# agreement").
 tgv_bilevel_params = Params(
     eta1=0.25, eta2=0.75, beta1=0.25, beta2=1.9, delta0=0.02,
-    alpha0=np.array([0.05, 0.05]))
+    alpha0=np.array([0.05, 0.05]), sl_lr=0.02)
 
 # patch analogue (cf. patch_sumregs_bilevel_params, ref :455-462): an
 # (m, n, 2) stack of (α₁, α₀) grids upsampled piecewise-constant
 patch_tgv_bilevel_params = Params(
     eta1=0.25, eta2=0.75, beta1=0.25, beta2=1.5, delta0=0.02,
-    alpha0=0.05 * np.ones((2, 2, 2)))
+    alpha0=0.05 * np.ones((2, 2, 2)), sl_lr=0.02)
 
 
 def _resolve_backend(backend: str) -> str:
