@@ -161,7 +161,7 @@ def _single_loop_tgv_impl(utrue, f, x0, *, outer: int, n_inner: int,
 
 def single_loop_tgv_learn(utrue, f, x0, *, outer: int = 300,
                           n_inner: int = 40, n_adj: int = 10,
-                          lr: float = 0.05, gamma: float = 1e-4,
+                          lr: float = 0.02, gamma: float = 1e-4,
                           tau0: float = 0.99, sigma0: float = 0.99,
                           beta1: float = 0.9, beta2: float = 0.999,
                           eps: float = 1e-8, mesh=None,
@@ -174,6 +174,12 @@ def single_loop_tgv_learn(utrue, f, x0, *, outer: int = 300,
     :func:`.first_order.single_loop_learn`).  ``mesh``: optional 1-D batch
     mesh; zero-padded images contribute exactly nothing (their solve of
     f = 0 is 0 = ū, so λ and both gradient maps vanish).
+
+    ``lr`` defaults to 0.02 (below the TV families' 0.05): the TGV cost
+    is nearly flat in α₀ far from the optimum, and a faster log-space
+    walk can outrun the fixed ``n_inner`` budget there and diverge
+    (measured on pyramid_128_10 — FIDELITY.md "TGV method agreement");
+    raise ``n_inner`` if you raise ``lr``.
     """
     utrue = jnp.asarray(utrue)
     f = jnp.asarray(f, utrue.dtype)
