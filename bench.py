@@ -545,6 +545,27 @@ def run(quick: bool = False, backend: str = "pallas",
         except Exception as e:  # pragma: no cover - hardware-specific
             print(f"tgv_patch_fused failed: {e}", file=sys.stderr)
 
+        # one-kernel single-loop TGV learner (single image, the whole
+        # optimization VMEM-resident in one launch)
+        tgv_ok_wall = None
+        if backend == "pallas":
+            from bpldenoising_tpu.bilevel.first_order_tgv_pallas import (
+                single_loop_tgv_pallas)
+
+            sl_outer = 60 if quick else 300
+
+            def run_tgv_ok():
+                a, u, _ = single_loop_tgv_pallas(
+                    ds[0][0], ds[1][0], np.array([0.05, 0.05]),
+                    outer=sl_outer, n_inner=40, n_adj=10, lr=0.02)
+                _sync(u)
+                return a
+
+            try:
+                _, tgv_ok_wall = _best_of(run_tgv_ok)
+            except Exception as e:  # pragma: no cover - hardware-specific
+                print(f"tgv_one_kernel failed: {e}", file=sys.stderr)
+
         # routing-ladder scaling point: 1024² TGV state (~80 MB) exceeds
         # both batch-chunk and residency budgets → the spatially-tiled
         # halo-chunk kernel
@@ -602,6 +623,8 @@ def run(quick: bool = False, backend: str = "pallas",
             "tgv_tiled_1024_walltime_s": (
                 round(tgv_tiled_1024_wall, 4)
                 if tgv_tiled_1024_wall is not None else None),
+            "tgv_one_kernel_walltime_s": (
+                round(tgv_ok_wall, 4) if tgv_ok_wall is not None else None),
             "tgv_gpix_iter_per_sec_batch64_device": round(tgv_rate_dev, 2),
         })
         if only == "tgv":
