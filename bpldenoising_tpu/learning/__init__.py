@@ -8,3 +8,6 @@ __all__ = [
 
 from .tgv import tgv_learning_function, make_tgv_learning_function
 __all__ += ["tgv_learning_function", "make_tgv_learning_function"]
+
+from .vtv import vtv_learning_function, make_vtv_learning_function
+__all__ += ["vtv_learning_function", "make_vtv_learning_function"]

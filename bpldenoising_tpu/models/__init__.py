@@ -16,4 +16,13 @@ def sumregs_model() -> DenoiseModel:
         name="sumregs")
 
 
-__all__ = ["DenoiseModel", "tv_model", "sumregs_model"]
+def vtv_model() -> DenoiseModel:
+    """Vectorial (color) TV: per-pixel Frobenius norm over the stacked
+    channel gradients ‖(∇u)_pix‖_F — channels coupled through the dual
+    projection.  Beyond-reference model family (the reference is
+    grayscale-only, ``src/BPLDenoising.jl:331-332`` converts to Gray);
+    same forward-difference gradient as ``tv_model``."""
+    return DenoiseModel(ops=(FwdGradientOp(),), channels=True, name="vtv")
+
+
+__all__ = ["DenoiseModel", "tv_model", "sumregs_model", "vtv_model"]

@@ -22,14 +22,34 @@ from ..ops import LinOp, norm21, xi
 
 @dataclass(frozen=True)
 class DenoiseModel:
-    """The lower-level variational problem, as data."""
+    """The lower-level variational problem, as data.
+
+    ``channels=True`` declares a vectorial (multichannel / color) model:
+    images carry a channel axis at ``-3`` — shape ``(..., C, M, N)`` — and
+    the regularizer couples channels through a per-pixel FROBENIUS norm over
+    (channel, component) instead of a per-channel Euclidean norm.  All
+    linear operators are channel-wise (they treat C as a batch dim); the
+    coupling lives entirely in the norm/projection axes.
+    """
 
     ops: tuple[LinOp, ...]
     name: str = "model"
+    channels: bool = False
 
     @property
     def K(self) -> int:
         return len(self.ops)
+
+    @property
+    def norm_axes(self) -> tuple[int, ...]:
+        """Axes reduced by the per-pixel dual norm on a gradient field
+        (component axis only, or channel+component when coupled)."""
+        return (-4, -3) if self.channels else (-3,)
+
+    @property
+    def image_axes(self) -> tuple[int, ...]:
+        """Per-sample reduction axes of an image array."""
+        return (-3, -2, -1) if self.channels else (-2, -1)
 
     def opnorm_sq(self) -> float:
         """Upper bound on ‖[G₁; …; G_K]‖² = Σ ‖Gₖ‖²."""
@@ -65,13 +85,18 @@ class DenoiseModel:
             f"cannot interpret alpha of shape {a.shape} for K={self.K}")
 
     def energy(self, u, f, alphas):
-        """Primal energy ½‖u−f‖² + Σₖ Σ_pix αₖ·|Gₖu|₂ (per batch element)."""
+        """Primal energy ½‖u−f‖² + Σₖ Σ_pix αₖ·|Gₖu|₂ (per batch element).
+
+        For a ``channels=True`` model the data term sums over channels and
+        the per-pixel norm is the Frobenius norm over (channel, component).
+        """
         alphas = self.canonical_alphas(alphas)
-        e = 0.5 * jnp.sum((u - f) ** 2, axis=(-2, -1))
+        e = 0.5 * jnp.sum((u - f) ** 2, axis=self.image_axes)
         for op, a in zip(self.ops, alphas):
             g = op.apply(u)
             if jnp.ndim(a) >= 2:
-                e = e + jnp.sum(a * xi(g), axis=(-2, -1))
+                e = e + jnp.sum(a * xi(g, axes=self.norm_axes),
+                                axis=(-2, -1))
             else:
-                e = e + a * norm21(g)
+                e = e + a * norm21(g, axes=self.norm_axes)
         return e

@@ -16,3 +16,9 @@ from .tgv import (tgv_denoise_pdps, tgv_energy, diff_tgv_denoise,
 from .tgv_pallas import tgv_denoise_pdps_pallas
 __all__ += ["tgv_denoise_pdps", "tgv_energy", "diff_tgv_denoise",
             "make_diff_tgv_denoise", "tgv_denoise_pdps_pallas"]
+
+from .pdps import vtv_denoise
+from .vtv import (vtv_implicit_cotangents, diff_vtv_denoise,
+                  make_diff_vtv_denoise)
+__all__ += ["vtv_denoise", "vtv_implicit_cotangents", "diff_vtv_denoise",
+            "make_diff_vtv_denoise"]

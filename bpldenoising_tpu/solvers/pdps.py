@@ -45,10 +45,11 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..models import DenoiseModel, tv_model, sumregs_model
+from ..models import DenoiseModel, tv_model, sumregs_model, vtv_model
 from ..ops import proj_norm21_ball
 
-__all__ = ["denoise_pdps", "tv_denoise", "sumregs_denoise", "PDPS_DEFAULTS"]
+__all__ = ["denoise_pdps", "tv_denoise", "sumregs_denoise", "vtv_denoise",
+           "PDPS_DEFAULTS"]
 
 PDPS_DEFAULTS = dict(
     tau0=5.0,
@@ -74,7 +75,7 @@ def _pdps_step(model: DenoiseModel, f, alphas, accel: bool, gamma: float, state)
         omega = jnp.asarray(1.0, dtype=u.dtype)
     ubar = (1.0 + omega) * u_new - omega * u
     ys_new = tuple(
-        proj_norm21_ball(y + sigma * op.apply(ubar), a)
+        proj_norm21_ball(y + sigma * op.apply(ubar), a, axes=model.norm_axes)
         for op, y, a in zip(model.ops, ys, alphas))
     return (u_new, ys_new, tau, sigma)
 
@@ -189,3 +190,14 @@ def sumregs_denoise(f, alphas, **kwargs):
     """Three-regularizer denoising (reference ``sumregs_denoise_pdps``,
     ``src/SumRegsLearningFunction.jl:38-85``)."""
     return denoise_pdps(f, alphas, _SUMREGS, **kwargs)
+
+
+_VTV = vtv_model()
+
+
+def vtv_denoise(f, alpha, **kwargs):
+    """Vectorial (color) TV denoising of an ``(..., C, M, N)`` stack —
+    channels coupled through the per-pixel Frobenius dual ball.
+    Beyond-reference family (the reference is grayscale-only); ``alpha``
+    is a scalar or an (M, N) map."""
+    return denoise_pdps(f, alpha, _VTV, **kwargs)

@@ -1,0 +1,189 @@
+"""Vectorial (color) TV tests — beyond-reference model family.
+
+Covers: the channel-coupled model/projection algebra, PDPS solver oracles
+(replicated-channel reduction to scalar TV, energy descent, coupling
+actually engages on distinct channels), implicit-diff hypergradients vs
+finite differences (scalar, map and patch parameterizations), the L4
+learning-function contract, and the differentiable-layer wrapper.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bpldenoising_tpu.models import vtv_model, tv_model
+from bpldenoising_tpu.ops import proj_norm21_ball, xi
+from bpldenoising_tpu.learning.vtv import (make_vtv_learning_function,
+                                           vtv_learning_function)
+from bpldenoising_tpu.solvers.pdps import denoise_pdps, tv_denoise, vtv_denoise
+from bpldenoising_tpu.solvers.vtv import (diff_vtv_denoise,
+                                          vtv_implicit_cotangents)
+
+_VTV = vtv_model()
+
+
+def color_problem(rng, n=24, C=3, O=2, sigma=0.1):
+    clean = np.clip(rng.random((O, C, n, n)), 0.0, 1.0)
+    noisy = clean + sigma * rng.standard_normal((O, C, n, n))
+    return jnp.asarray(clean), jnp.asarray(noisy)
+
+
+class TestCoupledProjection:
+    def test_frobenius_ball(self, rng):
+        p = jnp.asarray(rng.standard_normal((4, 3, 2, 8, 8)))
+        r = 0.3
+        q = proj_norm21_ball(p, r, axes=(-4, -3))
+        n = xi(q, axes=(-4, -3))
+        assert float(jnp.max(n)) <= r + 1e-12
+        # pixels already inside the ball are untouched
+        inside = xi(p, axes=(-4, -3)) <= r
+        diff = jnp.abs(q - p) * inside[:, None, None]
+        assert float(jnp.max(diff)) == 0.0
+
+    def test_energy_reduction_shape(self, rng):
+        u = jnp.asarray(rng.random((5, 3, 8, 8)))
+        f = jnp.asarray(rng.random((5, 3, 8, 8)))
+        e = _VTV.energy(u, f, 0.1)
+        assert e.shape == (5,)
+
+    def test_coupled_energy_leq_decoupled(self, rng):
+        # ‖·‖_F of the stacked gradients ≤ Σ_c ‖·‖₂ per pixel
+        u = jnp.asarray(rng.random((3, 8, 8)))
+        g = _VTV.ops[0].apply(u)
+        coupled = float(jnp.sum(xi(g, axes=(-4, -3))))
+        perch = float(jnp.sum(xi(g)))
+        assert coupled <= perch + 1e-12
+
+
+class TestVTVSolver:
+    def test_replicated_channels_reduce_to_tv(self, rng):
+        """VTV(α) on C identical channels == scalar TV(α/√C): with
+        u_c identical, ‖(∇u)‖_F = √C·‖∇u_single‖ while the data term
+        scales by C."""
+        f1 = rng.random((20, 20))
+        C = 3
+        f = jnp.asarray(np.stack([f1] * C))
+        a = 0.12
+        u_vtv = vtv_denoise(f, a, maxiter=3000)
+        u_tv = tv_denoise(jnp.asarray(f1), a / np.sqrt(C), maxiter=3000)
+        assert float(jnp.max(jnp.abs(u_vtv[0] - u_vtv[2]))) < 1e-12
+        assert float(jnp.max(jnp.abs(u_vtv[0] - u_tv))) < 1e-8
+
+    def test_coupling_differs_from_per_channel(self, rng):
+        """On genuinely distinct channels the Frobenius coupling must NOT
+        equal running scalar TV per channel at any single weight."""
+        _, f = color_problem(rng, n=20, O=1)
+        f = f[0]
+        a = 0.15
+        u_vtv = vtv_denoise(f, a, maxiter=2000)
+        u_per = tv_denoise(f, a, maxiter=2000)  # channels ride batch
+        assert float(jnp.max(jnp.abs(u_vtv - u_per))) > 1e-4
+
+    def test_energy_descends_below_data(self, rng):
+        clean, noisy = color_problem(rng, n=20, O=1)
+        f = noisy[0]
+        a = 0.1
+        u = vtv_denoise(f, a, maxiter=2000)
+        e_u = float(_VTV.energy(u, f, a))
+        e_f = float(_VTV.energy(f, f, a))
+        assert e_u < e_f
+
+    def test_batch_matches_loop(self, rng):
+        _, noisy = color_problem(rng, n=16, O=3)
+        a = 0.1
+        ub = vtv_denoise(noisy, a, maxiter=800)
+        for o in range(3):
+            uo = vtv_denoise(noisy[o], a, maxiter=800)
+            np.testing.assert_allclose(np.asarray(ub[o]), np.asarray(uo),
+                                       atol=1e-10)
+
+    def test_warm_start_converges_faster(self, rng):
+        _, noisy = color_problem(rng, n=16, O=1)
+        f = noisy[0]
+        u_cold, ys, _ = denoise_pdps(f, 0.1, _VTV, maxiter=4000,
+                                     return_dual=True)
+        _, _, iters_cold = denoise_pdps(
+            f, 0.1005, _VTV, maxiter=4000, tol=1e-8, check_every=100,
+            return_dual=True)
+        u_warm, _, iters_warm = denoise_pdps(
+            f, 0.1005, _VTV, maxiter=4000, tol=1e-8, check_every=100,
+            state0=(u_cold, ys), return_dual=True)
+        assert int(iters_warm) < int(iters_cold)
+        u_ref = denoise_pdps(f, 0.1005, _VTV, maxiter=6000)
+        assert float(jnp.max(jnp.abs(u_warm - u_ref))) < 1e-4
+
+
+class TestVTVHypergradient:
+    @pytest.mark.parametrize("shape", ["scalar", "map", "patch"])
+    def test_matches_finite_differences(self, rng, shape):
+        clean, noisy = color_problem(rng, n=16, O=2)
+        ds = (clean, noisy)
+        kw = dict(maxiter=4000, gamma=1e-5)
+        if shape == "scalar":
+            x0 = jnp.asarray(0.08)
+            dx = jnp.asarray(1.0)
+        elif shape == "map":
+            x0 = jnp.full((16, 16), 0.08)
+            dx = jnp.asarray(np.abs(np.asarray(
+                jax.random.normal(jax.random.PRNGKey(0), (16, 16)))))
+        else:
+            x0 = jnp.full((2, 2), 0.08)
+            dx = jnp.asarray([[1.0, 0.5], [0.25, 0.75]])
+        _, c0, g0 = vtv_learning_function(x0, ds, 0.01, **kw)
+        h = 1e-5
+        _, cp, _ = vtv_learning_function(x0 + h * dx, ds, 0.01, **kw)
+        _, cm, _ = vtv_learning_function(x0 - h * dx, ds, 0.01, **kw)
+        fd = float((cp - cm) / (2 * h))
+        ift = float(jnp.sum(g0 * dx))
+        assert abs(ift - fd) < 2e-3 * max(1.0, abs(fd))
+
+    def test_cotangent_warm_start(self, rng):
+        clean, noisy = color_problem(rng, n=16, O=1)
+        u = vtv_denoise(noisy, 0.1, maxiter=2000)
+        v = u - clean
+        _, da, lam = vtv_implicit_cotangents(u, jnp.asarray(0.1), v,
+                                             return_lam=True)
+        _, da2 = vtv_implicit_cotangents(u, jnp.asarray(0.1), v, lam0=lam)
+        assert abs(float(da2) - float(da)) < 1e-8 * max(1.0, abs(float(da)))
+
+
+class TestVTVLearning:
+    def test_learning_function_contract(self, rng):
+        clean, noisy = color_problem(rng, n=16, O=2)
+        u, cost, grad = vtv_learning_function(jnp.asarray(0.1),
+                                              (clean, noisy), 0.01,
+                                              maxiter=500)
+        assert u.shape == clean.shape
+        assert jnp.ndim(cost) == 0 and jnp.ndim(grad) == 0
+        assert float(cost) > 0.0
+
+    def test_trust_region_learns(self, rng):
+        """End-to-end: TR on the VTV learning function improves the cost
+        and returns a positive weight."""
+        from bpldenoising_tpu.bilevel import bilevel_learn
+        from bpldenoising_tpu.utils.config import Params
+        clean, noisy = color_problem(rng, n=16, O=2, sigma=0.15)
+        lf = make_vtv_learning_function(maxiter=600, tol=1e-7)
+        params = Params(eta1=0.25, eta2=0.75, beta1=0.25, beta2=1.9,
+                        delta0=0.02, maxiter=6, tol=1e-8, verbose_iter=0)
+        res = bilevel_learn((clean, noisy), lf, xinit=np.asarray(0.05),
+                            params=params)
+        _, c_init, _ = vtv_learning_function(jnp.asarray(0.05),
+                                             (clean, noisy), 0.01,
+                                             maxiter=600)
+        _, c_fin, _ = vtv_learning_function(jnp.asarray(res.x),
+                                            (clean, noisy), 0.01,
+                                            maxiter=600)
+        assert float(res.x) > 0.0
+        assert float(c_fin) <= float(c_init)
+
+    def test_diff_layer_grad_flows(self, rng):
+        clean, noisy = color_problem(rng, n=12, O=1)
+
+        def loss(a):
+            u = diff_vtv_denoise(noisy[0], a, maxiter=300)
+            return 0.5 * jnp.sum((u - clean[0]) ** 2)
+
+        g = jax.grad(loss)(jnp.asarray(0.1))
+        assert jnp.isfinite(g)
