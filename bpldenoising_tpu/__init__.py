@@ -50,3 +50,11 @@ __all__ += ["TGVDenoise", "scalar_bilevel_tgv_learn",
             "validate_tgv_parameter", "tgv_learning_function",
             "diff_tgv_denoise", "tgv_denoise_pdps",
             "tgv_denoise_pdps_pallas"]
+
+from .experiments import (VTVDenoise, patch_bilevel_vtv_learn,
+                          scalar_bilevel_vtv_learn, validate_vtv_parameter)
+from .learning import vtv_learning_function
+from .solvers import diff_vtv_denoise, vtv_denoise
+__all__ += ["VTVDenoise", "scalar_bilevel_vtv_learn",
+            "patch_bilevel_vtv_learn", "validate_vtv_parameter",
+            "vtv_learning_function", "diff_vtv_denoise", "vtv_denoise"]

@@ -94,6 +94,20 @@ def main(argv=None):
     p.add_argument("parameter", type=float, nargs=2)
     p.add_argument("--dataset", default="cameraman_128_5")
 
+    p = sub.add_parser("scalar-vtv", help="learn the vectorial (color) TV "
+                       "coupling weight on planar RGB stacks — "
+                       "beyond-reference model family")
+    common(p)
+    p.add_argument("--alpha0", type=float, default=0.05)
+    p = sub.add_parser("patch-vtv", help="learn a spatially-varying "
+                       "vectorial-TV weight patch grid (beyond-reference)")
+    common(p)
+    p.add_argument("--patch", type=int, default=2)
+    p.add_argument("--alpha0", type=float, default=0.05)
+    p = sub.add_parser("validate-vtv")
+    p.add_argument("parameter", type=float)
+    p.add_argument("--dataset", default="color_disks_128_10")
+
     p = sub.add_parser(
         "make-dataset",
         help="synthesize a loadable (true, noisy) PNG dataset from images "
@@ -200,6 +214,24 @@ def _dispatch(args):
     elif args.cmd == "validate-tgv":
         from bpldenoising_tpu.experiments import validate_tgv_parameter
         out = validate_tgv_parameter(np.asarray(args.parameter),
+                                     dataset_name=args.dataset)
+        print(out["cost"], out["mean_psnr"])
+        return
+    elif args.cmd == "scalar-vtv":
+        from bpldenoising_tpu.experiments import scalar_bilevel_vtv_learn
+        with _trace(trace_dir):
+            res = scalar_bilevel_vtv_learn(
+                visualise=args.visualise, alpha0=args.alpha0, **kw())
+    elif args.cmd == "patch-vtv":
+        from bpldenoising_tpu.experiments import patch_bilevel_vtv_learn
+        with _trace(trace_dir):
+            res = patch_bilevel_vtv_learn(
+                visualise=args.visualise,
+                alpha0=args.alpha0 * np.ones((args.patch, args.patch)),
+                **kw())
+    elif args.cmd == "validate-vtv":
+        from bpldenoising_tpu.experiments import validate_vtv_parameter
+        out = validate_vtv_parameter(args.parameter,
                                      dataset_name=args.dataset)
         print(out["cost"], out["mean_psnr"])
         return

@@ -52,6 +52,8 @@ class LiveView:
             self._fig.clf()
             ncols = 1 + (param is not None)
             ax = self._fig.add_subplot(1, ncols, 1)
+            if image.ndim == 3:  # planar (C, M, N) color → HWC for imshow
+                image = np.clip(np.moveaxis(image, 0, -1), 0.0, 1.0)
             ax.imshow(image, cmap="gray")
             ax.set_title("reconstruction")
             ax.axis("off")

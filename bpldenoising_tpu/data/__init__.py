@@ -6,11 +6,14 @@ from .datasets import (
     testdataset,
 )
 from .generate import (add_noise, affine_phantom, circle_phantom,
-                       make_dataset)
-from .png_io import read_png_gray, write_png_gray
+                       color_phantom, make_dataset)
+from .png_io import (read_png_color, read_png_gray, write_png_color,
+                     write_png_gray)
 
 __all__ = [
     "testdataset", "load_dataset", "full_datasetname", "remotedatasets",
     "dataset_dir", "read_png_gray", "write_png_gray",
-    "circle_phantom", "affine_phantom", "add_noise", "make_dataset",
+    "read_png_color", "write_png_color",
+    "circle_phantom", "affine_phantom", "color_phantom", "add_noise",
+    "make_dataset",
 ]

@@ -20,14 +20,16 @@ import warnings
 
 import numpy as np
 
-from .png_io import read_png_gray
+from .png_io import read_png_color, read_png_gray
 
 __all__ = ["testdataset", "load_dataset", "full_datasetname",
            "remotedatasets", "dataset_dir"]
 
 # reference: src/Datasets.jl:11-17 (+ pyramid_128_10, a bundled
 # piecewise-AFFINE phantom synthesized by data.generate — the TGV²
-# family's home-turf counterpart to the reference's circle disk)
+# family's home-turf counterpart to the reference's circle disk — and
+# color_disks_128_10, a bundled RGB piecewise-constant phantom set for
+# the channel-coupled vectorial-TV family, loaded with color=True)
 remotedatasets = [
     "cameraman_128_5",
     "cameraman_128_10",
@@ -35,6 +37,7 @@ remotedatasets = [
     "faces_val_128_10",
     "circle_128_10",
     "pyramid_128_10",
+    "color_disks_128_10",
 ]
 
 def _resolve_dataset_dir() -> str:
@@ -116,21 +119,25 @@ def full_datasetname(name: str) -> str:
     raise ValueError(msg)
 
 
-def load_dataset(path: str):
+def load_dataset(path: str, color: bool = False):
     """Load (true, noisy) stacks from a dataset directory with filelist.txt
-    (ref ``src/Datasets.jl:54-65``).  Returns float64 arrays (O, M, N)."""
+    (ref ``src/Datasets.jl:54-65``).  Returns float64 arrays (O, M, N), or
+    planar (O, 3, M, N) with ``color=True`` (grayscale sources replicate
+    channels, so any dataset loads in color mode; the reference is
+    grayscale-only — it converts via ``Gray``, ``src/BPLDenoising.jl:331``)."""
     filelist = os.path.join(path, "filelist.txt")
     with open(filelist) as fh:
         pairs = [line.strip().split(",") for line in fh if line.strip()]
+    read = read_png_color if color else read_png_gray
     true_images, data_images = [], []
     for true_name, data_name in pairs:
-        true_images.append(read_png_gray(os.path.join(path, true_name)))
-        data_images.append(read_png_gray(os.path.join(path, data_name)))
+        true_images.append(read(os.path.join(path, true_name)))
+        data_images.append(read(os.path.join(path, data_name)))
     return np.stack(true_images), np.stack(data_images)
 
 
-def testdataset(name: str):
+def testdataset(name: str, color: bool = False):
     """(true, noisy) image stacks for a registered dataset
     (ref ``src/Datasets.jl:19-25``)."""
     full = full_datasetname(name)
-    return load_dataset(os.path.join(dataset_dir, full))
+    return load_dataset(os.path.join(dataset_dir, full), color=color)

@@ -29,9 +29,10 @@ import os
 import numpy as np
 
 from . import datasets as _registry
-from .png_io import write_png_gray
+from .png_io import write_png_color, write_png_gray
 
-__all__ = ["circle_phantom", "affine_phantom", "add_noise", "make_dataset"]
+__all__ = ["circle_phantom", "affine_phantom", "color_phantom", "add_noise",
+           "make_dataset"]
 
 
 def circle_phantom(size: int = 128, radius: float = 0.3,
@@ -77,6 +78,44 @@ def affine_phantom(size: int = 128, kind: str = "pyramid",
     raise ValueError(f"unknown affine phantom kind {kind!r}")
 
 
+def color_phantom(size: int = 128, kind: str = "disks",
+                  seed: int | None = None) -> np.ndarray:
+    """Piecewise-constant COLOR phantom (planar float64 (3, size, size) in
+    [0, 1]) — the home-turf image class of the channel-coupled vectorial
+    TV model (:func:`..models.vtv_model`): object edges are shared by all
+    three channels, which is exactly the structure the coupled Frobenius
+    regularizer exploits over per-channel TV.
+
+    kinds: ``"disks"`` (saturated RGB disks on a gray background, pairwise
+    overlaps mixing channels), ``"squares"`` (random axis-aligned colored
+    rectangles, ``seed`` selects them)."""
+    if size <= 0:
+        raise ValueError(f"size must be positive, got {size}")
+    yy, xx = np.mgrid[0:size, 0:size] / max(size - 1, 1)
+    img = np.full((3, size, size), 0.35, np.float64)
+    if kind == "disks":
+        centers = [(0.38, 0.36), (0.40, 0.64), (0.68, 0.50)]
+        colors = [(0.95, 0.15, 0.12), (0.12, 0.85, 0.20),
+                  (0.10, 0.25, 0.95)]
+        for (cy, cx), col in zip(centers, colors):
+            mask = (yy - cy) ** 2 + (xx - cx) ** 2 <= 0.22 ** 2
+            for c in range(3):
+                img[c] = np.where(mask, col[c], img[c])
+        return img
+    if kind == "squares":
+        rng = np.random.default_rng(0 if seed is None else seed)
+        for _ in range(6):
+            y0, x0 = rng.uniform(0.05, 0.6, 2)
+            h, w = rng.uniform(0.15, 0.35, 2)
+            col = rng.uniform(0.0, 1.0, 3)
+            mask = ((yy >= y0) & (yy < y0 + h)
+                    & (xx >= x0) & (xx < x0 + w))
+            for c in range(3):
+                img[c] = np.where(mask, col[c], img[c])
+        return img
+    raise ValueError(f"unknown color phantom kind {kind!r}")
+
+
 def add_noise(img: np.ndarray, sigma: float,
               rng: np.random.Generator | int | None = 0) -> np.ndarray:
     """``img + N(0, sigma²)`` clipped to [0, 1].  ``sigma`` is in absolute
@@ -111,9 +150,16 @@ def make_dataset(name: str, true_images, sigma: float = 0.1,
     true_list = [np.asarray(t, np.float64) for t in true_images]
     if not true_list:
         raise ValueError("true_images is empty")
+    color = true_list[0].ndim == 3
     for t in true_list:
-        if t.ndim != 2:
-            raise ValueError(f"true images must be 2-D, got shape {t.shape}")
+        if color:
+            if t.ndim != 3 or t.shape[0] != 3:
+                raise ValueError(f"color images must be planar (3, M, N), "
+                                 f"got shape {t.shape}")
+        elif t.ndim != 2:
+            raise ValueError(f"true images must be 2-D (or all planar "
+                             f"(3, M, N) for a color dataset), got shape "
+                             f"{t.shape}")
         if t.min() < 0.0 or t.max() > 1.0:
             raise ValueError("true images must lie in [0, 1]")
     if noisy_images is not None:
@@ -133,10 +179,11 @@ def make_dataset(name: str, true_images, sigma: float = 0.1,
     out_dir = os.path.join(root, name)
     os.makedirs(out_dir, exist_ok=True)
     lines = []
+    write = write_png_color if color else write_png_gray
     for i, (t, d) in enumerate(zip(true_list, noisy_list), start=1):
         tn, dn = f"{name}_true_{i}.png", f"{name}_data_{i}.png"
-        write_png_gray(os.path.join(out_dir, tn), t)
-        write_png_gray(os.path.join(out_dir, dn), d)
+        write(os.path.join(out_dir, tn), t)
+        write(os.path.join(out_dir, dn), d)
         lines.append(f"{tn},{dn}")
     with open(os.path.join(out_dir, "filelist.txt"), "w") as fh:
         fh.write("\n".join(lines) + "\n")

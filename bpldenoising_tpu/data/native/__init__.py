@@ -14,7 +14,8 @@ import tempfile
 
 import numpy as np
 
-__all__ = ["read_png_gray_native", "write_png_gray_native"]
+__all__ = ["read_png_gray_native", "write_png_gray_native",
+           "read_png_rgb_native", "write_png_rgb_native"]
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "png_codec.cpp")
@@ -46,6 +47,8 @@ _lib.png_read_gray.argtypes = [
     ctypes.POINTER(ctypes.c_int),
     ctypes.POINTER(ctypes.c_int),
 ]
+_lib.png_read_rgb.restype = ctypes.c_int
+_lib.png_read_rgb.argtypes = _lib.png_read_gray.argtypes
 _lib.png_free.argtypes = [ctypes.POINTER(ctypes.c_double)]
 _lib.png_write_gray.restype = ctypes.c_int
 _lib.png_write_gray.argtypes = [
@@ -54,6 +57,8 @@ _lib.png_write_gray.argtypes = [
     ctypes.c_int,
     ctypes.c_int,
 ]
+_lib.png_write_rgb.restype = ctypes.c_int
+_lib.png_write_rgb.argtypes = _lib.png_write_gray.argtypes
 
 
 def read_png_gray_native(path: str) -> np.ndarray:
@@ -79,5 +84,35 @@ def write_png_gray_native(path: str, img: np.ndarray) -> None:
     rc = _lib.png_write_gray(
         path.encode(), arr.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         arr.shape[0], arr.shape[1])
+    if rc != 0:
+        raise IOError(f"native PNG encode failed ({rc}): {path}")
+
+
+def read_png_rgb_native(path: str) -> np.ndarray:
+    """Decode any supported PNG to a planar (3, rows, cols) [0,1] array
+    (grayscale sources replicate the channel)."""
+    out = ctypes.POINTER(ctypes.c_double)()
+    rows = ctypes.c_int()
+    cols = ctypes.c_int()
+    rc = _lib.png_read_rgb(path.encode(), ctypes.byref(out),
+                           ctypes.byref(rows), ctypes.byref(cols))
+    if rc != 0:
+        raise IOError(f"native PNG decode failed ({rc}): {path}")
+    try:
+        arr = np.ctypeslib.as_array(
+            out, shape=(3, rows.value, cols.value)).copy()
+    finally:
+        _lib.png_free(out)
+    return arr
+
+
+def write_png_rgb_native(path: str, img: np.ndarray) -> None:
+    """Encode a planar (3, rows, cols) [0,1] array as an 8-bit RGB PNG."""
+    arr = np.ascontiguousarray(np.asarray(img, dtype=np.float64))
+    if arr.ndim != 3 or arr.shape[0] != 3:
+        raise ValueError("expected a planar (3, rows, cols) color image")
+    rc = _lib.png_write_rgb(
+        path.encode(), arr.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        arr.shape[1], arr.shape[2])
     if rc != 0:
         raise IOError(f"native PNG encode failed ({rc}): {path}")

@@ -39,3 +39,12 @@ __all__ += ["TGVDenoise", "scalar_bilevel_tgv_learn",
             "patch_bilevel_tgv_learn", "tgv_bilevel_params",
             "patch_tgv_bilevel_params", "validate_tgv_parameter",
             "generate_tgv_cost", "generate_tgv_cost_plot"]
+
+from .vtv import (VTVDenoise, generate_vtv_cost, generate_vtv_cost_plot,
+                  patch_bilevel_vtv_learn, patch_vtv_bilevel_params,
+                  scalar_bilevel_vtv_learn, validate_vtv_parameter,
+                  vtv_bilevel_params)
+__all__ += ["VTVDenoise", "scalar_bilevel_vtv_learn",
+            "patch_bilevel_vtv_learn", "vtv_bilevel_params",
+            "patch_vtv_bilevel_params", "validate_vtv_parameter",
+            "generate_vtv_cost", "generate_vtv_cost_plot"]

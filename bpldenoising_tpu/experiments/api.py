@@ -28,7 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..bilevel import bilevel_learn
-from ..data import full_datasetname, testdataset, write_png_gray
+from ..data import (full_datasetname, testdataset, write_png_color,
+                    write_png_gray)
 from ..learning import (
     make_sumregs_learning_function,
     make_tv_learning_function,
@@ -146,8 +147,10 @@ def _canon(params):
 
 def _load(params):
     """Dataset → (O, M, N) float stacks sliced to num_samples
-    (ref src/BPLDenoising.jl:330-332)."""
-    true_, data = testdataset(params.dataset_name)
+    (ref src/BPLDenoising.jl:330-332); ``color=True`` in params loads
+    planar (O, 3, M, N) stacks for the vectorial-TV family."""
+    true_, data = testdataset(params.dataset_name,
+                              color=bool(params.get("color")))
     n = int(params.num_samples)
     dt = _np_dtype(params)
     return (jnp.asarray(true_[:n], dt), jnp.asarray(data[:n], dt))
@@ -295,6 +298,26 @@ def generate_2d_tv_cost(dataset_name, parameter_range_1, parameter_range_2,
 # Result reporting
 # ---------------------------------------------------------------------------
 
+def _ssim_any(ref, img):
+    """SSIM of a grayscale (M, N) or planar color (C, M, N) image — the
+    color form is the per-channel mean (the common multichannel SSIM
+    convention; the reference is grayscale-only)."""
+    ref = np.asarray(ref)
+    if ref.ndim == 3:
+        return float(np.mean([ssim_np(ref[c], np.asarray(img)[c])
+                              for c in range(ref.shape[0])]))
+    return ssim_np(ref, img)
+
+
+def _write_image(path, img):
+    """Grayscale or planar-color PNG by shape."""
+    img = np.asarray(img)
+    if img.ndim == 3:
+        write_png_color(path, img)
+    else:
+        write_png_gray(path, img)
+
+
 def _write_quality_table(path: str, b, b_data, opt_img):
     """Per-image SSIM/PSNR table + means row (ref src/BPLDenoising.jl:195-215).
 
@@ -312,9 +335,9 @@ def _write_quality_table(path: str, b, b_data, opt_img):
         # host-side float64 metrics: device jnp runs are float32 unless
         # x64 is enabled, and report tables should not inherit that
         for i in range(O):
-            noisy_ssim = ssim_np(b[i], b_data[i])
+            noisy_ssim = _ssim_any(b[i], b_data[i])
             noisy_psnr = psnr_np(b[i], b_data[i])
-            out_ssim = ssim_np(b[i], opt_img[i])
+            out_ssim = _ssim_any(b[i], opt_img[i])
             out_psnr = psnr_np(b[i], opt_img[i])
             io.write(f"{i + 1}\t {noisy_ssim} \t {noisy_psnr} \t "
                      f"{out_ssim} \t {out_psnr}\n")
@@ -326,12 +349,12 @@ def _write_quality_table(path: str, b, b_data, opt_img):
 
 def _save_image_triplets(out_path, prefix, b, b_data, opt_img):
     for i in range(np.asarray(b).shape[0]):
-        write_png_gray(os.path.join(out_path, f"{prefix}_true_{i + 1}.png"),
-                       np.asarray(b)[i])
-        write_png_gray(os.path.join(out_path, f"{prefix}_data_{i + 1}.png"),
-                       np.asarray(b_data)[i])
-        write_png_gray(os.path.join(out_path, f"{prefix}_reco_{i + 1}.png"),
-                       np.asarray(opt_img)[i])
+        _write_image(os.path.join(out_path, f"{prefix}_true_{i + 1}.png"),
+                     np.asarray(b)[i])
+        _write_image(os.path.join(out_path, f"{prefix}_data_{i + 1}.png"),
+                     np.asarray(b_data)[i])
+        _write_image(os.path.join(out_path, f"{prefix}_reco_{i + 1}.png"),
+                     np.asarray(opt_img)[i])
 
 
 def save_results(params, b, b_data, x, opt_img, st):
@@ -511,7 +534,7 @@ def _fused_observability(params):
     save_iter_fn = None
     if params.get("save_iterations"):
         def save_iter_fn(it, img):
-            write_png_gray(
+            _write_image(
                 os.path.join(out_dir, f"{params.save_prefix}_iter_{it}.png"),
                 np.clip(img, 0, 1))
 
@@ -597,7 +620,7 @@ def _run_bilevel(params, learning_function, visualise, stretch_all=False):
         out = _out_dir(params)
 
         def save_iter_fn(it, img):
-            write_png_gray(
+            _write_image(
                 os.path.join(out, f"{params.save_prefix}_iter_{it}.png"),
                 np.clip(img, 0, 1))
 

@@ -64,8 +64,12 @@ def test_make_dataset_explicit_pairs_and_validation(tmp_path):
     np.testing.assert_allclose(noisy[0], d[0], atol=1 / 255)
     with pytest.raises(ValueError, match="empty"):
         make_dataset("x", [], out_root=str(tmp_path))
-    with pytest.raises(ValueError, match="2-D"):
+    # a 3-D first image selects the color branch, which demands planar
+    # (3, M, N); a 4-D one is rejected by the grayscale branch
+    with pytest.raises(ValueError, match=r"planar \(3, M, N\)"):
         make_dataset("x", [np.zeros((2, 2, 2))], out_root=str(tmp_path))
+    with pytest.raises(ValueError, match="2-D"):
+        make_dataset("x", [np.zeros((1, 2, 2, 2))], out_root=str(tmp_path))
     with pytest.raises(ValueError, match=r"\[0, 1\]"):
         make_dataset("x", [np.full((4, 4), 2.0)], out_root=str(tmp_path))
     with pytest.raises(ValueError, match="mismatch"):

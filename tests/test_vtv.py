@@ -187,3 +187,107 @@ class TestVTVLearning:
 
         g = jax.grad(loss)(jnp.asarray(0.1))
         assert jnp.isfinite(g)
+
+
+class TestVTVPallasKernel:
+    def test_matches_jnp_oracle(self, rng):
+        from bpldenoising_tpu.solvers.vtv_pallas import vtv_denoise_pdps_pallas
+        _, noisy = color_problem(rng, n=24, O=2)
+        f = noisy.astype(jnp.float64)
+        u0 = vtv_denoise(f, 0.1, maxiter=400)
+        u1 = vtv_denoise_pdps_pallas(f, 0.1, maxiter=400, interpret=True)
+        np.testing.assert_allclose(np.asarray(u1), np.asarray(u0),
+                                   atol=1e-12)
+
+    def test_map_alpha_warm_earlystop(self, rng):
+        from bpldenoising_tpu.solvers.vtv_pallas import vtv_denoise_pdps_pallas
+        _, noisy = color_problem(rng, n=16, O=1)
+        f = noisy
+        am = jnp.full((16, 16), 0.1) + 0.02 * jnp.asarray(rng.random((16, 16)))
+        u0 = vtv_denoise(f, am, maxiter=300)
+        u1, st = vtv_denoise_pdps_pallas(f, am, maxiter=300,
+                                         return_state=True, interpret=True)
+        np.testing.assert_allclose(np.asarray(u1), np.asarray(u0),
+                                   atol=1e-12)
+        # warm + in-kernel early stop chains toward the deeper solution
+        u2 = vtv_denoise_pdps_pallas(f, am, maxiter=2000, state0=st,
+                                     tol=1e-8, check_every=100,
+                                     interpret=True)
+        u_deep = vtv_denoise(f, am, maxiter=4000)
+        assert float(jnp.max(jnp.abs(u2 - u_deep))) < 1e-4
+
+    def test_jnp_state_format_accepted(self, rng):
+        from bpldenoising_tpu.solvers.vtv_pallas import vtv_denoise_pdps_pallas
+        _, noisy = color_problem(rng, n=16, O=1)
+        u, ys, _ = denoise_pdps(noisy, 0.1, _VTV, maxiter=200,
+                                return_dual=True)
+        u2 = vtv_denoise_pdps_pallas(noisy, 0.1, maxiter=100,
+                                     state0=(u, ys), interpret=True)
+        assert u2.shape == noisy.shape
+
+
+class TestColorIO:
+    def test_rgb_roundtrip_and_pil_parity(self, rng, tmp_path):
+        from bpldenoising_tpu.data.png_io import (_read_pil_color,
+                                                  read_png_color,
+                                                  write_png_color)
+        img = rng.random((3, 20, 28))
+        p = str(tmp_path / "c.png")
+        write_png_color(p, img)
+        back = read_png_color(p)
+        assert back.shape == (3, 20, 28)
+        assert float(np.max(np.abs(back - img))) < 1.0 / 255.0
+        np.testing.assert_allclose(back, _read_pil_color(p), atol=1e-12)
+
+    def test_gray_file_replicates_channels(self, rng, tmp_path):
+        from bpldenoising_tpu.data.png_io import (read_png_color,
+                                                  write_png_gray)
+        img = rng.random((12, 12))
+        p = str(tmp_path / "g.png")
+        write_png_gray(p, img)
+        c = read_png_color(p)
+        np.testing.assert_allclose(c[0], c[2], atol=0)
+
+    def test_color_dataset_loader(self):
+        from bpldenoising_tpu.data import testdataset
+        t, d = testdataset("color_disks", color=True)
+        assert t.ndim == 4 and t.shape[1] == 3
+        assert d.shape == t.shape
+        # grayscale mode of the same dataset still loads (luma)
+        tg, _ = testdataset("color_disks")
+        assert tg.shape == (t.shape[0],) + t.shape[2:]
+
+
+class TestVTVExperiments:
+    def test_scalar_learn_artifacts(self, tmp_path, monkeypatch):
+        import bpldenoising_tpu as bpl
+        monkeypatch.chdir(tmp_path)
+        res = bpl.scalar_bilevel_vtv_learn(dataset_name="color_disks",
+                                           maxiter=2, inner_maxiter=150,
+                                           num_samples=1)
+        out = tmp_path / "output" / "color_disks_128_10"
+        assert (out / "vtv_optimal_parameter_scalar_color_disks_128_10"
+                      "_quality.txt").exists()
+        reco = out / ("vtv_optimal_parameter_scalar_color_disks_128_10"
+                      "_reco_1.png")
+        assert reco.exists()
+        from bpldenoising_tpu.data.png_io import read_png_color
+        img = read_png_color(str(reco))
+        assert img.shape[0] == 3
+        assert float(res.x) > 0.0
+
+    def test_validate_writes_quality(self, tmp_path, monkeypatch):
+        import bpldenoising_tpu as bpl
+        monkeypatch.chdir(tmp_path)
+        out = bpl.validate_vtv_parameter(0.1, dataset_name="color_disks",
+                                         inner_maxiter=100)
+        assert 0.0 < out["mean_ssim"] <= 1.0
+        assert out["mean_psnr"] > 10.0
+
+    def test_method_guard(self):
+        import bpldenoising_tpu as bpl
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="method"):
+            bpl.scalar_bilevel_vtv_learn(dataset_name="color_disks",
+                                         method="tr_fused", maxiter=1,
+                                         inner_maxiter=50)
