@@ -631,6 +631,82 @@ def run(quick: bool = False, backend: str = "pallas",
             out["value"] = round(tgv_device, 4)
             return out
 
+    # --- vectorial (color) TV (beyond-reference model family) --------------
+    # NOTE: this section sits BELOW every pinned kernel call site above, so
+    # adding it did not shift their source lines (the compile-cache key is
+    # line-sensitive; BASELINE.md "Per-kernel-family salts").
+    if only in (None, "vtv"):
+        from bpldenoising_tpu.bilevel import bilevel_learn
+        from bpldenoising_tpu.data import testdataset
+        from bpldenoising_tpu.learning import make_vtv_learning_function
+        from bpldenoising_tpu.metrics import psnr
+
+        ct, cd = testdataset("color_disks_128_10", color=True)
+        cds = (jnp.asarray(ct, ds[0].dtype), jnp.asarray(cd, ds[0].dtype))
+
+        # bilevel learn: host TR, each evaluation one dispatch (coupled
+        # fused-kernel solve + implicit-CG vjp in a single jit)
+        vtv_lf = make_vtv_learning_function(maxiter=inner, backend=backend)
+        vtv_params = _params(outer) | dict(delta0=0.02)
+
+        def run_vtv():
+            res = bilevel_learn(cds, vtv_lf, xinit=np.asarray(0.05),
+                                params=vtv_params)
+            _sync(res.u)
+            return res
+
+        res_vtv = vtv_wall = None
+        try:
+            res_vtv, vtv_wall = _best_of(run_vtv)
+        except Exception as e:  # pragma: no cover - hardware-specific
+            print(f"vtv_learn failed: {e}", file=sys.stderr)
+
+        # raw channel-coupled kernel throughput (floor-subtracted device
+        # rate; batch-64 RGB = 192 image planes of state, ~3× TV batch-64)
+        vtv_rate_dev = None
+        try:
+            vtv_big = jnp.tile(cds[1], (11, 1, 1, 1))[:64]
+            vtv_iters = 200 if quick else 2000
+            if backend == "pallas":
+                from bpldenoising_tpu.solvers.vtv_pallas import \
+                    vtv_denoise_pdps_pallas
+                run_vtv_big = lambda: vtv_denoise_pdps_pallas(
+                    vtv_big, 0.1, maxiter=vtv_iters)
+            else:
+                from bpldenoising_tpu.solvers.pdps import vtv_denoise
+                run_vtv_big = lambda: vtv_denoise(
+                    vtv_big, 0.1, maxiter=vtv_iters)
+            _sync(run_vtv_big())
+            vtv_wall_big = vtv_floor = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                _sync(trivial(cds[1]))
+                vtv_floor = min(vtv_floor, time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                _sync(run_vtv_big())
+                vtv_wall_big = min(vtv_wall_big,
+                                   time.perf_counter() - t0)
+            vtv_device = max(vtv_wall_big - vtv_floor, 1e-9)
+            # pixel-iterations count channels (3 coupled planes per image)
+            vtv_rate_dev = 64 * 3 * 128 * 128 * vtv_iters / vtv_device / 1e9
+        except Exception as e:  # pragma: no cover - hardware-specific
+            print(f"vtv_throughput failed: {e}", file=sys.stderr)
+
+        if res_vtv is not None:
+            vtv_psnr = float(np.mean(np.asarray(psnr(cds[0], res_vtv.u))))
+            out.update({
+                "vtv_learn_walltime_s": round(vtv_wall, 4),
+                "vtv_learned_alpha": round(float(res_vtv.x), 6),
+                "vtv_final_cost": round(float(res_vtv.cost), 4),
+                "vtv_psnr_db": round(vtv_psnr, 3),
+            })
+        if vtv_rate_dev is not None:
+            out["vtv_gpix_iter_per_sec_batch64_device"] = round(
+                vtv_rate_dev, 2)
+        if only == "vtv":
+            out["value"] = round(vtv_device, 4)
+            return out
+
     return out
 
 
@@ -659,7 +735,8 @@ def main():
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--measure-baseline", action="store_true")
     ap.add_argument("--only", default=None,
-                    choices=["flagship", "one_kernel", "throughput", "tgv"],
+                    choices=["flagship", "one_kernel", "throughput", "tgv",
+                             "vtv"],
                     help="measure only one kernel family's section "
                          "(used by scripts/pin_schedule.py)")
     ap.add_argument("--flagship-only", action="store_true",
