@@ -236,3 +236,51 @@ def make_sharded_tgv_learning_function(
         return u[:O], cost, grad
 
     return learning_function
+
+
+def make_sharded_vtv_learning_function(
+        mesh: Mesh, *, maxiter: int = 5000, gamma: float = 1e-4,
+        cg_tol: float = 1e-6, cg_maxiter: int = 1000, backend: str = "jnp",
+        interpret: bool = False):
+    """Sharded equivalent of
+    :func:`bpldenoising_tpu.learning.vtv_learning_function` (beyond-reference
+    vectorial/color family): the (O, C, M, N) batch shards over the mesh on
+    the IMAGE axis (channels stay local — the Frobenius coupling is
+    per-pixel, so it never crosses chips), every chip runs the coupled
+    solve + implicit-CG vjp on its local sub-batch, and cost/gradient
+    ``psum`` over ICI.  Padded images solve to u = 0 = ū, so their whole
+    backward pass is identically zero; only the cost needs the explicit
+    weights.  The per-image CG dots (`cg_batched`) make the adjoint solve
+    grouping-invariant, so the sharded trajectory equals single-device."""
+    from ..solvers.vtv import make_diff_vtv_denoise
+    solve = make_diff_vtv_denoise(maxiter=maxiter, gamma=gamma,
+                                  cg_tol=cg_tol, cg_maxiter=cg_maxiter,
+                                  backend=backend, interpret=interpret)
+    b, r = P(BATCH_AXIS), P()
+    n_shards = mesh.shape[BATCH_AXIS]
+
+    def _local(x, utrue, f, w):
+        def cost_fn(x_):
+            u = solve(f, x_)
+            wb = w[:, None, None, None]
+            return 0.5 * jnp.sum(wb * (u - utrue) ** 2), u
+
+        (cost, u), grad = jax.value_and_grad(cost_fn, has_aux=True)(x)
+        return (u, jax.lax.psum(cost, BATCH_AXIS),
+                jax.lax.psum(grad, BATCH_AXIS))
+
+    fn = jax.jit(shard_map(_local, mesh=mesh, in_specs=(r, b, b, b),
+                           out_specs=(b, r, r), check_vma=False))
+
+    def learning_function(x, ds, delta):
+        del delta
+        utrue = jnp.asarray(ds[0])
+        f = jnp.asarray(ds[1], utrue.dtype)
+        O = utrue.shape[0]
+        utrue_p, w = pad_batch(utrue, n_shards)
+        f_p, _ = pad_batch(f, n_shards)
+        x = jnp.asarray(x, utrue.dtype)
+        u, cost, grad = fn(x, utrue_p, f_p, w)
+        return u[:O], cost, grad
+
+    return learning_function

@@ -390,3 +390,60 @@ class TestShardedTGV:
                             params=params)
         assert res.x.shape == (2,)
         assert np.all(np.asarray(res.x) > 0)
+
+
+class TestShardedVTV:
+    """Data-parallel vectorial (color) TV learning function (beyond-ref)."""
+
+    @staticmethod
+    def _color_ds(rng, n=16, O=8, sigma=0.1):
+        clean = np.clip(rng.random((O, 3, n, n)), 0.0, 1.0)
+        noisy = clean + sigma * rng.standard_normal((O, 3, n, n))
+        return jnp.asarray(clean), jnp.asarray(noisy)
+
+    def test_matches_single_device(self, rng, mesh):
+        from bpldenoising_tpu.learning import vtv_learning_function
+        from bpldenoising_tpu.parallel import \
+            make_sharded_vtv_learning_function
+        ds = self._color_ds(rng)
+        x = np.asarray(0.1)
+        lf = make_sharded_vtv_learning_function(
+            mesh, maxiter=300, cg_tol=1e-12, cg_maxiter=4000)
+        u_s, cost_s, grad_s = lf(x, ds, 0.01)
+        u_r, cost_r, grad_r = vtv_learning_function(
+            jnp.asarray(x), ds, 0.01, maxiter=300, cg_tol=1e-12,
+            cg_maxiter=4000)
+        np.testing.assert_allclose(np.asarray(u_s), np.asarray(u_r),
+                                   rtol=1e-10, atol=1e-12)
+        np.testing.assert_allclose(float(cost_s), float(cost_r), rtol=1e-10)
+        np.testing.assert_allclose(float(grad_s), float(grad_r), rtol=1e-6)
+
+    def test_uneven_batch_pallas_interpret(self, rng, mesh):
+        from bpldenoising_tpu.learning import vtv_learning_function
+        from bpldenoising_tpu.parallel import \
+            make_sharded_vtv_learning_function
+        ds = self._color_ds(rng, O=5)   # 5 images over 8 devices: padded
+        x = np.asarray(0.1)
+        lf = make_sharded_vtv_learning_function(
+            mesh, maxiter=150, backend="pallas", interpret=True,
+            cg_tol=1e-12, cg_maxiter=4000)
+        u_s, cost_s, grad_s = lf(x, ds, 0.01)
+        u_r, cost_r, grad_r = vtv_learning_function(
+            jnp.asarray(x), ds, 0.01, maxiter=150, cg_tol=1e-12,
+            cg_maxiter=4000)
+        assert u_s.shape == u_r.shape
+        np.testing.assert_allclose(float(cost_s), float(cost_r), rtol=1e-8)
+        np.testing.assert_allclose(float(grad_s), float(grad_r), rtol=5e-5)
+
+    def test_full_bilevel_loop(self, rng, mesh):
+        from bpldenoising_tpu.bilevel import bilevel_learn
+        from bpldenoising_tpu.parallel import \
+            make_sharded_vtv_learning_function
+        from bpldenoising_tpu.utils.config import Params
+        ds = self._color_ds(rng, sigma=0.15)
+        lf = make_sharded_vtv_learning_function(mesh, maxiter=200)
+        params = Params(eta1=0.25, eta2=0.75, beta1=0.25, beta2=1.9,
+                        delta0=0.02, maxiter=4, tol=1e-8, verbose_iter=0)
+        res = bilevel_learn(ds, lf, xinit=np.asarray(0.05), params=params)
+        assert float(res.x) > 0.0
+        assert np.isfinite(res.cost)
