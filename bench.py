@@ -661,6 +661,23 @@ def run(quick: bool = False, backend: str = "pallas",
         except Exception as e:  # pragma: no cover - hardware-specific
             print(f"vtv_learn failed: {e}", file=sys.stderr)
 
+        # fused one-dispatch trust region (same semantics, warm-started
+        # early-stopped inner solves chained in the while-loop carry)
+        vtv_fused_wall = res_vtvf = None
+        try:
+            from bpldenoising_tpu.bilevel import bilevel_learn_vtv_fused
+
+            def run_vtv_fused():
+                res = bilevel_learn_vtv_fused(
+                    cds, xinit=np.asarray(0.05), params=vtv_params,
+                    inner_maxiter=inner, inner_tol=1e-6, backend=backend)
+                _sync(res.u)
+                return res
+
+            res_vtvf, vtv_fused_wall = _best_of(run_vtv_fused)
+        except Exception as e:  # pragma: no cover - hardware-specific
+            print(f"vtv_fused failed: {e}", file=sys.stderr)
+
         # raw channel-coupled kernel throughput (floor-subtracted device
         # rate; batch-64 RGB = 192 image planes of state, ~3× TV batch-64)
         vtv_rate_dev = None
@@ -699,6 +716,12 @@ def run(quick: bool = False, backend: str = "pallas",
                 "vtv_learned_alpha": round(float(res_vtv.x), 6),
                 "vtv_final_cost": round(float(res_vtv.cost), 4),
                 "vtv_psnr_db": round(vtv_psnr, 3),
+            })
+        if res_vtvf is not None:
+            out.update({
+                "vtv_fused_walltime_s": round(vtv_fused_wall, 4),
+                "vtv_fused_alpha": round(float(res_vtvf.x), 6),
+                "vtv_fused_final_cost": round(float(res_vtvf.cost), 4),
             })
         if vtv_rate_dev is not None:
             out["vtv_gpix_iter_per_sec_batch64_device"] = round(

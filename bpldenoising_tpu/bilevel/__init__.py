@@ -8,6 +8,7 @@ from .first_order_tgv import single_loop_tgv_learn
 from .first_order_tgv_pallas import single_loop_tgv_pallas
 from .fused import FusedResult, bilevel_learn_fused
 from .fused_tgv import bilevel_learn_tgv_fused
+from .fused_vtv import bilevel_learn_vtv_fused
 from .harness import BilevelState, LiveView, bilevel_iterate
 from .trust_region import BilevelResult, TRModel, bilevel_learn, dogleg_box
 
@@ -19,5 +20,6 @@ __all__ = [
     "SingleLoopResult", "single_loop_tv_pallas", "single_loop_pallas",
     "single_loop_pallas_tiled",
     "first_order_pallas",
-    "bilevel_learn_fused", "bilevel_learn_tgv_fused", "FusedResult",
+    "bilevel_learn_fused", "bilevel_learn_tgv_fused",
+    "bilevel_learn_vtv_fused", "FusedResult",
 ]

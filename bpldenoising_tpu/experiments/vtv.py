@@ -50,9 +50,49 @@ def _resolve_backend(backend: str) -> str:
 
 def _check_method(params):
     m = params.get("method", "tr")
-    if m not in (None, "tr"):
+    if m not in (None, "tr", "tr_fused"):
         raise ValueError(f"VTV experiments support method='tr' (host trust "
-                         f"region) only for now, got {m!r}")
+                         f"region) or 'tr_fused' (one-dispatch on-device "
+                         f"loop), got {m!r}")
+
+
+def _run_vtv_fused(params, stretch_all=False):
+    """Fused on-device VTV trust-region path (``method='tr_fused'``):
+    identical TR semantics to the host loop but the whole outer loop is one
+    device program (:func:`..bilevel.fused_vtv.bilevel_learn_vtv_fused`).
+    ``log_every=j`` restores per-segment wall-clock logging, npz
+    checkpoint/resume and per-iterate snapshots (same hooks as every other
+    fused family)."""
+    import jax
+
+    from ..bilevel.fused_vtv import bilevel_learn_vtv_fused
+    from .api import (_fused_observability, _fused_to_result, _load,
+                      _stretched_inputs, linear_stretch, save_results)
+
+    backend = _resolve_backend(params.get("backend", "auto"))
+    mesh = None
+    if params.get("data_parallel"):
+        from ..parallel import make_batch_mesh
+        mesh = make_batch_mesh()
+    ds = _load(params)
+    (params, log_every, seg_cb, init_B, it_offset,
+     init_entries) = _fused_observability(params)
+    res = bilevel_learn_vtv_fused(
+        ds, xinit=jnp.asarray(params.alpha0, ds[0].dtype), params=params,
+        inner_maxiter=int(params.inner_maxiter),
+        inner_tol=params.get("inner_tol"),
+        gamma=(1e-4 if params.get("vtv_gamma") is None
+               else float(params.vtv_gamma)),
+        backend=backend, mesh=mesh,
+        interpret=backend == "pallas" and jax.default_backend() == "cpu",
+        log_every=None if log_every is None else int(log_every),
+        segment_callback=seg_cb, init_B=init_B)
+    out = _fused_to_result(res, it_offset=it_offset,
+                           init_entries=init_entries)
+    b, b_noisy = _stretched_inputs(ds, stretch_all)
+    save_results(params, b, b_noisy, out.x, linear_stretch(out.u),
+                 out.state)
+    return out
 
 
 def VTVDenoise(data, parameter, maxiter: int = 10000,
@@ -86,6 +126,8 @@ def scalar_bilevel_vtv_learn(visualise: bool = False, **kwargs):
     params = params | dict(save_prefix="vtv_optimal_parameter_scalar_"
                            + params.dataset_name)
     _check_method(params)
+    if params.get("method") == "tr_fused":
+        return _run_vtv_fused(params)
     lf_kwargs = dict(
         maxiter=int(params.inner_maxiter),
         backend=_resolve_backend(params.get("backend", "auto")))
@@ -109,6 +151,8 @@ def patch_bilevel_vtv_learn(visualise: bool = False, **kwargs):
         save_prefix=f"vtv_optimal_parameter_patch_{shape}_"
         + params.dataset_name)
     _check_method(params)
+    if params.get("method") == "tr_fused":
+        return _run_vtv_fused(params)
     lf_kwargs = dict(
         maxiter=int(params.inner_maxiter),
         backend=_resolve_backend(params.get("backend", "auto")))

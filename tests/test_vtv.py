@@ -291,3 +291,75 @@ class TestVTVExperiments:
             bpl.scalar_bilevel_vtv_learn(dataset_name="color_disks",
                                          method="tr_fused", maxiter=1,
                                          inner_maxiter=50)
+
+
+class TestFusedVTV:
+    def test_parity_with_host_loop(self, rng):
+        from bpldenoising_tpu.bilevel import (bilevel_learn,
+                                              bilevel_learn_vtv_fused)
+        from bpldenoising_tpu.learning.vtv import make_vtv_learning_function
+        from bpldenoising_tpu.utils.config import Params
+        clean, noisy = color_problem(rng, n=16, O=2, sigma=0.15)
+        ds = (clean, noisy)
+        params = Params(eta1=0.25, eta2=0.75, beta1=0.25, beta2=1.9,
+                        delta0=0.02, maxiter=5, tol=1e-8, verbose_iter=0)
+        host = bilevel_learn(ds, make_vtv_learning_function(maxiter=300),
+                             xinit=np.asarray(0.05), params=params)
+        fused = bilevel_learn_vtv_fused(ds, xinit=np.asarray(0.05),
+                                        params=params, inner_maxiter=300,
+                                        inner_tol=None, backend="jnp")
+        # inner_tol=None: every fused evaluation is the same computation as
+        # the host learning function → identical trajectory
+        assert float(host.x) == float(fused.x)
+        assert float(host.cost) == float(fused.cost)
+
+    def test_pallas_interpret_and_warm(self, rng):
+        from bpldenoising_tpu.bilevel import bilevel_learn_vtv_fused
+        from bpldenoising_tpu.utils.config import Params
+        clean, noisy = color_problem(rng, n=16, O=2, sigma=0.15)
+        params = Params(eta1=0.25, eta2=0.75, beta1=0.25, beta2=1.9,
+                        delta0=0.02, maxiter=5, tol=1e-8, verbose_iter=0)
+        ref = bilevel_learn_vtv_fused((clean, noisy), xinit=np.asarray(0.05),
+                                      params=params, inner_maxiter=2000,
+                                      inner_tol=None, backend="jnp")
+        warm = bilevel_learn_vtv_fused(
+            (clean, noisy), xinit=np.asarray(0.05), params=params,
+            inner_maxiter=2000, inner_tol=1e-8, backend="pallas",
+            interpret=True)
+        # warm-started early-stopped evaluations land in the same valley
+        assert abs(float(warm.x) - float(ref.x)) < 2e-3
+
+    def test_patch_grid_and_mesh(self, rng):
+        from bpldenoising_tpu.bilevel import bilevel_learn_vtv_fused
+        from bpldenoising_tpu.parallel import make_batch_mesh
+        from bpldenoising_tpu.utils.config import Params
+        clean, noisy = color_problem(rng, n=16, O=8, sigma=0.15)
+        params = Params(eta1=0.25, eta2=0.75, beta1=0.25, beta2=1.9,
+                        delta0=0.02, maxiter=3, tol=1e-8, verbose_iter=0)
+        # patch grid parameter through the fused loop
+        pres = bilevel_learn_vtv_fused(
+            (clean, noisy), xinit=0.05 * jnp.ones((2, 2)), params=params,
+            inner_maxiter=200, inner_tol=None, backend="jnp")
+        assert pres.x.shape == (2, 2)
+        assert np.isfinite(float(pres.cost))
+        # data-parallel: same loop, one dispatch, sharded batch
+        mesh = make_batch_mesh()
+        sres = bilevel_learn_vtv_fused(
+            (clean, noisy), xinit=np.asarray(0.05), params=params,
+            inner_maxiter=200, inner_tol=None, backend="jnp", mesh=mesh)
+        ures = bilevel_learn_vtv_fused(
+            (clean, noisy), xinit=np.asarray(0.05), params=params,
+            inner_maxiter=200, inner_tol=None, backend="jnp")
+        np.testing.assert_allclose(float(sres.x), float(ures.x), rtol=1e-6)
+
+    def test_experiment_front_end(self, tmp_path, monkeypatch):
+        import bpldenoising_tpu as bpl
+        monkeypatch.chdir(tmp_path)
+        res = bpl.scalar_bilevel_vtv_learn(dataset_name="color_disks",
+                                           maxiter=2, inner_maxiter=100,
+                                           num_samples=1, method="tr_fused",
+                                           log_every=1, checkpoint=True)
+        out = tmp_path / "output" / "color_disks_128_10"
+        assert (out / "vtv_optimal_parameter_scalar_color_disks_128_10"
+                      "_ckpt.npz").exists()
+        assert float(res.x) > 0.0
