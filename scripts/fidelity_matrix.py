@@ -125,6 +125,20 @@ def run_matrix(mode: str) -> dict:
         inner_maxiter=3000, inner_tol=None, backend=backend)
     record("tgv_pair_pyramid", ds, res, time.perf_counter() - t0)
 
+    # 6. vectorial (color) TV on color_disks (the family's home-turf
+    # dataset), fused trust region (host TR is bit-identical at
+    # inner_tol=None — tests/test_vtv.py::TestFusedVTV)
+    from bpldenoising_tpu.bilevel import bilevel_learn_vtv_fused
+    t, d = testdataset("color_disks_128_10", color=True)
+    dt = jnp.dtype(dtype)
+    ds = (jnp.asarray(t, dt), jnp.asarray(d, dt))
+    t0 = time.perf_counter()
+    res = bilevel_learn_vtv_fused(
+        ds, xinit=np.asarray(0.05),
+        params=tr_params(0.02) | dict(maxiter=15),
+        inner_maxiter=3000, inner_tol=None, backend=backend)
+    record("vtv_scalar_color_disks", ds, res, time.perf_counter() - t0)
+
     return results
 
 

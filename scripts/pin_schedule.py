@@ -59,6 +59,9 @@ PHASES = {
     # measured lottery spread is small (~4%), so a joint draw suffices
     "tgv": ("tgv", ("BPL_MOSAIC_SALT_TGV", "BPL_MOSAIC_SALT_TGV_MAP",
                     "BPL_MOSAIC_SALT_TGV_TILED")),
+    # vectorial (color) TV: one kernel family (the coupled 4-D-block
+    # kernel), scored on the batch-64 device throughput of --only vtv
+    "vtv": ("vtv", ("BPL_MOSAIC_SALT_VTV",)),
 }
 
 

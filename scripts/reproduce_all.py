@@ -111,6 +111,29 @@ def main():
              maxiter=sweep_iters, dtype=args.dtype),
              ex.generate_tgv_cost_plot("circle"))[-1])
 
+    # beyond-reference vectorial (color) TV family
+    vtv_common = dict(inner_maxiter=inner, maxiter=outer, dtype=args.dtype,
+                      backend=args.backend)
+    step("scalar_bilevel_vtv_learn (color_disks)",
+         lambda: ex.scalar_bilevel_vtv_learn(dataset_name="color_disks",
+                                             **vtv_common))
+    step("scalar_bilevel_vtv_learn method=tr_fused",
+         lambda: ex.scalar_bilevel_vtv_learn(dataset_name="color_disks",
+                                             method="tr_fused",
+                                             **vtv_common))
+    step("patch_bilevel_vtv_learn (2x2)",
+         lambda: ex.patch_bilevel_vtv_learn(dataset_name="color_disks",
+                                            **vtv_common))
+    step("validate_vtv_parameter",
+         lambda: ex.validate_vtv_parameter(
+             0.11, dataset_name="color_disks",
+             inner_maxiter=sweep_iters, dtype=args.dtype))
+    step("generate_vtv_cost + plot (color_disks)",
+         lambda: (ex.generate_vtv_cost(
+             "color_disks", np.logspace(-2.5, -0.3, points),
+             maxiter=sweep_iters, dtype=args.dtype),
+             ex.generate_vtv_cost_plot("color_disks"))[-1])
+
     # validations at plausible learned parameters
     step("validate_tv_parameter (0.07 on faces_val)",
          lambda: api.validate_tv_parameter(

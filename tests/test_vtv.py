@@ -289,8 +289,16 @@ class TestVTVExperiments:
         import pytest as _pytest
         with _pytest.raises(ValueError, match="method"):
             bpl.scalar_bilevel_vtv_learn(dataset_name="color_disks",
-                                         method="tr_fused", maxiter=1,
+                                         method="single_loop", maxiter=1,
                                          inner_maxiter=50)
+
+    def test_tr_fused_method_runs(self, tmp_path, monkeypatch):
+        import bpldenoising_tpu as bpl
+        monkeypatch.chdir(tmp_path)
+        res = bpl.scalar_bilevel_vtv_learn(dataset_name="color_disks",
+                                           method="tr_fused", maxiter=2,
+                                           inner_maxiter=50)
+        assert float(res.x) > 0.0
 
 
 class TestFusedVTV:
