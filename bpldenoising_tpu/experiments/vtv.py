@@ -50,10 +50,47 @@ def _resolve_backend(backend: str) -> str:
 
 def _check_method(params):
     m = params.get("method", "tr")
-    if m not in (None, "tr", "tr_fused"):
+    if m not in (None, "tr", "tr_fused", "single_loop"):
         raise ValueError(f"VTV experiments support method='tr' (host trust "
-                         f"region) or 'tr_fused' (one-dispatch on-device "
-                         f"loop), got {m!r}")
+                         f"region), 'tr_fused' (one-dispatch on-device "
+                         f"loop) or 'single_loop' (first-order), got {m!r}")
+
+
+def _run_vtv_single_loop(params, stretch_all=False):
+    """Single-loop first-order VTV path behind the same experiment surface
+    (``method='single_loop'``; artifacts match the TR paths')."""
+    from ..bilevel.first_order_vtv import single_loop_vtv_learn
+    from ..bilevel.harness import BilevelState
+    from ..bilevel.trust_region import BilevelResult
+    from ..viz.log import BilevelLogEntry
+    from .api import (_load, _reject_flags, _stretched_inputs,
+                      linear_stretch, save_results)
+
+    _reject_flags(params, "single_loop",
+                  ("checkpoint", "resume", "save_iterations", "inner_tol"))
+    mesh = None
+    if params.get("data_parallel"):
+        from ..parallel import make_batch_mesh
+        mesh = make_batch_mesh()
+    ds = _load(params)
+    res = single_loop_vtv_learn(
+        ds[0], ds[1], np.asarray(params.alpha0),
+        outer=int(params.sl_outer), n_inner=int(params.sl_inner),
+        n_adj=int(params.sl_adj), lr=float(params.sl_lr),
+        gamma=(1e-4 if params.get("vtv_gamma") is None
+               else float(params.vtv_gamma)), mesh=mesh)
+    st = BilevelState()
+    costs = np.asarray(res.cost_trajectory)
+    for i, c in enumerate(costs):
+        if (i + 1) % max(1, len(costs) // 20) == 0:
+            st.log.append(BilevelLogEntry(i + 1, 0.0, float(c), 0.0, 0.0,
+                                          0.0))
+    out = BilevelResult(x=np.asarray(res.alpha), u=np.asarray(res.u),
+                        state=st, cost=float(res.cost), g_norm=float("nan"),
+                        iterations=int(params.sl_outer))
+    b, b_noisy = _stretched_inputs(ds, stretch_all)
+    save_results(params, b, b_noisy, out.x, linear_stretch(out.u), st)
+    return out
 
 
 def _run_vtv_fused(params, stretch_all=False):
@@ -128,6 +165,8 @@ def scalar_bilevel_vtv_learn(visualise: bool = False, **kwargs):
     _check_method(params)
     if params.get("method") == "tr_fused":
         return _run_vtv_fused(params)
+    if params.get("method") == "single_loop":
+        return _run_vtv_single_loop(params)
     lf_kwargs = dict(
         maxiter=int(params.inner_maxiter),
         backend=_resolve_backend(params.get("backend", "auto")))
@@ -153,6 +192,8 @@ def patch_bilevel_vtv_learn(visualise: bool = False, **kwargs):
     _check_method(params)
     if params.get("method") == "tr_fused":
         return _run_vtv_fused(params)
+    if params.get("method") == "single_loop":
+        return _run_vtv_single_loop(params)
     lf_kwargs = dict(
         maxiter=int(params.inner_maxiter),
         backend=_resolve_backend(params.get("backend", "auto")))
