@@ -726,6 +726,27 @@ def run(quick: bool = False, backend: str = "pallas",
         if vtv_rate_dev is not None:
             out["vtv_gpix_iter_per_sec_batch64_device"] = round(
                 vtv_rate_dev, 2)
+
+        # single-loop first-order learner (one lax.scan dispatch; appended
+        # BELOW every earlier call site — see the line-sensitivity NOTE)
+        try:
+            from bpldenoising_tpu.bilevel import single_loop_vtv_learn
+
+            def run_vtv_sl():
+                res = single_loop_vtv_learn(cds[0], cds[1], 0.05,
+                                            outer=300, n_inner=40, n_adj=10)
+                _sync(res.u)
+                return res
+
+            r_vsl, vtv_sl_wall = _best_of(run_vtv_sl)
+            out.update({
+                "vtv_single_loop_walltime_s": round(vtv_sl_wall, 4),
+                "vtv_single_loop_alpha": round(float(r_vsl.alpha), 6),
+                "vtv_single_loop_final_cost": round(float(r_vsl.cost), 4),
+            })
+        except Exception as e:  # pragma: no cover - hardware-specific
+            print(f"vtv_single_loop failed: {e}", file=sys.stderr)
+
         if only == "vtv":
             out["value"] = round(vtv_device, 4)
             return out
