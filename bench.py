@@ -747,6 +747,25 @@ def run(quick: bool = False, backend: str = "pallas",
         except Exception as e:  # pragma: no cover - hardware-specific
             print(f"vtv_single_loop failed: {e}", file=sys.stderr)
 
+        # one-kernel learner (single color image, fully VMEM-resident)
+        try:
+            from bpldenoising_tpu.bilevel import single_loop_vtv_pallas
+
+            def run_vtv_ok():
+                a, u, _ = single_loop_vtv_pallas(cds[0][0], cds[1][0], 0.05,
+                                                 outer=300, n_inner=40,
+                                                 n_adj=10)
+                _sync(u)
+                return a
+
+            a_vok, vtv_ok_wall = _best_of(run_vtv_ok)
+            out.update({
+                "vtv_one_kernel_walltime_s": round(vtv_ok_wall, 4),
+                "vtv_one_kernel_alpha": round(float(a_vok), 6),
+            })
+        except Exception as e:  # pragma: no cover - hardware-specific
+            print(f"vtv_one_kernel failed: {e}", file=sys.stderr)
+
         if only == "vtv":
             out["value"] = round(vtv_device, 4)
             return out
