@@ -40,7 +40,9 @@ from ..ops.grad import (
 
 __all__ = ["denoise_pdps_row_sharded", "denoise_pdps_batch_row_sharded",
            "tgv_denoise_pdps_row_sharded",
-           "tgv_denoise_pdps_batch_row_sharded", "ROWS_AXIS"]
+           "tgv_denoise_pdps_batch_row_sharded",
+           "vtv_denoise_pdps_row_sharded",
+           "vtv_denoise_pdps_batch_row_sharded", "ROWS_AXIS"]
 
 ROWS_AXIS = "rows"
 
@@ -421,3 +423,113 @@ def denoise_pdps_batch_row_sharded(f, alphas, model: DenoiseModel,
                    in_specs=(P(BATCH_AXIS, ROWS_AXIS, None),) + a_specs,
                    out_specs=P(BATCH_AXIS, ROWS_AXIS, None))
     return jax.jit(fn)(f, *alphas)
+
+
+# ---------------------------------------------------------------------------
+# Row-sharded vectorial (color) TV
+# ---------------------------------------------------------------------------
+
+def _local_vtv(maxiter: int, tau_v, sigma_v):
+    """Per-shard channel-coupled CP body on a local (C, m, N) color block.
+
+    The channel axis is LOCAL (the Frobenius coupling is per-pixel, so no
+    collective touches it); the vmapped row stencils batch each halo
+    exchange into one ``ppermute`` carrying all C boundary rows.  Numerics
+    mirror :func:`..solvers.pdps._pdps_step` on ``vtv_model`` (accelerated,
+    γ = 1 data term)."""
+    row_fwd = jax.vmap(_dplus_rows)
+    row_adj = jax.vmap(_dplus_T_rows)
+
+    def local(f_blk, a_blk):
+        tiny = jnp.asarray(jnp.finfo(f_blk.dtype).tiny, f_blk.dtype)
+        u = f_blk
+        zeros = 0.0 * f_blk      # keeps the mesh-varying type of the data
+        px = zeros
+        py = zeros
+
+        def body(_, carry):
+            u, px, py, tau, sigma = carry
+            div = row_adj(px) + dplus_T(py, -1)
+            u_new = (u - tau * (div - f_blk)) / (1.0 + tau)
+            omega = lax.rsqrt(1.0 + 2.0 * tau)
+            tau, sigma = tau * omega, sigma / omega
+            ubar = (1.0 + omega) * u_new - omega * u
+            qx = px + sigma * row_fwd(ubar)
+            qy = py + sigma * dplus(ubar, -1)
+            # channel-coupled Frobenius projection: one scale per pixel
+            # shared by all 2C components
+            n = jnp.sqrt(jnp.sum(qx * qx + qy * qy, axis=0, keepdims=True))
+            scale = jnp.where(n <= a_blk, 1.0,
+                              a_blk / jnp.maximum(n, tiny))
+            return u_new, qx * scale, qy * scale, tau, sigma
+
+        u, _, _, _, _ = lax.fori_loop(
+            0, maxiter, body, (u, px, py, tau_v, sigma_v))
+        return u
+
+    return local
+
+
+def vtv_denoise_pdps_row_sharded(f, alpha, mesh: Mesh, *, tau0=5.0,
+                                 sigma0=0.99 / 5.0, maxiter=5000):
+    """Channel-coupled vectorial-TV PDPS on a single (C, M, N) color image
+    row-sharded over ``mesh`` — the spatial-decomposition analogue of
+    :func:`..solvers.pdps.vtv_denoise` for color images beyond one chip
+    (C× the planes of the grayscale solver, so the VMEM ceiling arrives
+    at C× smaller resolutions).  ``alpha`` is a scalar or an (M, N) map
+    (sharded by rows, shared across channels).  M must divide by the mesh
+    size."""
+    from ..models import vtv_model
+    f = jnp.asarray(f)
+    if f.ndim != 3:
+        raise ValueError(
+            "row-sharded VTV expects a single (C, M, N) color image")
+    a = jnp.asarray(alpha, f.dtype)
+    n_shards = mesh.shape[ROWS_AXIS]
+    if f.shape[1] % n_shards:
+        raise ValueError(
+            f"rows {f.shape[1]} not divisible by mesh size {n_shards}")
+    L = jnp.sqrt(jnp.asarray(vtv_model().opnorm_sq(), f.dtype))
+    tau_v = jnp.asarray(tau0, f.dtype) / L
+    sigma_v = jnp.asarray(sigma0, f.dtype) / L
+    a_spec = P(ROWS_AXIS, None) if a.ndim >= 2 else P()
+    local = _local_vtv(int(maxiter), tau_v, sigma_v)
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(None, ROWS_AXIS, None), a_spec),
+                   out_specs=P(None, ROWS_AXIS, None))
+    return jax.jit(fn)(f, a)
+
+
+def vtv_denoise_pdps_batch_row_sharded(f, alpha, mesh: Mesh, *, tau0=5.0,
+                                       sigma0=0.99 / 5.0, maxiter=5000):
+    """Vectorial TV on an (O, C, M, N) color stack over a 2-D
+    (batch × rows) mesh — data parallelism composed with spatial
+    decomposition (channels local; one batched ``ppermute`` per stencil
+    application carries every local image's C boundary rows at once)."""
+    from ..models import vtv_model
+    f = jnp.asarray(f)
+    if f.ndim != 4:
+        raise ValueError("expected an (O, C, M, N) color stack")
+    a = jnp.asarray(alpha, f.dtype)
+    from .mesh import BATCH_AXIS
+    n_batch = mesh.shape[BATCH_AXIS]
+    n_rows = mesh.shape[ROWS_AXIS]
+    if f.shape[0] % n_batch:
+        raise ValueError(
+            f"batch {f.shape[0]} not divisible by mesh axis {n_batch}")
+    if f.shape[2] % n_rows:
+        raise ValueError(
+            f"rows {f.shape[2]} not divisible by mesh axis {n_rows}")
+    L = jnp.sqrt(jnp.asarray(vtv_model().opnorm_sq(), f.dtype))
+    tau_v = jnp.asarray(tau0, f.dtype) / L
+    sigma_v = jnp.asarray(sigma0, f.dtype) / L
+    a_spec = P(ROWS_AXIS, None) if a.ndim >= 2 else P()
+    local = _local_vtv(int(maxiter), tau_v, sigma_v)
+
+    def local_batched(f_blk, a_blk):
+        return jax.vmap(lambda fi: local(fi, a_blk))(f_blk)
+
+    fn = shard_map(local_batched, mesh=mesh,
+                   in_specs=(P(BATCH_AXIS, None, ROWS_AXIS, None), a_spec),
+                   out_specs=P(BATCH_AXIS, None, ROWS_AXIS, None))
+    return jax.jit(fn)(f, a)

@@ -173,3 +173,44 @@ class TestRowShardedTGV:
                                    atol=1e-10)
         np.testing.assert_allclose(np.asarray(w), np.asarray(w_ref),
                                    atol=1e-10)
+
+
+class TestRowShardedVTV:
+    def test_scalar_matches(self, mesh, rng):
+        from bpldenoising_tpu.parallel.halo import (
+            vtv_denoise_pdps_row_sharded)
+        from bpldenoising_tpu.solvers.pdps import vtv_denoise
+        f = jnp.asarray(rng.standard_normal((3, 32, 16)))
+        u_ref = vtv_denoise(f, 0.1, maxiter=400)
+        u = vtv_denoise_pdps_row_sharded(f, 0.1, mesh, maxiter=400)
+        np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref),
+                                   atol=1e-10)
+
+    def test_alpha_map_matches(self, mesh, rng):
+        from bpldenoising_tpu.parallel.halo import (
+            vtv_denoise_pdps_row_sharded)
+        from bpldenoising_tpu.solvers.pdps import vtv_denoise
+        f = jnp.asarray(rng.standard_normal((3, 32, 16)))
+        amap = jnp.asarray(0.05 + 0.1 * rng.uniform(size=(32, 16)))
+        u_ref = vtv_denoise(f, amap, maxiter=300)
+        u = vtv_denoise_pdps_row_sharded(f, amap, mesh, maxiter=300)
+        np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref),
+                                   atol=1e-10)
+
+    def test_indivisible_raises(self, mesh):
+        from bpldenoising_tpu.parallel.halo import (
+            vtv_denoise_pdps_row_sharded)
+        with pytest.raises(ValueError, match="rows 30"):
+            vtv_denoise_pdps_row_sharded(jnp.zeros((3, 30, 16)), 0.1, mesh)
+
+    def test_batch_rows_matches(self, rng):
+        from bpldenoising_tpu.parallel import make_batch_rows_mesh
+        from bpldenoising_tpu.parallel.halo import (
+            vtv_denoise_pdps_batch_row_sharded)
+        from bpldenoising_tpu.solvers.pdps import vtv_denoise
+        mesh2d = make_batch_rows_mesh(2, 4)
+        f = jnp.asarray(rng.standard_normal((4, 3, 32, 16)))
+        u_ref = vtv_denoise(f, 0.1, maxiter=200)
+        u = vtv_denoise_pdps_batch_row_sharded(f, 0.1, mesh2d, maxiter=200)
+        np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref),
+                                   atol=1e-10)
