@@ -93,8 +93,19 @@ def main():
         f"TPU total: {sum(t['wall_s'] for t in tpu.values()):.1f} s.",
     ]
     out = os.path.join(HERE, "..", "FIDELITY.md")
+    # preserve hand-written adjudication sections appended after the
+    # generated block (everything from the first marker onward)
+    marker = "<!-- adjudications: hand-written below, preserved -->"
+    tail = ""
+    if os.path.exists(out):
+        with open(out) as fh:
+            old = fh.read()
+        if marker in old:
+            tail = old[old.index(marker):]
     with open(out, "w") as fh:
         fh.write("\n".join(lines) + "\n")
+        if tail:
+            fh.write("\n" + tail)
     print(f"wrote {os.path.abspath(out)}")
 
 
