@@ -51,6 +51,14 @@ def main(argv=None):
         p.add_argument("--trace", default=None, metavar="DIR",
                        help="capture a jax.profiler trace of the run into "
                             "DIR (view in TensorBoard/Perfetto)")
+        p.add_argument("--sl-outer", type=int, default=None,
+                       help="single_loop: outer (Adam) steps")
+        p.add_argument("--sl-inner", type=int, default=None,
+                       help="single_loop: PD iterations per outer step")
+        p.add_argument("--sl-adj", type=int, default=None,
+                       help="single_loop: adjoint CG steps per outer step")
+        p.add_argument("--sl-lr", type=float, default=None,
+                       help="single_loop: Adam rate on log alpha")
 
     p = sub.add_parser("scalar-tv");      common(p)
     p.add_argument("--alpha0", type=float, default=0.1)
@@ -162,6 +170,10 @@ def _dispatch(args):
             d["dtype"] = args.dtype
         if getattr(args, "log_every", None) is not None:
             d["log_every"] = args.log_every
+        for k in ("sl_outer", "sl_inner", "sl_adj", "sl_lr"):
+            v = getattr(args, k, None)
+            if v is not None:
+                d[k] = v
         return d
 
     from bpldenoising_tpu.utils.profiling import trace as _trace

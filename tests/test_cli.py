@@ -56,3 +56,11 @@ def test_make_dataset_cli(tmp_path, capsys):
     main(["make-dataset", "cliext_8_0", "--from-images",
           os.path.join(out_dir, "clicircle_32_10_true_1.png"),
           "--out-root", str(tmp_path / "ds2")])
+
+
+def test_single_loop_budget_flags(capsys):
+    main(["scalar-tv", "--dataset", "circle", "--method", "single_loop",
+          "--sl-outer", "5", "--sl-inner", "10", "--sl-adj", "3",
+          "--sl-lr", "0.05"])
+    out = capsys.readouterr().out
+    assert "iterations = 5" in out
