@@ -766,6 +766,20 @@ def run(quick: bool = False, backend: str = "pallas",
         except Exception as e:  # pragma: no cover - hardware-specific
             print(f"vtv_one_kernel failed: {e}", file=sys.stderr)
 
+        # beyond-VMEM color scaling point: 1024² RGB (~96 MiB of state if
+        # resident) routes to the jnp/HBM rung — a tiled color kernel was
+        # measured-rejected (BASELINE.md); this guards the routed path
+        if not quick and backend == "pallas":
+            try:
+                from bpldenoising_tpu.solvers.vtv_pallas import \
+                    vtv_denoise_pdps_pallas as _vtv_pallas
+                big_c = jnp.tile(cds[1][:1], (1, 1, 8, 8))  # (1, 3, 1024, 1024)
+                run_vtv_1024 = lambda: _vtv_pallas(big_c, 0.1, maxiter=2000)
+                _, vtv_1024_wall = _best_of(run_vtv_1024, n=3)
+                out["vtv_1024_walltime_s"] = round(vtv_1024_wall, 4)
+            except Exception as e:  # pragma: no cover - hardware-specific
+                print(f"vtv_1024 failed: {e}", file=sys.stderr)
+
         if only == "vtv":
             out["value"] = round(vtv_device, 4)
             return out

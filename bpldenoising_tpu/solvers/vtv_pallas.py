@@ -12,9 +12,10 @@ VMEM and the stencils/masks are the shape-polymorphic helpers imported from
 :mod:`.pdps_pallas` (imported, not copied — that module's source lines are
 pinned by the executable cache and must not shift).
 
-Routing: batch-chunked VMEM kernel → whole-image residency → jnp/HBM path
-(no spatially-tiled color rung yet; beyond-VMEM color images take the jnp
-path, documented in DESIGN.md's routing ladder).
+Routing: batch-chunked VMEM kernel → whole-image residency → jnp/HBM
+path.  Unlike the grayscale ladder there is no tiled rung: it was built
+and measured-rejected (see the routing comment in ``_vtv_pallas_impl``
+and BASELINE.md "VTV tiled rung: rejected, measured").
 """
 
 from __future__ import annotations
@@ -158,8 +159,14 @@ def _vtv_pallas_impl(f, alpha, state0=None, *, tau0, sigma0, maxiter,
                                      alpha_is_map, extra,
                                      _RESIDENT_BUDGET))
     if chunk < 1:
-        # beyond-VMEM color image: HBM-resident jnp path (no tiled color
-        # rung yet)
+        # beyond-VMEM color image: HBM-resident jnp path.  A spatially-
+        # tiled color rung was built and MEASURED REJECTED (round 3): C×
+        # the planes shrink the per-tile row budget to ~40-56 rows at
+        # N=1024, so the 2H halo is 30-80% redundant compute — best
+        # geometry (56 rows, T=4) ties jnp at 0.197 vs 0.194 s (1×1024²
+        # RGB, 2000 iters, v5e) and no tile fits at 2048²; XLA's fused
+        # HBM-streaming path is the right rung here (BASELINE.md "VTV
+        # tiled rung: rejected, measured").
         from .pdps import _denoise_pdps_impl
         out = _denoise_pdps_impl(
             f, (alpha,), state0 if state0 is None else

@@ -59,9 +59,10 @@ PHASES = {
     # measured lottery spread is small (~4%), so a joint draw suffices
     "tgv": ("tgv", ("BPL_MOSAIC_SALT_TGV", "BPL_MOSAIC_SALT_TGV_MAP",
                     "BPL_MOSAIC_SALT_TGV_TILED")),
-    # vectorial (color) TV: one kernel family (the coupled 4-D-block
-    # kernel), scored on the batch-64 device throughput of --only vtv
-    "vtv": ("vtv", ("BPL_MOSAIC_SALT_VTV",)),
+    # vectorial (color) TV: the coupled 4-D-block kernel plus the
+    # one-kernel-learner family swept in lockstep (both exercised by
+    # --only vtv), scored on the batch-64 device throughput
+    "vtv": ("vtv", ("BPL_MOSAIC_SALT_VTV", "BPL_MOSAIC_SALT_OK_VTV")),
 }
 
 

@@ -289,7 +289,7 @@ class TestVTVExperiments:
         import pytest as _pytest
         with _pytest.raises(ValueError, match="method"):
             bpl.scalar_bilevel_vtv_learn(dataset_name="color_disks",
-                                         method="single_loop", maxiter=1,
+                                         method="bogus", maxiter=1,
                                          inner_maxiter=50)
 
     def test_tr_fused_method_runs(self, tmp_path, monkeypatch):
