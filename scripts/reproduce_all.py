@@ -44,6 +44,14 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     if args.dtype == "float64":
         jax.config.update("jax_enable_x64", True)
+        if not args.cpu:
+            # f64 is the CPU-oracle mode; TPUs lack f64 kernels for parts
+            # of the path (e.g. LuDecomposition in the fused TR's dense
+            # model solve), so route the whole run to CPU.  TPU runs use
+            # --dtype float32 --backend pallas.
+            print("dtype=float64 -> forcing the CPU platform (oracle "
+                  "mode); use --dtype float32 for TPU", file=sys.stderr)
+            jax.config.update("jax_platforms", "cpu")
 
     import bpldenoising_tpu.experiments.api as api
 
