@@ -129,6 +129,12 @@ def main():
          lambda: ex.scalar_bilevel_vtv_learn(dataset_name="color_disks",
                                              method="tr_fused",
                                              **vtv_common))
+    step("scalar_bilevel_vtv_learn method=single_loop",
+         lambda: ex.scalar_bilevel_vtv_learn(dataset_name="color_disks",
+                                             method="single_loop",
+                                             sl_outer=(20 if args.quick
+                                                       else 300),
+                                             **vtv_common))
     step("patch_bilevel_vtv_learn (2x2)",
          lambda: ex.patch_bilevel_vtv_learn(dataset_name="color_disks",
                                             **vtv_common))
