@@ -58,3 +58,9 @@ from .solvers import diff_vtv_denoise, vtv_denoise
 __all__ += ["VTVDenoise", "scalar_bilevel_vtv_learn",
             "patch_bilevel_vtv_learn", "validate_vtv_parameter",
             "vtv_learning_function", "diff_vtv_denoise", "vtv_denoise"]
+
+from .experiments import (TVL1Denoise, generate_tvl1_cost,
+                          generate_tvl1_cost_plot, validate_tvl1_parameter)
+from .solvers import tvl1_denoise, tvl1_energy
+__all__ += ["TVL1Denoise", "validate_tvl1_parameter", "generate_tvl1_cost",
+            "generate_tvl1_cost_plot", "tvl1_denoise", "tvl1_energy"]

@@ -116,6 +116,13 @@ def main(argv=None):
     p.add_argument("parameter", type=float)
     p.add_argument("--dataset", default="color_disks_128_10")
 
+    p = sub.add_parser("validate-tvl1", help="TV-L1 (robust L1 data term, "
+                       "impulse noise) denoise at a fixed weight + quality "
+                       "table — beyond-reference noise model")
+    p.add_argument("parameter", type=float)
+    p.add_argument("--dataset", default="circle_sp_128_20")
+    p.add_argument("--maxiter", type=int, default=10000)
+
     p = sub.add_parser(
         "make-dataset",
         help="synthesize a loadable (true, noisy) PNG dataset from images "
@@ -133,6 +140,12 @@ def main(argv=None):
     p.add_argument("--sigma", type=float, default=0.1,
                    help="Gaussian noise std in [0,1] units (0.1 = the "
                         "reference's _10 datasets)")
+    p.add_argument("--noise", default="gaussian",
+                   choices=["gaussian", "impulse"],
+                   help="impulse = salt-and-pepper at --density "
+                        "(TV-L1's noise model)")
+    p.add_argument("--density", type=float, default=0.2,
+                   help="impulse-noise pixel fraction")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out-root", default=None,
                    help="parent dir (default: the bundled datasets dir)")
@@ -248,7 +261,8 @@ def _dispatch(args):
         print(out["cost"], out["mean_psnr"])
         return
     elif args.cmd == "make-dataset":
-        from bpldenoising_tpu.data import (affine_phantom, circle_phantom,
+        from bpldenoising_tpu.data import (add_impulse_noise,
+                                           affine_phantom, circle_phantom,
                                            make_dataset, read_png_gray)
         if args.from_images:
             imgs = [read_png_gray(f) for f in args.from_images]
@@ -257,9 +271,20 @@ def _dispatch(args):
         else:
             imgs = [affine_phantom(args.size, kind=args.phantom,
                                    seed=args.seed)]
+        noisy = None
+        if args.noise == "impulse":
+            noisy = [add_impulse_noise(im, args.density, args.seed)
+                     for im in imgs]
         out = make_dataset(args.name, imgs, sigma=args.sigma,
-                           seed=args.seed, out_root=args.out_root)
+                           seed=args.seed, out_root=args.out_root,
+                           noisy_images=noisy)
         print(out)
+        return
+    elif args.cmd == "validate-tvl1":
+        out = ex.validate_tvl1_parameter(args.parameter,
+                                         dataset_name=args.dataset,
+                                         inner_maxiter=args.maxiter)
+        print(out["cost"], out["mean_psnr"])
         return
     elif args.cmd == "cost-sweep":
         costs = ex.generate_scalar_tv_cost(

@@ -5,8 +5,8 @@ from .datasets import (
     remotedatasets,
     testdataset,
 )
-from .generate import (add_noise, affine_phantom, circle_phantom,
-                       color_phantom, make_dataset)
+from .generate import (add_impulse_noise, add_noise, affine_phantom,
+                       circle_phantom, color_phantom, make_dataset)
 from .png_io import (read_png_color, read_png_gray, write_png_color,
                      write_png_gray)
 
@@ -15,5 +15,5 @@ __all__ = [
     "dataset_dir", "read_png_gray", "write_png_gray",
     "read_png_color", "write_png_color",
     "circle_phantom", "affine_phantom", "color_phantom", "add_noise",
-    "make_dataset",
+    "add_impulse_noise", "make_dataset",
 ]

@@ -29,7 +29,9 @@ __all__ = ["testdataset", "load_dataset", "full_datasetname",
 # piecewise-AFFINE phantom synthesized by data.generate — the TGV²
 # family's home-turf counterpart to the reference's circle disk — and
 # color_disks_128_10, a bundled RGB piecewise-constant phantom set for
-# the channel-coupled vectorial-TV family, loaded with color=True)
+# the channel-coupled vectorial-TV family, loaded with color=True, and
+# circle_sp_128_20, the circle disk under 20% salt-and-pepper impulse
+# noise — the TV-L1 family's home turf, solvers/tvl1.py)
 remotedatasets = [
     "cameraman_128_5",
     "cameraman_128_10",
@@ -38,6 +40,7 @@ remotedatasets = [
     "circle_128_10",
     "pyramid_128_10",
     "color_disks_128_10",
+    "circle_sp_128_20",
 ]
 
 def _resolve_dataset_dir() -> str:

@@ -32,7 +32,7 @@ from . import datasets as _registry
 from .png_io import write_png_color, write_png_gray
 
 __all__ = ["circle_phantom", "affine_phantom", "color_phantom", "add_noise",
-           "make_dataset"]
+           "add_impulse_noise", "make_dataset"]
 
 
 def circle_phantom(size: int = 128, radius: float = 0.3,
@@ -124,6 +124,21 @@ def add_noise(img: np.ndarray, sigma: float,
         rng = np.random.default_rng(rng)
     noisy = np.asarray(img, np.float64) + rng.normal(0.0, sigma, img.shape)
     return np.clip(noisy, 0.0, 1.0)
+
+
+def add_impulse_noise(img: np.ndarray, density: float,
+                      rng: np.random.Generator | int | None = 0
+                      ) -> np.ndarray:
+    """Salt-and-pepper noise: a ``density`` fraction of pixels is replaced
+    by 0 or 1 (equal probability).  The noise model matched by the TV-L1
+    data term (:mod:`..solvers.tvl1`) rather than the reference's
+    Gaussian/L2 pairing."""
+    if not isinstance(rng, np.random.Generator):
+        rng = np.random.default_rng(rng)
+    img = np.asarray(img, np.float64)
+    hit = rng.uniform(size=img.shape) < density
+    salt = rng.uniform(size=img.shape) < 0.5
+    return np.where(hit, np.where(salt, 1.0, 0.0), img)
 
 
 def make_dataset(name: str, true_images, sigma: float = 0.1,

@@ -48,3 +48,8 @@ __all__ += ["VTVDenoise", "scalar_bilevel_vtv_learn",
             "patch_bilevel_vtv_learn", "vtv_bilevel_params",
             "patch_vtv_bilevel_params", "validate_vtv_parameter",
             "generate_vtv_cost", "generate_vtv_cost_plot"]
+
+from .tvl1 import (TVL1Denoise, generate_tvl1_cost, generate_tvl1_cost_plot,
+                   tvl1_params, validate_tvl1_parameter)
+__all__ += ["TVL1Denoise", "validate_tvl1_parameter", "tvl1_params",
+            "generate_tvl1_cost", "generate_tvl1_cost_plot"]

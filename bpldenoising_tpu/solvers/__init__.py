@@ -22,3 +22,6 @@ from .vtv import (vtv_implicit_cotangents, diff_vtv_denoise,
                   make_diff_vtv_denoise)
 __all__ += ["vtv_denoise", "vtv_implicit_cotangents", "diff_vtv_denoise",
             "make_diff_vtv_denoise"]
+
+from .tvl1 import tvl1_denoise, tvl1_energy
+__all__ += ["tvl1_denoise", "tvl1_energy"]
