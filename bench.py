@@ -784,6 +784,51 @@ def run(quick: bool = False, backend: str = "pallas",
             out["value"] = round(vtv_device, 4)
             return out
 
+    # --- TV-L1 (beyond-reference noise-model family) -----------------------
+    # NOTE: sits BELOW every pinned call site above (line-sensitivity NOTE)
+    if only in (None, "tvl1"):
+        from bpldenoising_tpu.data import testdataset
+        from bpldenoising_tpu.metrics import psnr
+
+        spt, spd = testdataset("circle_sp_128_20")
+        spt = jnp.asarray(spt, ds[0].dtype)
+        spd = jnp.asarray(spd, ds[0].dtype)
+
+        tvl1_device = None
+        try:
+            if backend == "pallas":
+                from bpldenoising_tpu.solvers.tvl1_pallas import \
+                    tvl1_denoise_pallas as _tvl1
+            else:
+                from bpldenoising_tpu.solvers.tvl1 import \
+                    tvl1_denoise as _tvl1
+            # quality at the sweep-selected weight
+            u_sp = _tvl1(spd, 0.9, maxiter=200 if quick else 10000)
+            _sync(u_sp)
+            out["tvl1_psnr_db"] = round(
+                float(np.mean(np.asarray(psnr(spt, u_sp)))), 3)
+            # batch-64 device throughput, floor-subtracted
+            sp_big = jnp.tile(spd, (64, 1, 1))
+            sp_iters = 200 if quick else 2000
+            run_tvl1 = lambda: _tvl1(sp_big, 0.9, maxiter=sp_iters)
+            _sync(run_tvl1())
+            t_wall = t_floor = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                _sync(trivial(spd))
+                t_floor = min(t_floor, time.perf_counter() - t0)
+                t0 = time.perf_counter()
+                _sync(run_tvl1())
+                t_wall = min(t_wall, time.perf_counter() - t0)
+            tvl1_device = max(t_wall - t_floor, 1e-9)
+            out["tvl1_gpix_iter_per_sec_batch64_device"] = round(
+                64 * 128 * 128 * sp_iters / tvl1_device / 1e9, 2)
+        except Exception as e:  # pragma: no cover - hardware-specific
+            print(f"tvl1 failed: {e}", file=sys.stderr)
+        if only == "tvl1":
+            out["value"] = round(tvl1_device or 0.0, 4)
+            return out
+
     return out
 
 
@@ -813,7 +858,7 @@ def main():
     ap.add_argument("--measure-baseline", action="store_true")
     ap.add_argument("--only", default=None,
                     choices=["flagship", "one_kernel", "throughput", "tgv",
-                             "vtv"],
+                             "vtv", "tvl1"],
                     help="measure only one kernel family's section "
                          "(used by scripts/pin_schedule.py)")
     ap.add_argument("--flagship-only", action="store_true",

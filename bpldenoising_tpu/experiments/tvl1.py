@@ -37,10 +37,20 @@ __all__ = ["TVL1Denoise", "validate_tvl1_parameter", "generate_tvl1_cost",
 tvl1_params = Params(alpha0=1.0, inner_maxiter=10000)
 
 
-def TVL1Denoise(data, parameter, maxiter: int = 10000):
+def _resolve_backend(backend: str) -> str:
+    if backend == "auto":
+        import jax
+        return "pallas" if jax.default_backend() != "cpu" else "jnp"
+    return backend
+
+
+def TVL1Denoise(data, parameter, maxiter: int = 10000,
+                backend: str = "auto"):
     """Batched TV-L1 denoising of (O, M, N) / (M, N) stacks at a fixed
     scalar α, (M, N) map, or (m, n) patch grid (the impulse-noise
-    companion of ``TVDenoise``, ref ``src/BPLDenoising.jl:41-82``)."""
+    companion of ``TVDenoise``, ref ``src/BPLDenoising.jl:41-82``).
+    ``backend="auto"`` runs the fused VMEM-resident kernel
+    (:mod:`..solvers.tvl1_pallas`) on accelerators."""
     data = jnp.asarray(data)
     p = np.asarray(parameter, np.float64)
     if p.ndim == 2 and p.shape != tuple(data.shape[-2:]):
@@ -52,6 +62,9 @@ def TVL1Denoise(data, parameter, maxiter: int = 10000):
     else:
         raise ValueError(f"TV-L1 parameter must be a scalar, (M, N) map "
                          f"or (m, n) patch grid, got shape {p.shape}")
+    if _resolve_backend(backend) == "pallas":
+        from ..solvers.tvl1_pallas import tvl1_denoise_pallas
+        return tvl1_denoise_pallas(data, alpha, maxiter=maxiter)
     return tvl1_denoise(data, alpha, maxiter=maxiter)
 
 

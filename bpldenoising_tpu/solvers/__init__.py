@@ -25,3 +25,5 @@ __all__ += ["vtv_denoise", "vtv_implicit_cotangents", "diff_vtv_denoise",
 
 from .tvl1 import tvl1_denoise, tvl1_energy
 __all__ += ["tvl1_denoise", "tvl1_energy"]
+from .tvl1_pallas import tvl1_denoise_pallas
+__all__ += ["tvl1_denoise_pallas"]

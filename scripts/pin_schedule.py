@@ -63,6 +63,8 @@ PHASES = {
     # one-kernel-learner family swept in lockstep (both exercised by
     # --only vtv), scored on the batch-64 device throughput
     "vtv": ("vtv", ("BPL_MOSAIC_SALT_VTV", "BPL_MOSAIC_SALT_OK_VTV")),
+    # TV-L1: one kernel family, scored on the batch-64 device throughput
+    "tvl1": ("tvl1", ("BPL_MOSAIC_SALT_TVL1",)),
 }
 
 

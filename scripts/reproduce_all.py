@@ -148,6 +148,18 @@ def main():
              maxiter=sweep_iters, dtype=args.dtype),
              ex.generate_vtv_cost_plot("color_disks"))[-1])
 
+    # beyond-reference TV-L1 family (impulse noise; sweep + validate is
+    # the selection story — DESIGN.md "TV-L1")
+    step("validate_tvl1_parameter (0.9 on circle_sp)",
+         lambda: ex.validate_tvl1_parameter(
+             0.9, dataset_name="circle_sp",
+             inner_maxiter=sweep_iters, dtype=args.dtype))
+    step("generate_tvl1_cost + plot (circle_sp)",
+         lambda: (ex.generate_tvl1_cost(
+             "circle_sp", np.logspace(-1.0, 1.7, points),
+             maxiter=sweep_iters, dtype=args.dtype),
+             ex.generate_tvl1_cost_plot("circle_sp"))[-1])
+
     # validations at plausible learned parameters
     step("validate_tv_parameter (0.07 on faces_val)",
          lambda: api.validate_tv_parameter(
