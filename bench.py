@@ -823,6 +823,27 @@ def run(quick: bool = False, backend: str = "pallas",
             tvl1_device = max(t_wall - t_floor, 1e-9)
             out["tvl1_gpix_iter_per_sec_batch64_device"] = round(
                 64 * 128 * 128 * sp_iters / tvl1_device / 1e9, 2)
+
+            # bilevel learning of the TV-L1 weight (Huber-smoothed
+            # surrogate, host TR loop — learning/tvl1.py)
+            from bpldenoising_tpu.bilevel import bilevel_learn
+            from bpldenoising_tpu.learning.tvl1 import \
+                make_tvl1_learning_function
+            sp_ds = (np.asarray(spt), np.asarray(spd))
+            lrn_params = _params(3 if quick else 15) | dict(
+                delta0=0.1, alpha0=0.4)
+            lf = make_tvl1_learning_function(
+                maxiter=200 if quick else 2000)
+            _ = lf(0.4, sp_ds, 0.1)    # compile outside the timed region
+            t0 = time.perf_counter()
+            res_tvl1 = bilevel_learn(sp_ds, lf, xinit=0.4,
+                                     params=lrn_params)
+            _sync(res_tvl1.u)
+            out["tvl1_learn_walltime_s"] = round(
+                time.perf_counter() - t0, 4)
+            out["tvl1_learn_alpha"] = round(float(res_tvl1.x), 5)
+            out["tvl1_learn_psnr_db"] = round(
+                float(np.mean(np.asarray(psnr(spt, res_tvl1.u)))), 3)
         except Exception as e:  # pragma: no cover - hardware-specific
             print(f"tvl1 failed: {e}", file=sys.stderr)
         if only == "tvl1":

@@ -116,6 +116,18 @@ def main(argv=None):
     p.add_argument("parameter", type=float)
     p.add_argument("--dataset", default="color_disks_128_10")
 
+    p = sub.add_parser("scalar-tvl1", help="learn the TV-L1 weight "
+                       "(impulse noise, Huber-smoothed surrogate) — "
+                       "beyond-reference noise model")
+    common(p)
+    p.set_defaults(dataset="circle_sp_128_20")
+    p.add_argument("--alpha0", type=float, default=0.4)
+    p = sub.add_parser("patch-tvl1", help="learn a spatially-varying "
+                       "TV-L1 weight patch grid (beyond-reference)")
+    common(p)
+    p.set_defaults(dataset="circle_sp_128_20")
+    p.add_argument("--patch", type=int, default=2)
+    p.add_argument("--alpha0", type=float, default=0.4)
     p = sub.add_parser("validate-tvl1", help="TV-L1 (robust L1 data term, "
                        "impulse noise) denoise at a fixed weight + quality "
                        "table — beyond-reference noise model")
@@ -163,7 +175,12 @@ def main(argv=None):
 def _dispatch(args):
     import jax
     if args.x64:
+        # float64 is a CPU-oracle mode: the TPU has no f64 path, and merely
+        # probing the accelerator backend can block for minutes when the
+        # tunnel is recovering — force the CPU platform like
+        # scripts/reproduce_all.py's --dtype float64 route does
         jax.config.update("jax_enable_x64", True)
+        jax.config.update("jax_platforms", "cpu")
     if jax.default_backend() != "cpu":
         # reload the pinned (known-fast, deterministic) executables on
         # accelerators — see utils/compile_cache.py
@@ -280,6 +297,18 @@ def _dispatch(args):
                            noisy_images=noisy)
         print(out)
         return
+    elif args.cmd == "scalar-tvl1":
+        from bpldenoising_tpu.experiments import scalar_bilevel_tvl1_learn
+        with _trace(trace_dir):
+            res = scalar_bilevel_tvl1_learn(
+                visualise=args.visualise, alpha0=args.alpha0, **kw())
+    elif args.cmd == "patch-tvl1":
+        from bpldenoising_tpu.experiments import patch_bilevel_tvl1_learn
+        with _trace(trace_dir):
+            res = patch_bilevel_tvl1_learn(
+                visualise=args.visualise,
+                alpha0=args.alpha0 * np.ones((args.patch, args.patch)),
+                **kw())
     elif args.cmd == "validate-tvl1":
         out = ex.validate_tvl1_parameter(args.parameter,
                                          dataset_name=args.dataset,

@@ -50,6 +50,10 @@ __all__ += ["VTVDenoise", "scalar_bilevel_vtv_learn",
             "generate_vtv_cost", "generate_vtv_cost_plot"]
 
 from .tvl1 import (TVL1Denoise, generate_tvl1_cost, generate_tvl1_cost_plot,
+                   patch_bilevel_tvl1_learn, patch_tvl1_bilevel_params,
+                   scalar_bilevel_tvl1_learn, tvl1_bilevel_params,
                    tvl1_params, validate_tvl1_parameter)
 __all__ += ["TVL1Denoise", "validate_tvl1_parameter", "tvl1_params",
-            "generate_tvl1_cost", "generate_tvl1_cost_plot"]
+            "generate_tvl1_cost", "generate_tvl1_cost_plot",
+            "scalar_bilevel_tvl1_learn", "patch_bilevel_tvl1_learn",
+            "tvl1_bilevel_params", "patch_tvl1_bilevel_params"]

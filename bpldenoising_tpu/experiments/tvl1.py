@@ -8,11 +8,14 @@ standard quality table/PNG artifacts, and the 1-D cost-landscape sweep
 that is the reference's own de-facto parameter-selection oracle
 (``src/BPLDenoising.jl:92-130``).
 
-Scope note (DESIGN.md "TV-L1"): gradient-based bilevel learning for the
-L1 data term needs a Huber-smoothed data-term implicit derivative (the
-TV-L1 solution path is piecewise constant in α on piecewise-constant
-images, so finite differences sit on plateaus); the sweep + validate
-pair is the honest parameter-selection story until that lands.
+Bilevel learning (DESIGN.md "TV-L1" scope note, now landed): the plain
+TV-L1 solution path is piecewise constant in α, so gradient-based
+learning goes through the Huber-smoothed surrogate
+(:mod:`..solvers.tvl1_huber`) — :func:`scalar_bilevel_tvl1_learn` /
+:func:`patch_bilevel_tvl1_learn` run the trust-region loop on the
+smoothed implicit hypergradient (validated against finite differences in
+``tests/test_tvl1_learn.py``); the sweep + validate pair remains the
+selection oracle for the UNsmoothed model.
 """
 
 from __future__ import annotations
@@ -29,7 +32,9 @@ from .api import (L2CostFunction, _canon, _np_dtype, _validate,
                   default_params, merge, testdataset)
 
 __all__ = ["TVL1Denoise", "validate_tvl1_parameter", "generate_tvl1_cost",
-           "generate_tvl1_cost_plot", "tvl1_params"]
+           "generate_tvl1_cost_plot", "tvl1_params",
+           "scalar_bilevel_tvl1_learn", "patch_bilevel_tvl1_learn",
+           "tvl1_bilevel_params", "patch_tvl1_bilevel_params"]
 
 # TV-L1 weights live on an O(1) scale (the data term is ‖·‖₁, not ½‖·‖²);
 # validation uses the reference's 10000-iteration budget
@@ -130,3 +135,70 @@ def generate_tvl1_cost_plot(dataset_name):
     plot_cost_curve(d["parameter_range"], d["costs"], base,
                     title="TV-L1 Scalar Cost")
     return base
+
+
+# ---------------------------------------------------------------------------
+# Bilevel learning of the TV-L1 weight (Huber-smoothed surrogate)
+# ---------------------------------------------------------------------------
+
+# TR constants follow the reference preset shape (``src/BPLDenoising.jl:316-323``)
+# rescaled to the O(1) TV-L1 weight range; the bundled impulse-noise dataset
+# is the natural default.
+tvl1_bilevel_params = Params(
+    eta1=0.25, eta2=0.75, beta1=0.25, beta2=1.9, delta0=0.1, alpha0=0.4,
+    dataset_name="circle_sp_128_20",
+    tvl1_gamma_d=100.0,   # data Huber slope (width 1/γ_d in intensity units)
+    tvl1_gamma=1000.0)    # regularizer Huber slope (cf. ref γ = 1e8,
+#                           src/TVLearningFunctionVec.jl:34 — moderate here
+#                           so the smoothed gradient stays informative
+#                           across TV-L1's plateaus)
+
+patch_tvl1_bilevel_params = tvl1_bilevel_params | Params(
+    delta0=0.1, alpha0=0.4 * np.ones((2, 2)))
+
+
+def _tvl1_lf(params):
+    from ..learning.tvl1 import make_tvl1_learning_function
+    if params.get("method", "tr") != "tr":
+        raise ValueError(
+            "TV-L1 bilevel learning runs the host trust-region loop only "
+            "(method='tr'); tr_fused/single_loop are not implemented for "
+            "the L1 data term")
+    if params.get("data_parallel"):
+        raise ValueError(
+            "data_parallel is not implemented for TV-L1 bilevel learning")
+    lf_kwargs = dict(
+        maxiter=int(params.inner_maxiter),
+        gamma_d=float(params.tvl1_gamma_d),
+        gamma=float(params.tvl1_gamma))
+    if params.get("inner_tol") is not None:
+        lf_kwargs["tol"] = float(params.inner_tol)
+    return make_tvl1_learning_function(**lf_kwargs)
+
+
+def scalar_bilevel_tvl1_learn(visualise: bool = False, **kwargs):
+    """Learn the scalar TV-L1 weight by the trust-region bilevel loop on
+    the Huber-smoothed surrogate (the impulse-noise analogue of
+    ``scalar_bilevel_tv_learn``, ref ``src/BPLDenoising.jl:325-344``)."""
+    from .api import _run_bilevel
+    params = merge(default_params, tvl1_bilevel_params, kwargs)
+    params = _canon(params)
+    params = params | dict(save_prefix="tvl1_optimal_parameter_scalar_"
+                           + params.dataset_name)
+    lf = _tvl1_lf(params)
+    return _run_bilevel(params, lf, visualise, stretch_all=True)
+
+
+def patch_bilevel_tvl1_learn(visualise: bool = False, **kwargs):
+    """Learn a spatially-varying (m, n) TV-L1 weight grid (the
+    impulse-noise analogue of ``patch_bilevel_tv_learn``, ref
+    ``src/BPLDenoising.jl:359-376``); the learned grid is saved as a
+    stretched parameter-map PNG."""
+    from .api import _run_bilevel
+    params = merge(default_params, patch_tvl1_bilevel_params, kwargs)
+    params = _canon(params)
+    shape = tuple(np.asarray(params.alpha0).shape)
+    params = params | dict(
+        save_prefix=f"tvl1_optimal_parameter_{shape}_" + params.dataset_name)
+    lf = _tvl1_lf(params)
+    return _run_bilevel(params, lf, visualise, stretch_all=True)

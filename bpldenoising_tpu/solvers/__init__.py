@@ -27,3 +27,7 @@ from .tvl1 import tvl1_denoise, tvl1_energy
 __all__ += ["tvl1_denoise", "tvl1_energy"]
 from .tvl1_pallas import tvl1_denoise_pallas
 __all__ += ["tvl1_denoise_pallas"]
+from .tvl1_huber import (tvl1_huber_denoise, tvl1_huber_energy,
+                         tvl1_huber_hypergrad)
+__all__ += ["tvl1_huber_denoise", "tvl1_huber_energy",
+            "tvl1_huber_hypergrad"]

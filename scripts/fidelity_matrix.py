@@ -139,6 +139,19 @@ def run_matrix(mode: str) -> dict:
         inner_maxiter=3000, inner_tol=None, backend=backend)
     record("vtv_scalar_color_disks", ds, res, time.perf_counter() - t0)
 
+    # 7. TV-L1 scalar on circle_sp (Huber-smoothed surrogate — the
+    # learnable route for the L1 data term; learning/tvl1.py.  Host TR
+    # only; the inner path is the same jnp PD iteration in both modes, so
+    # the row isolates pure f32-vs-f64 drift)
+    from bpldenoising_tpu.learning.tvl1 import make_tvl1_learning_function
+    ds = load("circle_sp_128_20", 1)
+    lf7 = make_tvl1_learning_function(maxiter=5000)
+    warm(lf7, 0.4, ds)
+    t0 = time.perf_counter()
+    res = bilevel_learn(ds, lf7, xinit=0.4,
+                        params=tr_params(0.1) | dict(maxiter=15))
+    record("tvl1_scalar_circle_sp", ds, res, time.perf_counter() - t0)
+
     return results
 
 

@@ -148,8 +148,12 @@ def main():
              maxiter=sweep_iters, dtype=args.dtype),
              ex.generate_vtv_cost_plot("color_disks"))[-1])
 
-    # beyond-reference TV-L1 family (impulse noise; sweep + validate is
-    # the selection story — DESIGN.md "TV-L1")
+    # beyond-reference TV-L1 family (impulse noise); bilevel learning runs
+    # the Huber-smoothed surrogate's implicit hypergradient under the host
+    # TR loop (DESIGN.md "TV-L1" — the smoothed route; only method="tr")
+    step("scalar_bilevel_tvl1_learn (circle_sp)",
+         lambda: ex.scalar_bilevel_tvl1_learn(
+             inner_maxiter=inner, maxiter=outer, dtype=args.dtype))
     step("validate_tvl1_parameter (0.9 on circle_sp)",
          lambda: ex.validate_tvl1_parameter(
              0.9, dataset_name="circle_sp",
