@@ -60,7 +60,11 @@ __all__ += ["VTVDenoise", "scalar_bilevel_vtv_learn",
             "vtv_learning_function", "diff_vtv_denoise", "vtv_denoise"]
 
 from .experiments import (TVL1Denoise, generate_tvl1_cost,
-                          generate_tvl1_cost_plot, validate_tvl1_parameter)
-from .solvers import tvl1_denoise, tvl1_energy
+                          generate_tvl1_cost_plot, patch_bilevel_tvl1_learn,
+                          scalar_bilevel_tvl1_learn, validate_tvl1_parameter)
+from .solvers import (diff_tvl1_denoise, tvl1_denoise, tvl1_energy,
+                      tvl1_huber_denoise)
 __all__ += ["TVL1Denoise", "validate_tvl1_parameter", "generate_tvl1_cost",
-            "generate_tvl1_cost_plot", "tvl1_denoise", "tvl1_energy"]
+            "generate_tvl1_cost_plot", "tvl1_denoise", "tvl1_energy",
+            "scalar_bilevel_tvl1_learn", "patch_bilevel_tvl1_learn",
+            "diff_tvl1_denoise", "tvl1_huber_denoise"]

@@ -165,8 +165,16 @@ def _tvl1_lf(params):
             "(method='tr'); tr_fused/single_loop are not implemented for "
             "the L1 data term")
     if params.get("data_parallel"):
-        raise ValueError(
-            "data_parallel is not implemented for TV-L1 bilevel learning")
+        if params.get("inner_tol") is not None:
+            raise ValueError(
+                "inner_tol is not supported with data_parallel=True "
+                "(the sharded learning function runs the fixed budget)")
+        from ..parallel import (make_batch_mesh,
+                                make_sharded_tvl1_learning_function)
+        return make_sharded_tvl1_learning_function(
+            make_batch_mesh(), maxiter=int(params.inner_maxiter),
+            gamma_d=float(params.tvl1_gamma_d),
+            gamma=float(params.tvl1_gamma))
     lf_kwargs = dict(
         maxiter=int(params.inner_maxiter),
         gamma_d=float(params.tvl1_gamma_d),

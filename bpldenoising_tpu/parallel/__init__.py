@@ -4,6 +4,7 @@ from .mesh import (BATCH_AXIS, make_batch_mesh, make_batch_rows_mesh,
 from .sharded import (
     make_sharded_sumregs_learning_function,
     make_sharded_tgv_learning_function,
+    make_sharded_tvl1_learning_function,
     make_sharded_vtv_learning_function,
     make_sharded_tv_learning_function,
 )
@@ -15,5 +16,6 @@ __all__ = [
     "make_sharded_tv_learning_function",
     "make_sharded_sumregs_learning_function",
     "make_sharded_tgv_learning_function",
+    "make_sharded_tvl1_learning_function",
     "make_sharded_vtv_learning_function",
 ]

@@ -284,3 +284,62 @@ def make_sharded_vtv_learning_function(
         return u[:O], cost, grad
 
     return learning_function
+
+
+def make_sharded_tvl1_learning_function(
+        mesh: Mesh, *, maxiter: int = 5000, gamma_d: float = 100.0,
+        gamma: float = 1000.0, cg_tol: float = 1e-6,
+        cg_maxiter: int = 1000):
+    """Sharded equivalent of
+    :func:`bpldenoising_tpu.learning.tvl1_learning_function`
+    (beyond-reference impulse-noise family): the batch shards over the
+    mesh, every chip runs the Huber-smoothed TV-L1 solve plus the
+    implicit-CG vjp on its local sub-batch, and the cost/gradient
+    ``psum`` over ICI.  Padded images have f = 0 so they solve to
+    u = 0 = ū exactly (the L1 prox pins u = f at α·0 dual) — their loss
+    cotangent, and hence their whole backward pass, is identically zero;
+    only the cost needs the explicit weights.  The per-image CG dots in
+    :func:`..solvers.tvl1_huber.tvl1_huber_implicit_cotangents` make the
+    adjoint solve grouping-invariant, so the sharded trajectory equals
+    single-device.  Patch grids are upsampled OUTSIDE the shard_map (the
+    (M, N) weight map is replicated) and the gradient is pulled back
+    through the PatchOp adjoint on the host side."""
+    from ..solvers.tvl1_huber import make_diff_tvl1_denoise
+    solve = make_diff_tvl1_denoise(maxiter=maxiter, gamma_d=gamma_d,
+                                   gamma=gamma, cg_tol=cg_tol,
+                                   cg_maxiter=cg_maxiter)
+    b, r = P(BATCH_AXIS), P()
+    n_shards = mesh.shape[BATCH_AXIS]
+
+    def _local(alpha, utrue, f, w):
+        def cost_fn(a_):
+            u = solve(f, a_)
+            wb = w[:, None, None]
+            return 0.5 * jnp.sum(wb * (u - utrue) ** 2), u
+
+        (cost, u), grad = jax.value_and_grad(cost_fn, has_aux=True)(alpha)
+        return (u, jax.lax.psum(cost, BATCH_AXIS),
+                jax.lax.psum(grad, BATCH_AXIS))
+
+    fn = jax.jit(shard_map(_local, mesh=mesh, in_specs=(r, b, b, b),
+                           out_specs=(b, r, r), check_vma=False))
+
+    def learning_function(x, ds, delta):
+        del delta
+        utrue = jnp.asarray(ds[0])
+        f = jnp.asarray(ds[1], utrue.dtype)
+        O = utrue.shape[0]
+        utrue_p, w = pad_batch(utrue, n_shards)
+        f_p, _ = pad_batch(f, n_shards)
+        x = jnp.asarray(x, utrue.dtype)
+        pop = None
+        if x.ndim == 2 and x.shape != tuple(f.shape[-2:]):
+            from ..ops import PatchOp
+            pop = PatchOp(tuple(x.shape), tuple(f.shape[-2:]))
+        alpha = pop.apply(x) if pop is not None else x
+        u, cost, grad = fn(alpha, utrue_p, f_p, w)
+        if pop is not None:
+            grad = pop.apply_adjoint(grad)
+        return u[:O], cost, grad
+
+    return learning_function

@@ -27,7 +27,9 @@ from .tvl1 import tvl1_denoise, tvl1_energy
 __all__ += ["tvl1_denoise", "tvl1_energy"]
 from .tvl1_pallas import tvl1_denoise_pallas
 __all__ += ["tvl1_denoise_pallas"]
-from .tvl1_huber import (tvl1_huber_denoise, tvl1_huber_energy,
+from .tvl1_huber import (diff_tvl1_denoise, make_diff_tvl1_denoise,
+                         tvl1_huber_denoise, tvl1_huber_energy,
                          tvl1_huber_hypergrad)
 __all__ += ["tvl1_huber_denoise", "tvl1_huber_energy",
-            "tvl1_huber_hypergrad"]
+            "tvl1_huber_hypergrad", "make_diff_tvl1_denoise",
+            "diff_tvl1_denoise"]

@@ -63,6 +63,9 @@ __all__ = [
     "tvl1_huber_denoise",
     "tvl1_huber_energy",
     "tvl1_huber_hypergrad",
+    "tvl1_huber_implicit_cotangents",
+    "make_diff_tvl1_denoise",
+    "diff_tvl1_denoise",
 ]
 
 _TV = tv_model()
@@ -232,3 +235,94 @@ def tvl1_huber_hypergrad(u, f, utrue, alphas, model: DenoiseModel = _TV,
         gmap = scalarprod(op.apply(p), field)
         grads.append(gmap if want_maps else jnp.sum(gmap))
     return tuple(grads), p, info
+
+
+# ---------------------------------------------------------------------------
+# Implicit-diff layer (custom_vjp) — gradients flow to f and α
+# ---------------------------------------------------------------------------
+
+def tvl1_huber_implicit_cotangents(u, f, alpha, v, *, gamma_d,
+                                   gamma: float = 1000.0,
+                                   cg_tol: float = 1e-6,
+                                   cg_maxiter: int = 1000,
+                                   lam0=None, return_lam: bool = False):
+    """Implicit-function-theorem cotangents at a smoothed TV-L1 solution.
+
+    Given the loss cotangent ``v = ∂J/∂u`` (shaped like u), solves the
+    smoothed adjoint system H λ = v once (per-image CG dots — grouping-
+    invariant under sharding, cf. :func:`.vtv.vtv_implicit_cotangents`)
+    and returns ``(df, dα)``: df = D λ with D the Huber data Hessian
+    (du/df = H⁻¹D, vs H⁻¹·I for the quadratic data term), and
+    dα = −⟨∇λ, ψ'(∇u)⟩ reduced to the shape of ``alpha`` (scalar or
+    (M, N) map).
+    """
+    from .krylov import cg_batched
+    dtype = u.dtype
+    a = jnp.asarray(alpha, dtype)
+    gamma_d = jnp.asarray(gamma_d, dtype)
+
+    M0, inv_diag0, fields = build_reg_system(u, (a,), _TV, gamma)
+    d = jnp.where(jnp.abs(u - f) <= 1.0 / gamma_d, gamma_d,
+                  jnp.asarray(0.0, dtype))
+
+    def H(x):
+        return M0(x) + (d - 1.0) * x
+
+    diag = jnp.maximum(1.0 / inv_diag0 + (d - 1.0),
+                       jnp.asarray(1e-12, dtype))
+    lam, _ = cg_batched(H, v, x0=lam0, tol=cg_tol, maxiter=cg_maxiter,
+                        M=lambda r: r / diag, item_ndim=2)
+
+    g_map = -scalarprod(_GRAD.apply(lam), fields[0])
+    if a.ndim >= 2:
+        da = jnp.sum(g_map.reshape((-1,) + g_map.shape[-2:]),
+                     axis=0).astype(a.dtype)
+    else:
+        da = jnp.sum(g_map).astype(a.dtype)
+    df = d * lam
+    out = df, da
+    return out + (lam,) if return_lam else out
+
+
+def make_diff_tvl1_denoise(maxiter: int = 5000, gamma_d: float = 100.0,
+                           gamma: float = 1000.0, cg_tol: float = 1e-6,
+                           cg_maxiter: int = 1000, tau0: float = 0.99,
+                           sigma0: float = 0.99, tol=None,
+                           check_every: int = 500):
+    """Differentiable Huber-smoothed TV-L1 denoiser ``(f, α) → u``
+    (batched; gradients flow to f and α through one CG solve — the
+    impulse-noise companion of :func:`.vtv.make_diff_vtv_denoise`)."""
+    L = float(_TV.opnorm_sq()) ** 0.5
+
+    def _fsolve(f, alpha):
+        return _tvl1_huber_impl(
+            f, alpha, None, gamma_d=gamma_d, gamma_r=gamma,
+            tau=tau0 / L, sigma=sigma0 / L, maxiter=maxiter, tol=tol,
+            check_every=check_every, return_dual=False)
+
+    @jax.custom_vjp
+    def solve(f, alpha):
+        return _fsolve(f, alpha)
+
+    def fwd(f, alpha):
+        u = _fsolve(f, alpha)
+        return u, (u, f, alpha)
+
+    def bwd(res, v):
+        u, f, alpha = res
+        df, da = tvl1_huber_implicit_cotangents(
+            u, f, alpha, v, gamma_d=gamma_d, gamma=gamma, cg_tol=cg_tol,
+            cg_maxiter=cg_maxiter)
+        return df, da
+
+    solve.defvjp(fwd, bwd)
+    return solve
+
+
+@functools.partial(jax.jit, static_argnames=("maxiter",))
+def diff_tvl1_denoise(f, alpha, maxiter: int = 5000):
+    """Differentiable TV-L1 denoising at the default smoothing (companion
+    to ``diff_tv_denoise`` / ``diff_tgv_denoise`` / ``diff_vtv_denoise``)."""
+    f = jnp.asarray(f)
+    solve = make_diff_tvl1_denoise(maxiter=maxiter)
+    return solve(f, jnp.asarray(alpha, f.dtype))

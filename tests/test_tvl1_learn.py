@@ -144,9 +144,9 @@ def test_experiment_front_end_and_guards(tmp_path, monkeypatch):
     with pytest.raises(ValueError, match="trust-region"):
         scalar_bilevel_tvl1_learn(method="tr_fused", maxiter=1,
                                   inner_maxiter=50)
-    with pytest.raises(ValueError, match="data_parallel"):
-        scalar_bilevel_tvl1_learn(data_parallel=True, maxiter=1,
-                                  inner_maxiter=50)
+    with pytest.raises(ValueError, match="inner_tol"):
+        scalar_bilevel_tvl1_learn(data_parallel=True, inner_tol=1e-6,
+                                  maxiter=1, inner_maxiter=50)
 
 
 def test_cli_scalar_tvl1(tmp_path, monkeypatch, capsys):
@@ -155,3 +155,79 @@ def test_cli_scalar_tvl1(tmp_path, monkeypatch, capsys):
     main(["scalar-tvl1", "--maxiter", "2", "--inner-maxiter", "200"])
     out = capsys.readouterr().out
     assert "x = " in out and "cost = " in out
+
+
+def test_implicit_diff_layer_matches_hypergrad(sp):
+    """The custom_vjp layer's α-gradient equals the adjoint hypergradient
+    (same smoothed system, cotangent route) and df flows."""
+    import jax
+    clean, noisy = sp
+    ds_t = jnp.stack([clean, clean[::-1]])
+    ds_n = jnp.stack([noisy, noisy[::-1]])
+    from bpldenoising_tpu.solvers.tvl1_huber import make_diff_tvl1_denoise
+    solve = make_diff_tvl1_denoise(maxiter=4000, cg_tol=1e-10,
+                                   cg_maxiter=4000)
+    g_ad = float(jax.grad(
+        lambda a: 0.5 * jnp.sum((solve(ds_n, a) - ds_t) ** 2))(
+            jnp.asarray(0.6)))
+    u0 = tvl1_huber_denoise(ds_n, 0.6, gamma_d=GD, gamma_r=GR, maxiter=4000)
+    cfg = HypergradConfig(gamma=GR, cg_tol=1e-10, cg_maxiter=4000)
+    (g_hg,), _, _ = tvl1_huber_hypergrad(u0, ds_n, ds_t,
+                                         (jnp.asarray(0.6),), cfg=cfg,
+                                         gamma_d=GD)
+    assert abs(g_ad - float(g_hg)) < 1e-8 * abs(g_ad)
+    gf = jax.grad(lambda f: 0.5 * jnp.sum((solve(f, 0.6) - ds_t) ** 2))(
+        ds_n)
+    assert gf.shape == ds_n.shape and float(jnp.linalg.norm(gf)) > 0.0
+
+
+class TestShardedTVL1:
+    """Data-parallel TV-L1 learning function: sharded trajectory equals
+    single-device to machine precision (per-image CG dots + zero backward
+    on padded images)."""
+
+    @pytest.fixture(scope="class")
+    def ds5(self):
+        clean = jnp.asarray(circle_phantom(32), jnp.float64)
+        ts, ns = [], []
+        for i in range(5):    # 5 images over 8 devices -> padding
+            ts.append(np.asarray(clean))
+            ns.append(add_impulse_noise(np.asarray(clean), 0.2, i))
+        return (jnp.asarray(np.stack(ts)), jnp.asarray(np.stack(ns)))
+
+    def test_scalar_equivalence(self, ds5):
+        from bpldenoising_tpu.parallel import (
+            make_batch_mesh, make_sharded_tvl1_learning_function)
+        lf = make_sharded_tvl1_learning_function(
+            make_batch_mesh(), maxiter=1500, cg_tol=1e-10, cg_maxiter=2000)
+        u_s, c_s, g_s = lf(0.6, ds5, 1.0)
+        u_1, c_1, g_1 = tvl1_learning_function(
+            jnp.asarray(0.6), ds5, 1.0, maxiter=1500, cg_tol=1e-10,
+            cg_maxiter=2000)
+        assert u_s.shape == u_1.shape == ds5[0].shape
+        np.testing.assert_allclose(np.asarray(u_s), np.asarray(u_1),
+                                   atol=1e-12)
+        assert abs(float(c_s) - float(c_1)) < 1e-9 * float(c_1)
+        assert abs(float(g_s) - float(g_1)) < 1e-9 * abs(float(g_1))
+
+    def test_patch_equivalence(self, ds5):
+        from bpldenoising_tpu.parallel import (
+            make_batch_mesh, make_sharded_tvl1_learning_function)
+        lf = make_sharded_tvl1_learning_function(
+            make_batch_mesh(), maxiter=1500, cg_tol=1e-10, cg_maxiter=2000)
+        x = 0.6 * np.ones((2, 2))
+        _, c_s, g_s = lf(x, ds5, 1.0)
+        _, c_1, g_1 = tvl1_learning_function(
+            jnp.asarray(x), ds5, 1.0, maxiter=1500, cg_tol=1e-10,
+            cg_maxiter=2000)
+        assert g_s.shape == (2, 2)
+        np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_1),
+                                   atol=1e-9)
+        assert abs(float(c_s) - float(c_1)) < 1e-9 * float(c_1)
+
+    def test_experiment_data_parallel(self, tmp_path, monkeypatch):
+        from bpldenoising_tpu.experiments import scalar_bilevel_tvl1_learn
+        monkeypatch.chdir(tmp_path)
+        res = scalar_bilevel_tvl1_learn(data_parallel=True, maxiter=2,
+                                        inner_maxiter=150, verbose_iter=100)
+        assert np.isfinite(float(res.x))
