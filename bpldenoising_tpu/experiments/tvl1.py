@@ -157,13 +157,104 @@ patch_tvl1_bilevel_params = tvl1_bilevel_params | Params(
     delta0=0.1, alpha0=0.4 * np.ones((2, 2)))
 
 
+def _check_method(params):
+    m = params.get("method", "tr")
+    if m not in (None, "tr", "tr_fused", "single_loop"):
+        raise ValueError(f"TV-L1 experiments support method='tr' (host "
+                         f"trust region), 'tr_fused' (one-dispatch "
+                         f"on-device loop) or 'single_loop' (first-order), "
+                         f"got {m!r}")
+
+
+def _cg_kwargs(params):
+    """Optional adjoint-CG accuracy overrides, forwarded to every method
+    variant so data_parallel/fused runs can't silently diverge from the
+    single-device defaults (ADVICE r3)."""
+    kw = {}
+    if params.get("cg_tol") is not None:
+        kw["cg_tol"] = float(params.cg_tol)
+    if params.get("cg_maxiter") is not None:
+        kw["cg_maxiter"] = int(params.cg_maxiter)
+    return kw
+
+
+def _run_tvl1_single_loop(params, stretch_all=True):
+    """Single-loop first-order TV-L1 path behind the same experiment
+    surface (``method='single_loop'``; artifacts match the TR paths')."""
+    from ..bilevel.first_order_tvl1 import single_loop_tvl1_learn
+    from ..bilevel.harness import BilevelState
+    from ..bilevel.trust_region import BilevelResult
+    from ..viz.log import BilevelLogEntry
+    from .api import (_load, _reject_flags, _stretched_inputs,
+                      linear_stretch, save_results)
+
+    _reject_flags(params, "single_loop",
+                  ("checkpoint", "resume", "save_iterations", "inner_tol"))
+    mesh = None
+    if params.get("data_parallel"):
+        from ..parallel import make_batch_mesh
+        mesh = make_batch_mesh()
+    ds = _load(params)
+    res = single_loop_tvl1_learn(
+        ds[0], ds[1], np.asarray(params.alpha0),
+        outer=int(params.sl_outer), n_inner=int(params.sl_inner),
+        n_adj=int(params.sl_adj), lr=float(params.sl_lr),
+        gamma_d=float(params.tvl1_gamma_d),
+        gamma=float(params.tvl1_gamma), mesh=mesh)
+    st = BilevelState()
+    costs = np.asarray(res.cost_trajectory)
+    for i, c in enumerate(costs):
+        if (i + 1) % max(1, len(costs) // 20) == 0:
+            st.log.append(BilevelLogEntry(i + 1, 0.0, float(c), 0.0, 0.0,
+                                          0.0))
+    out = BilevelResult(x=np.asarray(res.alpha), u=np.asarray(res.u),
+                        state=st, cost=float(res.cost), g_norm=float("nan"),
+                        iterations=int(params.sl_outer))
+    b, b_noisy = _stretched_inputs(ds, stretch_all)
+    save_results(params, b, b_noisy, out.x, linear_stretch(out.u), st)
+    return out
+
+
+def _run_tvl1_fused(params, stretch_all=True):
+    """Fused on-device TV-L1 trust-region path (``method='tr_fused'``):
+    identical TR semantics to the host loop but the whole outer loop is one
+    device program (:func:`..bilevel.fused_tvl1.bilevel_learn_tvl1_fused`).
+    ``log_every=j`` restores per-segment wall-clock logging, npz
+    checkpoint/resume and per-iterate snapshots (same hooks as every other
+    fused family)."""
+    import jax
+
+    from ..bilevel.fused_tvl1 import bilevel_learn_tvl1_fused
+    from .api import (_fused_observability, _fused_to_result, _load,
+                      _stretched_inputs, linear_stretch, save_results)
+
+    backend = _resolve_backend(params.get("backend", "auto"))
+    mesh = None
+    if params.get("data_parallel"):
+        from ..parallel import make_batch_mesh
+        mesh = make_batch_mesh()
+    ds = _load(params)
+    (params, log_every, seg_cb, init_B, it_offset,
+     init_entries) = _fused_observability(params)
+    res = bilevel_learn_tvl1_fused(
+        ds, xinit=jnp.asarray(params.alpha0, ds[0].dtype), params=params,
+        inner_maxiter=int(params.inner_maxiter),
+        inner_tol=params.get("inner_tol"),
+        gamma_d=float(params.tvl1_gamma_d),
+        gamma=float(params.tvl1_gamma), backend=backend, mesh=mesh,
+        interpret=backend == "pallas" and jax.default_backend() == "cpu",
+        log_every=None if log_every is None else int(log_every),
+        segment_callback=seg_cb, init_B=init_B, **_cg_kwargs(params))
+    out = _fused_to_result(res, it_offset=it_offset,
+                           init_entries=init_entries)
+    b, b_noisy = _stretched_inputs(ds, stretch_all)
+    save_results(params, b, b_noisy, out.x, linear_stretch(out.u),
+                 out.state)
+    return out
+
+
 def _tvl1_lf(params):
     from ..learning.tvl1 import make_tvl1_learning_function
-    if params.get("method", "tr") != "tr":
-        raise ValueError(
-            "TV-L1 bilevel learning runs the host trust-region loop only "
-            "(method='tr'); tr_fused/single_loop are not implemented for "
-            "the L1 data term")
     if params.get("data_parallel"):
         if params.get("inner_tol") is not None:
             raise ValueError(
@@ -174,11 +265,11 @@ def _tvl1_lf(params):
         return make_sharded_tvl1_learning_function(
             make_batch_mesh(), maxiter=int(params.inner_maxiter),
             gamma_d=float(params.tvl1_gamma_d),
-            gamma=float(params.tvl1_gamma))
+            gamma=float(params.tvl1_gamma), **_cg_kwargs(params))
     lf_kwargs = dict(
         maxiter=int(params.inner_maxiter),
         gamma_d=float(params.tvl1_gamma_d),
-        gamma=float(params.tvl1_gamma))
+        gamma=float(params.tvl1_gamma), **_cg_kwargs(params))
     if params.get("inner_tol") is not None:
         lf_kwargs["tol"] = float(params.inner_tol)
     return make_tvl1_learning_function(**lf_kwargs)
@@ -187,12 +278,19 @@ def _tvl1_lf(params):
 def scalar_bilevel_tvl1_learn(visualise: bool = False, **kwargs):
     """Learn the scalar TV-L1 weight by the trust-region bilevel loop on
     the Huber-smoothed surrogate (the impulse-noise analogue of
-    ``scalar_bilevel_tv_learn``, ref ``src/BPLDenoising.jl:325-344``)."""
+    ``scalar_bilevel_tv_learn``, ref ``src/BPLDenoising.jl:325-344``).
+    ``method='tr'|'tr_fused'|'single_loop'`` selects the full method
+    matrix, same as every other family."""
     from .api import _run_bilevel
     params = merge(default_params, tvl1_bilevel_params, kwargs)
     params = _canon(params)
     params = params | dict(save_prefix="tvl1_optimal_parameter_scalar_"
                            + params.dataset_name)
+    _check_method(params)
+    if params.get("method") == "tr_fused":
+        return _run_tvl1_fused(params)
+    if params.get("method") == "single_loop":
+        return _run_tvl1_single_loop(params)
     lf = _tvl1_lf(params)
     return _run_bilevel(params, lf, visualise, stretch_all=True)
 
@@ -201,12 +299,18 @@ def patch_bilevel_tvl1_learn(visualise: bool = False, **kwargs):
     """Learn a spatially-varying (m, n) TV-L1 weight grid (the
     impulse-noise analogue of ``patch_bilevel_tv_learn``, ref
     ``src/BPLDenoising.jl:359-376``); the learned grid is saved as a
-    stretched parameter-map PNG."""
+    stretched parameter-map PNG.  Full ``method=`` matrix as in
+    :func:`scalar_bilevel_tvl1_learn`."""
     from .api import _run_bilevel
     params = merge(default_params, patch_tvl1_bilevel_params, kwargs)
     params = _canon(params)
     shape = tuple(np.asarray(params.alpha0).shape)
     params = params | dict(
         save_prefix=f"tvl1_optimal_parameter_{shape}_" + params.dataset_name)
+    _check_method(params)
+    if params.get("method") == "tr_fused":
+        return _run_tvl1_fused(params)
+    if params.get("method") == "single_loop":
+        return _run_tvl1_single_loop(params)
     lf = _tvl1_lf(params)
     return _run_bilevel(params, lf, visualise, stretch_all=True)

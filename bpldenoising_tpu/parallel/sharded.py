@@ -288,8 +288,8 @@ def make_sharded_vtv_learning_function(
 
 def make_sharded_tvl1_learning_function(
         mesh: Mesh, *, maxiter: int = 5000, gamma_d: float = 100.0,
-        gamma: float = 1000.0, cg_tol: float = 1e-6,
-        cg_maxiter: int = 1000):
+        gamma: float = 1000.0, cg_tol: float | None = None,
+        cg_maxiter: int = 2000):
     """Sharded equivalent of
     :func:`bpldenoising_tpu.learning.tvl1_learning_function`
     (beyond-reference impulse-noise family): the batch shards over the

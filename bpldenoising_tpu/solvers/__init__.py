@@ -33,3 +33,5 @@ from .tvl1_huber import (diff_tvl1_denoise, make_diff_tvl1_denoise,
 __all__ += ["tvl1_huber_denoise", "tvl1_huber_energy",
             "tvl1_huber_hypergrad", "make_diff_tvl1_denoise",
             "diff_tvl1_denoise"]
+from .tvl1_huber_pallas import tvl1_huber_denoise_pallas
+__all__ += ["tvl1_huber_denoise_pallas"]

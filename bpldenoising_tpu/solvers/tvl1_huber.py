@@ -243,7 +243,7 @@ def tvl1_huber_hypergrad(u, f, utrue, alphas, model: DenoiseModel = _TV,
 
 def tvl1_huber_implicit_cotangents(u, f, alpha, v, *, gamma_d,
                                    gamma: float = 1000.0,
-                                   cg_tol: float = 1e-6,
+                                   cg_tol: float | None = 1e-6,
                                    cg_maxiter: int = 1000,
                                    lam0=None, return_lam: bool = False):
     """Implicit-function-theorem cotangents at a smoothed TV-L1 solution.
@@ -258,6 +258,8 @@ def tvl1_huber_implicit_cotangents(u, f, alpha, v, *, gamma_d,
     """
     from .krylov import cg_batched
     dtype = u.dtype
+    if cg_tol is None:   # dtype-based default, same rule as _defaults
+        cg_tol = 1e-8 if dtype == jnp.float64 else 1e-5
     a = jnp.asarray(alpha, dtype)
     gamma_d = jnp.asarray(gamma_d, dtype)
 
@@ -285,13 +287,19 @@ def tvl1_huber_implicit_cotangents(u, f, alpha, v, *, gamma_d,
 
 
 def make_diff_tvl1_denoise(maxiter: int = 5000, gamma_d: float = 100.0,
-                           gamma: float = 1000.0, cg_tol: float = 1e-6,
-                           cg_maxiter: int = 1000, tau0: float = 0.99,
+                           gamma: float = 1000.0,
+                           cg_tol: float | None = None,
+                           cg_maxiter: int = 2000, tau0: float = 0.99,
                            sigma0: float = 0.99, tol=None,
                            check_every: int = 500):
     """Differentiable Huber-smoothed TV-L1 denoiser ``(f, α) → u``
     (batched; gradients flow to f and α through one CG solve — the
-    impulse-noise companion of :func:`.vtv.make_diff_vtv_denoise`)."""
+    impulse-noise companion of :func:`.vtv.make_diff_vtv_denoise`).
+    ``cg_tol=None`` derives the adjoint tolerance from the dtype
+    (1e-8 f64 / 1e-5 f32) and ``cg_maxiter`` defaults to 2000 — the same
+    accuracy settings as the single-device
+    :func:`..learning.tvl1.tvl1_learning_function`, so data-parallel and
+    single-device runs agree at defaults."""
     L = float(_TV.opnorm_sq()) ** 0.5
 
     def _fsolve(f, alpha):

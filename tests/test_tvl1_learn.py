@@ -141,8 +141,8 @@ def test_experiment_front_end_and_guards(tmp_path, monkeypatch):
     names = [p.name for p in d.iterdir()]
     assert any(n.endswith("_quality.txt") for n in names)
     assert any(n.endswith("_reco_1.png") for n in names)
-    with pytest.raises(ValueError, match="trust-region"):
-        scalar_bilevel_tvl1_learn(method="tr_fused", maxiter=1,
+    with pytest.raises(ValueError, match="method"):
+        scalar_bilevel_tvl1_learn(method="nope", maxiter=1,
                                   inner_maxiter=50)
     with pytest.raises(ValueError, match="inner_tol"):
         scalar_bilevel_tvl1_learn(data_parallel=True, inner_tol=1e-6,
