@@ -71,7 +71,8 @@ class FusedResult(NamedTuple):
     cost: jnp.ndarray
     g_norm: jnp.ndarray
     iterations: jnp.ndarray  # outer iterations actually run
-    log: jnp.ndarray         # (maxiter, 4): cost, ‖g‖, Δ, ‖accepted step‖
+    log: jnp.ndarray         # (maxiter, 6): cost, ‖g‖, Δ, ‖accepted step‖,
+                             #               adjoint-CG iters, converged
     times: Optional[np.ndarray] = None  # per-iteration elapsed seconds
     # (populated only by chunked-dispatch mode; each iteration carries its
     # segment-end cumulative wall time — no sub-segment times are invented)
@@ -187,11 +188,13 @@ def _machinery(utrue, f, *, model: DenoiseModel, pop: Optional[PatchOp],
             def reg_branch(args):
                 return reg_hypergrad(*args, model, cfg, want_maps, p0=p_reg)
 
-        grads, p, _ = lax.cond(
+        grads, p, info = lax.cond(
             is_exact, exact_branch, reg_branch, (u, utrue, alphas))
         padjs = (jnp.where(is_exact, p, p_exact),
                  jnp.where(is_exact, p_reg, p))
-        return u, cost, pullback(grads), (state, padjs)
+        cg = (jnp.max(info.iters).astype(dtype),
+              jnp.all(info.converged).astype(dtype))
+        return u, cost, pullback(grads), (state, padjs), cg
 
     return make_tr_machinery(
         eval_lf, n=n, dtype=dtype, maxiter=maxiter, tol=tol, eta1=eta1,

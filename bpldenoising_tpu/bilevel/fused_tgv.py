@@ -105,11 +105,13 @@ def _machinery(utrue, f, *, pop, param_shape: tuple, maxiter: int, tol,
         cost = 0.5 * jnp.sum((u - utrue) ** 2)
         if axis_name is not None:
             cost = lax.psum(cost, axis_name)
-        _, (g1, g0), lam = tgv_implicit_cotangents(
+        _, (g1, g0), lam, info = tgv_implicit_cotangents(
             u, w, (a1, a0), u - utrue, gamma=gamma, cg_tol=cg_tol,
             cg_maxiter=cg_maxiter, lam0=lam0 if warm else None,
-            return_lam=True)
-        return u, cost, pullback(g1, g0), (state, lam)
+            return_lam=True, return_info=True)
+        cg = (jnp.max(info.iters).astype(dtype),
+              jnp.all(info.converged).astype(dtype))
+        return u, cost, pullback(g1, g0), (state, lam), cg
 
     return make_tr_machinery(
         eval_lf, n=n, dtype=dtype, maxiter=maxiter, tol=tol, eta1=eta1,

@@ -117,9 +117,11 @@ def _machinery(utrue, f, *, pop, param_shape: tuple, maxiter: int, tol,
         cost = 0.5 * jnp.sum((u - utrue) ** 2)
         if axis_name is not None:
             cost = lax.psum(cost, axis_name)
-        grads, p, _ = tvl1_huber_hypergrad(
+        grads, p, info = tvl1_huber_hypergrad(
             u, f, utrue, (a,), _TV, cfg, want_maps, p0=p0, gamma_d=gamma_d)
-        return u, cost, pullback(grads[0]), (state, p)
+        cg = (jnp.max(info.iters).astype(dtype),
+              jnp.all(info.converged).astype(dtype))
+        return u, cost, pullback(grads[0]), (state, p), cg
 
     return make_tr_machinery(
         eval_lf, n=n, dtype=dtype, maxiter=maxiter, tol=tol, eta1=eta1,

@@ -145,13 +145,21 @@ def bilevel_iterate(step: Callable, params, visualise: bool = False,
                 if not _should_log(_it, verbose_iter):
                     return
                 t0 = time.perf_counter()
-                x, image, fx, gnorm, delta, step_norm = value_fn()
+                vals = value_fn()
+                x, image, fx, gnorm, delta, step_norm = vals[:6]
+                # optional 7th element: adjoint-CG telemetry dict
+                # ({iters, resnorm, converged}, utils/telemetry.py)
+                cg = vals[6] if len(vals) > 6 else None
                 elapsed = (0.0 if nonlocal_st.start_time is None
                            else t0 - nonlocal_st.start_time
                            - nonlocal_st.wasted_time)
-                nonlocal_st.log.append(BilevelLogEntry(
+                entry = BilevelLogEntry(
                     _it, elapsed, float(fx), float(gnorm), float(delta),
-                    float(step_norm)))
+                    float(step_norm))
+                if cg is not None:
+                    entry.adjoint_cg_iters = float(cg["iters"])
+                    entry.adjoint_cg_converged = float(cg["converged"])
+                nonlocal_st.log.append(entry)
                 print(f"{_it:4d}/{maxiter} f={float(fx):.6e} "
                       f"|g|={float(gnorm):.4e} Δ={float(delta):.4e} "
                       f"step={float(step_norm):.4e}",

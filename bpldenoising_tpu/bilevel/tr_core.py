@@ -14,7 +14,11 @@ evaluation
 where ``state`` is an arbitrary pytree chained across trust-region
 evaluations (solver warm starts, adjoint warm starts) and ``state=None``
 requests a cold start (first evaluation; the returned pytree fixes the
-carry structure).
+carry structure).  ``eval_lf`` may return a fifth element
+``(cg_iters, cg_converged)`` (dtype scalars) — adjoint-CG convergence
+telemetry carried into the device log matrix (columns 4–5; the
+reference errors on an unconverged Krylov solve,
+``src/TRBox.jl:137-139``); families that don't supply it log NaN.
 
 Semantics: same dogleg-in-box as the reference (``src/TRBox.jl:60-76,
 99-114``), same η/β radius schedule (``:239-249``), accept iff ρ > 0
@@ -54,6 +58,18 @@ def make_tr_machinery(eval_lf: Callable, *, n: int, dtype, maxiter: int,
     switches) and the chained warm state to ``(u, cost, g_flat, new_state)``.
     """
     use_lbfgs = n > int(lbfgs_threshold)
+
+    def eval_with_info(x, delta, state):
+        """Normalize eval_lf's 4- or 5-tuple to a fixed 5-tuple."""
+        out = eval_lf(x, delta, state)
+        if len(out) == 5:
+            u, fx, gx, st, (cg_it, cg_ok) = out
+            return u, fx, gx, st, (jnp.asarray(cg_it, dtype),
+                                   jnp.asarray(cg_ok, dtype))
+        u, fx, gx, st = out
+        nan = jnp.asarray(jnp.nan, dtype)
+        return u, fx, gx, st, (nan, nan)
+
     eps_pos = jnp.asarray(jnp.finfo(dtype).eps, dtype)
     tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
     tol = jnp.asarray(tol, dtype)
@@ -139,9 +155,10 @@ def make_tr_machinery(eval_lf: Callable, *, n: int, dtype, maxiter: int,
     def init_carry(x0, delta0):
         x = jnp.asarray(x0, dtype).reshape(-1)
         delta = jnp.asarray(delta0, dtype)
-        u, fx, gx, state = eval_lf(x, delta, None)
+        u, fx, gx, state, _ = eval_with_info(x, delta, None)
         Bst = model_init()
-        log0 = jnp.zeros((maxiter, 4), dtype)
+        # columns: cost, ‖g‖, Δ, ‖accepted step‖, cg_iters, cg_converged
+        log0 = jnp.zeros((maxiter, 6), dtype)
         return (jnp.asarray(0, jnp.int32), x, Bst, delta, fx, gx, u, state,
                 log0)
 
@@ -154,7 +171,8 @@ def make_tr_machinery(eval_lf: Callable, *, n: int, dtype, maxiter: int,
         (it, x, Bst, delta, fx, gx, u, state, log) = carry
         p = dogleg(x, gx, Bst, delta)
         x_new = x + p
-        u_new, fx_new, gx_new, state_new = eval_lf(x_new, delta, state)
+        u_new, fx_new, gx_new, state_new, (cg_it, cg_ok) = eval_with_info(
+            x_new, delta, state)
 
         predf = -(p @ gx) - 0.5 * (p @ model_apply(Bst, p))
         rho = jnp.where(predf == 0, -jnp.inf, (fx - fx_new) / predf)
@@ -177,8 +195,8 @@ def make_tr_machinery(eval_lf: Callable, *, n: int, dtype, maxiter: int,
 
         log = lax.dynamic_update_slice(
             log,
-            jnp.stack([fx, jnp.linalg.norm(gx), delta_new,
-                       resid])[None].astype(dtype),
+            jnp.stack([fx, jnp.linalg.norm(gx), delta_new, resid,
+                       cg_it, cg_ok])[None].astype(dtype),
             (it, jnp.asarray(0, it.dtype)))
         # solver/adjoint warm states always advance to the latest evaluation
         # (a rejected step's state is still a near-solution warm start)

@@ -245,9 +245,13 @@ def bilevel_learn(ds, learning_function: Callable, *, xinit, params,
             residual = x - x_new
             x, u, fx, gx = x_new, u_new, fx_new, gx_new
 
+        # 7th element: adjoint-CG telemetry set by the learning-function
+        # factories (utils/telemetry.py) — absent for plain closures
         verbose(lambda: (x.reshape(shape), u[0], fx,
                          np.linalg.norm(gx), delta,
-                         np.linalg.norm(residual)))
+                         np.linalg.norm(residual),
+                         getattr(learning_function, "last_adjoint_cg",
+                                 None)))
         if accepted and checkpoint is not None:
             # after verbose so the snapshot includes this iteration's entry
             checkpoint(it_count, x.reshape(shape), delta, st.log,

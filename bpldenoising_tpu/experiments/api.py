@@ -581,9 +581,13 @@ def _fused_to_result(res, *, it_offset: int = 0, init_entries=()):
     times = (np.asarray(res.times) if res.times is not None
              else np.zeros(k))
     for i in range(k):
-        st.log.append(BilevelLogEntry(i + 1 + it_offset, float(times[i]),
-                                      float(log[i, 0]), float(log[i, 1]),
-                                      float(log[i, 2]), float(log[i, 3])))
+        entry = BilevelLogEntry(i + 1 + it_offset, float(times[i]),
+                                float(log[i, 0]), float(log[i, 1]),
+                                float(log[i, 2]), float(log[i, 3]))
+        if log.shape[1] >= 6:   # adjoint-CG telemetry columns (tr_core)
+            entry.adjoint_cg_iters = float(log[i, 4])
+            entry.adjoint_cg_converged = float(log[i, 5])
+        st.log.append(entry)
     return BilevelResult(x=np.asarray(res.x), u=np.asarray(res.u), state=st,
                          cost=float(res.cost), g_norm=float(res.g_norm),
                          iterations=k + it_offset)

@@ -37,7 +37,7 @@ def sumregs_learning_function(x, ds, delta, *, delta_t: float = 1e-3,
 
     ``x``: (3,) vector of weights, or (m, n, 3) stack of patch grids.
     Returns ``(u, cost, grad)`` with ``grad`` shaped like ``x``
-    (``(u, cost, grad, p, state)`` with ``return_aux``).
+    (``(u, cost, grad, p, state, info)`` with ``return_aux``).
     """
     utrue = jnp.asarray(ds[0])
     f = jnp.asarray(ds[1], utrue.dtype)
@@ -55,14 +55,14 @@ def sumregs_learning_function(x, ds, delta, *, delta_t: float = 1e-3,
         raise ValueError(
             f"sumregs parameter must be (3,) or (m, n, 3), got {x.shape}")
 
-    u, cost, g, p, state = _sumregs_step(
+    u, cost, g, p, state, info = _sumregs_step(
         x, utrue, f, p0, s0, method=method, maxiter=int(maxiter),
         backend=backend, cfg=cfg, pop=pop,
         solver_kwargs=_frozen(solver_kwargs))
     if squeeze:
         u = u[0]
     if return_aux:
-        return u, cost, g, p, state
+        return u, cost, g, p, state, info
     return u, cost, g
 
 

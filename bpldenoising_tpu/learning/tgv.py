@@ -65,15 +65,15 @@ def _step(x, utrue, f, s0, *, maxiter, gamma, cg_tol, cg_maxiter, tau0,
                          sigma0=sigma0, tol=tol, check_every=check_every,
                          backend=backend)
     cost = 0.5 * jnp.sum((u - utrue) ** 2)
-    _, (g1, g0) = tgv_implicit_cotangents(
+    _, (g1, g0), info = tgv_implicit_cotangents(
         u, w, (a1, a0), u - utrue, gamma=gamma, cg_tol=cg_tol,
-        cg_maxiter=cg_maxiter)
+        cg_maxiter=cg_maxiter, return_info=True)
     if pop is not None:     # pull map cotangents back to the patch grids
         grad = jnp.stack([pop.apply_adjoint(g1), pop.apply_adjoint(g0)],
                          axis=-1)
     else:
         grad = jnp.stack([g1, g0])
-    return u, cost, grad, state
+    return u, cost, grad, state, info
 
 
 _STEP_STATICS = ("maxiter", "gamma", "cg_tol", "cg_maxiter", "tau0",
@@ -101,7 +101,9 @@ def tgv_learning_function(x, ds, delta, *, maxiter: int = 5000,
         (``return_aux=True`` returns it).
 
     Returns ``(u, cost, grad)`` with scalar cost ½Σ‖u−ū‖² and ``grad``
-    shaped like ``x``; with ``return_aux``, ``(u, cost, grad, state)``.
+    shaped like ``x``; with ``return_aux``, ``(u, cost, grad, state,
+    info)`` where ``info`` is the adjoint solve's
+    :class:`..solvers.krylov.KrylovInfo`.
     """
     del delta
     utrue = jnp.asarray(ds[0])
@@ -118,7 +120,7 @@ def tgv_learning_function(x, ds, delta, *, maxiter: int = 5000,
         raise ValueError(f"TGV parameter must be a length-2 vector "
                          f"[alpha1, alpha0] or an (m, n, 2) patch stack, "
                          f"got shape {x.shape}")
-    u, cost, grad, state = _step_jit(
+    u, cost, grad, state, info = _step_jit(
         x, utrue, f, s0, maxiter=int(maxiter), gamma=float(gamma),
         cg_tol=float(cg_tol), cg_maxiter=int(cg_maxiter), tau0=float(tau0),
         sigma0=float(sigma0), tol=None if tol is None else float(tol),
@@ -126,7 +128,7 @@ def tgv_learning_function(x, ds, delta, *, maxiter: int = 5000,
     if squeeze:
         u = u[0]
     if return_aux:
-        return u, cost, grad, state
+        return u, cost, grad, state, info
     return u, cost, grad
 
 
@@ -136,8 +138,12 @@ def make_tgv_learning_function(**defaults):
     When configured with an early-stop ``tol``, the returned closure chains
     the full (u, w, p, q) solver state across evaluations (keyed by dataset
     identity, bounded cache) — the same warm-start discipline as the
-    TV/sumregs factories."""
+    TV/sumregs factories.  Adjoint-CG convergence is surfaced on the
+    closure (``lf.adjoint_cg`` / ``lf.last_adjoint_cg`` + RuntimeWarning
+    on non-convergence)."""
     from collections import OrderedDict
+
+    from ..utils.telemetry import record_adjoint_cg
     state: OrderedDict = OrderedDict()
     MAX_ENTRIES = 8
 
@@ -153,13 +159,14 @@ def make_tgv_learning_function(**defaults):
             entry = state.get(key)
             if entry is not None and entry[1] is anchor:
                 s0 = entry[0]
-        u, cost, grad, s = tgv_learning_function(x, ds, delta, s0=s0,
-                                                 return_aux=True, **kw)
+        u, cost, grad, s, info = tgv_learning_function(x, ds, delta, s0=s0,
+                                                       return_aux=True, **kw)
         if warm:
             state[key] = (s, anchor)
             state.move_to_end(key)
             while len(state) > MAX_ENTRIES:
                 state.popitem(last=False)
+        record_adjoint_cg(lf, info)
         return u, cost, grad
 
     return lf

@@ -85,7 +85,7 @@ def _learning_step(x, utrue, f, p0, s0, *, model, method: str, maxiter: int,
     fn = exact_hypergrad if method == "exact" else reg_hypergrad
     # joint block-diagonal solve over the whole batch; grads come back
     # summed over every axis (scalars) or as (O, M, N) maps
-    grads, p, _ = fn(u, utrue, alphas, model, cfg, want_maps, p0=p0)
+    grads, p, info = fn(u, utrue, alphas, model, cfg, want_maps, p0=p0)
     if want_maps:
         maps = [pop.apply_adjoint(jnp.sum(g, axis=0)) for g in grads]
         g = maps[0] if K == 1 else jnp.stack(maps, axis=-1)
@@ -93,7 +93,7 @@ def _learning_step(x, utrue, f, p0, s0, *, model, method: str, maxiter: int,
         g = grads[0] if K == 1 else jnp.stack(list(grads))
 
     cost = 0.5 * jnp.sum((u - utrue) ** 2)
-    return u, cost, g, p, state
+    return u, cost, g, p, state, info
 
 
 _STEP_STATICS = ("model", "method", "maxiter", "backend", "cfg", "pop",
@@ -121,7 +121,8 @@ def tv_learning_function(x, ds, delta, *, delta_t: float = 1e-6,
     Returns:
       ``(u, cost, grad)`` with ``u`` (O, M, N), scalar cost
       ½Σ‖u−ū‖² and ``grad`` shaped like ``x``; with ``return_aux``,
-      ``(u, cost, grad, p, state)``.
+      ``(u, cost, grad, p, state, info)`` where ``info`` is the adjoint
+      solve's :class:`..solvers.krylov.KrylovInfo`.
     """
     utrue = jnp.asarray(ds[0])
     f = jnp.asarray(ds[1], utrue.dtype)
@@ -139,14 +140,14 @@ def tv_learning_function(x, ds, delta, *, delta_t: float = 1e-6,
     else:
         raise ValueError(f"TV parameter must be scalar or 2-D, got {x.shape}")
 
-    u, cost, g, p, state = _tv_step(
+    u, cost, g, p, state, info = _tv_step(
         x, utrue, f, p0, s0, method=method, maxiter=int(maxiter),
         backend=backend, cfg=cfg, pop=pop,
         solver_kwargs=_frozen(solver_kwargs))
     if squeeze:
         u = u[0]
     if return_aux:
-        return u, cost, g, p, state
+        return u, cost, g, p, state, info
     return u, cost, g
 
 
@@ -162,8 +163,17 @@ def make_learning_function(fn, default_delta_t: float, **defaults):
     shape — each cache entry holds a strong reference to the dataset so a
     recycled ``id()`` can never alias a different dataset — and the cache
     is bounded (oldest entries evicted) so long-lived factories don't pin
-    device memory per dataset."""
+    device memory per dataset.
+
+    Adjoint-CG convergence is surfaced on the closure itself:
+    ``lf.adjoint_cg`` accumulates running stats, ``lf.last_adjoint_cg``
+    holds the latest solve's ``{iters, resnorm, converged}``, and a
+    ``RuntimeWarning`` fires when a solve hits its iteration cap (the
+    reference errors there, ``src/TRBox.jl:137-139`` —
+    :func:`..utils.telemetry.record_adjoint_cg`)."""
     from collections import OrderedDict
+
+    from ..utils.telemetry import record_adjoint_cg
     state: OrderedDict = OrderedDict()
     MAX_ENTRIES = 16
 
@@ -187,13 +197,14 @@ def make_learning_function(fn, default_delta_t: float, **defaults):
         base = (jnp.shape(jnp.asarray(x)), jnp.shape(jnp.asarray(ds[0])),
                 id(anchor))
         warm_inner = (kw.get("solver_kwargs") or {}).get("tol") is not None
-        u, cost, g, p, s = fn(
+        u, cost, g, p, s, info = fn(
             x, ds, delta, p0=_get((method,) + base, anchor),
             s0=_get(("pdps",) + base, anchor) if warm_inner else None,
             return_aux=True, **kw)
         _put((method,) + base, p, anchor)
         if warm_inner:
             _put(("pdps",) + base, s, anchor)
+        record_adjoint_cg(lf, info)
         return u, cost, g
 
     return lf

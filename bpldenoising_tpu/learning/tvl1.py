@@ -51,13 +51,13 @@ def _step(x, utrue, f, p0, s0, *, gamma_d, maxiter, cfg, tau0, sigma0, tol,
         check_every=check_every, return_dual=True)
     cost = 0.5 * jnp.sum((u - utrue) ** 2)
     want_maps = pop is not None
-    grads, p, _ = tvl1_huber_hypergrad(
+    grads, p, info = tvl1_huber_hypergrad(
         u, f, utrue, (alpha,), _TV, cfg, want_maps, p0=p0, gamma_d=gamma_d)
     if want_maps:
         g = pop.apply_adjoint(jnp.sum(grads[0], axis=0))
     else:
         g = grads[0]
-    return u, cost, g, p, state
+    return u, cost, g, p, state, info
 
 
 _STEP_STATICS = ("maxiter", "cfg", "tol", "check_every", "pop")
@@ -87,7 +87,8 @@ def tvl1_learning_function(x, ds, delta, *, gamma_d: float = 100.0,
         previous evaluation (``return_aux=True`` returns them).
 
     Returns ``(u, cost, grad)`` with scalar cost ½Σ‖u−ū‖² and ``grad``
-    shaped like ``x``; with ``return_aux``, ``(u, cost, grad, p, state)``.
+    shaped like ``x``; with ``return_aux``,
+    ``(u, cost, grad, p, state, info)``.
     """
     del delta
     utrue = jnp.asarray(ds[0])
@@ -105,7 +106,7 @@ def tvl1_learning_function(x, ds, delta, *, gamma_d: float = 100.0,
             f"TV-L1 parameter must be scalar or 2-D, got {x.shape}")
     cfg = HypergradConfig(gamma=float(gamma), cg_tol=cg_tol,
                           cg_maxiter=int(cg_maxiter))
-    u, cost, g, p, state = _step_jit(
+    u, cost, g, p, state, info = _step_jit(
         x, utrue, f, p0, s0, gamma_d=float(gamma_d), maxiter=int(maxiter),
         cfg=cfg, tau0=float(tau0), sigma0=float(sigma0),
         tol=None if tol is None else float(tol),
@@ -113,7 +114,7 @@ def tvl1_learning_function(x, ds, delta, *, gamma_d: float = 100.0,
     if squeeze:
         u = u[0]
     if return_aux:
-        return u, cost, g, p, state
+        return u, cost, g, p, state, info
     return u, cost, g
 
 
@@ -124,8 +125,12 @@ def make_tvl1_learning_function(**defaults):
     previous call's state and — when configured with an early-stop
     ``tol`` — also chains the (u, y) inner-solver state (keyed by dataset
     identity, bounded cache; same discipline as the TV/sumregs/TGV
-    factories)."""
+    factories).  Adjoint-CG convergence is surfaced on the closure
+    (``lf.adjoint_cg`` / ``lf.last_adjoint_cg`` + RuntimeWarning on
+    non-convergence, like the TV/sumregs factory)."""
     from collections import OrderedDict
+
+    from ..utils.telemetry import record_adjoint_cg
     state: OrderedDict = OrderedDict()
     MAX_ENTRIES = 8
 
@@ -146,13 +151,14 @@ def make_tvl1_learning_function(**defaults):
         base = (jnp.shape(jnp.asarray(x)), jnp.shape(jnp.asarray(ds[0])),
                 id(anchor))
         warm_inner = kw.get("tol") is not None
-        u, cost, g, p, s = tvl1_learning_function(
+        u, cost, g, p, s, info = tvl1_learning_function(
             x, ds, delta, p0=_get(("adj",) + base, anchor),
             s0=_get(("pd",) + base, anchor) if warm_inner else None,
             return_aux=True, **kw)
         _put(("adj",) + base, p, anchor)
         if warm_inner:
             _put(("pd",) + base, s, anchor)
+        record_adjoint_cg(lf, info)
         return u, cost, g
 
     return lf

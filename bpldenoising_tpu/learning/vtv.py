@@ -55,10 +55,12 @@ def _step(x, utrue, f, s0, *, maxiter, gamma, cg_tol, cg_maxiter, tau0,
     u, state = _solve(f, a, s0, maxiter=maxiter, tau0=tau0, sigma0=sigma0,
                       tol=tol, check_every=check_every, backend=backend)
     cost = 0.5 * jnp.sum((u - utrue) ** 2)
-    _, da = vtv_implicit_cotangents(u, a, u - utrue, gamma=gamma,
-                                    cg_tol=cg_tol, cg_maxiter=cg_maxiter)
+    _, da, info = vtv_implicit_cotangents(u, a, u - utrue, gamma=gamma,
+                                          cg_tol=cg_tol,
+                                          cg_maxiter=cg_maxiter,
+                                          return_info=True)
     grad = pop.apply_adjoint(da) if pop is not None else da
-    return u, cost, grad, state
+    return u, cost, grad, state, info
 
 
 _STEP_STATICS = ("maxiter", "gamma", "cg_tol", "cg_maxiter", "tau0",
@@ -85,7 +87,9 @@ def vtv_learning_function(x, ds, delta, *, maxiter: int = 5000,
         hypergradient has no exact/regularized switch).
 
     Returns ``(u, cost, grad)`` with scalar cost ½Σ‖u−ū‖² and ``grad``
-    shaped like ``x``; with ``return_aux``, ``(u, cost, grad, state)``.
+    shaped like ``x``; with ``return_aux``, ``(u, cost, grad, state,
+    info)`` where ``info`` is the adjoint solve's
+    :class:`..solvers.krylov.KrylovInfo`.
     """
     del delta
     utrue = jnp.asarray(ds[0])
@@ -106,7 +110,7 @@ def vtv_learning_function(x, ds, delta, *, maxiter: int = 5000,
     else:
         raise ValueError(f"VTV parameter must be a scalar, an (M, N) map "
                          f"or an (m, n) patch grid, got shape {x.shape}")
-    u, cost, grad, state = _step_jit(
+    u, cost, grad, state, info = _step_jit(
         x, utrue, f, s0, maxiter=int(maxiter), gamma=float(gamma),
         cg_tol=float(cg_tol), cg_maxiter=int(cg_maxiter), tau0=float(tau0),
         sigma0=float(sigma0), tol=None if tol is None else float(tol),
@@ -114,7 +118,7 @@ def vtv_learning_function(x, ds, delta, *, maxiter: int = 5000,
     if squeeze:
         u = u[0]
     if return_aux:
-        return u, cost, grad, state
+        return u, cost, grad, state, info
     return u, cost, grad
 
 
@@ -123,8 +127,12 @@ def make_vtv_learning_function(**defaults):
 
     With an early-stop ``tol`` configured, the returned closure chains the
     (u, ys) solver state across evaluations (keyed by dataset identity,
-    bounded cache) — the warm-start discipline shared by all families."""
+    bounded cache) — the warm-start discipline shared by all families.
+    Adjoint-CG convergence is surfaced on the closure (``lf.adjoint_cg`` /
+    ``lf.last_adjoint_cg`` + RuntimeWarning on non-convergence)."""
     from collections import OrderedDict
+
+    from ..utils.telemetry import record_adjoint_cg
     state: OrderedDict = OrderedDict()
     MAX_ENTRIES = 8
 
@@ -140,13 +148,14 @@ def make_vtv_learning_function(**defaults):
             entry = state.get(key)
             if entry is not None and entry[1] is anchor:
                 s0 = entry[0]
-        u, cost, grad, s = vtv_learning_function(x, ds, delta, s0=s0,
-                                                 return_aux=True, **kw)
+        u, cost, grad, s, info = vtv_learning_function(x, ds, delta, s0=s0,
+                                                       return_aux=True, **kw)
         if warm:
             state[key] = (s, anchor)
             state.move_to_end(key)
             while len(state) > MAX_ENTRIES:
                 state.popitem(last=False)
+        record_adjoint_cg(lf, info)
         return u, cost, grad
 
     return lf

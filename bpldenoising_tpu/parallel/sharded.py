@@ -44,13 +44,15 @@ __all__ = ["make_sharded_tv_learning_function",
 
 def _build(mesh: Mesh, model, alphas_of_x, grads_of_maps, want_maps: bool,
            maxiter: int, cfg: HypergradConfig, backend: str = "jnp",
-           interpret: bool = False):
+           interpret: bool = False, telemetry_holder=None):
     """Common scaffolding for sharded learning functions.
 
     ``alphas_of_x(x, image_shape)``: parameter → K-tuple of per-image α
     (scalars or (M, N) maps, replicated on every chip).
     ``grads_of_maps(gsum, x)``: summed per-k gradient (scalars or maps) →
     gradient shaped like ``x``.
+    ``telemetry_holder``: closure to receive adjoint-CG convergence stats
+    (``utils/telemetry.py``; the mesh-worst iters/residual/converged).
     """
     b, r = P(BATCH_AXIS), P()
     n_shards = mesh.shape[BATCH_AXIS]
@@ -68,12 +70,17 @@ def _build(mesh: Mesh, model, alphas_of_x, grads_of_maps, want_maps: bool,
         fn = exact_hypergrad if method == "exact" else reg_hypergrad
         # one joint block-diagonal solve over the local sub-batch,
         # warm-started from the previous evaluation's adjoint state
-        gs, p, _ = fn(u, utrue, alphas, model, cfg, want_maps, p0=p0)
+        gs, p, info = fn(u, utrue, alphas, model, cfg, want_maps, p0=p0)
         gsum = tuple(
             jax.lax.psum(jnp.sum(g, axis=0) if g.ndim == 3 else g,
                          BATCH_AXIS)
             for g in gs)
-        return u, cost, gsum, p
+        # worst-case adjoint-CG telemetry over the mesh (pmax/pmin ride ICI)
+        cg = (jax.lax.pmax(jnp.max(info.iters), BATCH_AXIS),
+              jax.lax.pmax(jnp.max(info.resnorm), BATCH_AXIS),
+              jax.lax.pmin(jnp.all(info.converged).astype(jnp.int32),
+                           BATCH_AXIS))
+        return u, cost, gsum, p, cg
 
     shard_fns = {}
     for method in ("exact", "reg"):
@@ -81,7 +88,7 @@ def _build(mesh: Mesh, model, alphas_of_x, grads_of_maps, want_maps: bool,
         # the varying-across-mesh checker cannot see through the kernel
         shard_fns[method] = jax.jit(shard_map(
             functools.partial(_local, method=method), mesh=mesh,
-            in_specs=(b, b, b, b, r), out_specs=(b, r, r, b),
+            in_specs=(b, b, b, b, r), out_specs=(b, r, r, b, (r, r, r)),
             check_vma=False))
 
     # bounded warm-start cache: each entry anchors the dataset object so a
@@ -104,12 +111,17 @@ def _build(mesh: Mesh, model, alphas_of_x, grads_of_maps, want_maps: bool,
         entry = p_state.get(key)
         p0 = (entry[0] if entry is not None and entry[1] is anchor
               else jnp.zeros_like(f_p))
-        u, cost, gsum, p = shard_fns[method](utrue_p, f_p, w, p0, alphas)
+        u, cost, gsum, p, cg = shard_fns[method](utrue_p, f_p, w, p0, alphas)
         p_state[key] = (p, anchor)
         p_state.move_to_end(key)
         while len(p_state) > MAX_ENTRIES:
             p_state.popitem(last=False)
         grad = grads_of_maps(gsum, x)
+        if telemetry_holder is not None:
+            from ..solvers.krylov import KrylovInfo
+            from ..utils.telemetry import record_adjoint_cg
+            record_adjoint_cg(telemetry_holder,
+                              KrylovInfo(cg[0], cg[1], cg[2]))
         return u[:O], cost, grad
 
     return learning_function
@@ -149,7 +161,8 @@ def make_sharded_tv_learning_function(
             cache[key] = _build(mesh, model, alphas_of_x, grads_of_maps,
                                 want_maps=bool(x.ndim > 0), maxiter=maxiter,
                                 cfg=cfg, backend=backend,
-                                interpret=interpret)
+                                interpret=interpret,
+                                telemetry_holder=cached)
         return cache[key](x, ds, delta, delta_t=delta_t)
 
     return cached
@@ -187,7 +200,8 @@ def make_sharded_sumregs_learning_function(
             cache[key] = _build(mesh, model, alphas_of_x, grads_of_maps,
                                 want_maps=bool(x.ndim > 1), maxiter=maxiter,
                                 cfg=cfg, backend=backend,
-                                interpret=interpret)
+                                interpret=interpret,
+                                telemetry_holder=cached)
         return cache[key](x, ds, delta, delta_t=delta_t)
 
     return cached

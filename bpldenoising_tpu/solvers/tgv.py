@@ -222,7 +222,8 @@ def _build_joint_system(u, w, a1, a0, gamma):
 
 def tgv_implicit_cotangents(u, w, alphas, v, *, gamma: float = 1e-4,
                             cg_tol: float = 1e-6, cg_maxiter: int = 1000,
-                            lam0=None, return_lam: bool = False):
+                            lam0=None, return_lam: bool = False,
+                            return_info: bool = False):
     """Implicit-function-theorem cotangents at a TGV solution (u, w).
 
     Given the loss cotangent ``v = ∂J/∂u``, solves the SPD smoothed joint
@@ -234,7 +235,9 @@ def tgv_implicit_cotangents(u, w, alphas, v, *, gamma: float = 1e-4,
     ``lam0`` warm-starts the adjoint CG from a previous evaluation's
     multiplier (``return_lam=True`` appends it to the return) — the fused
     trust-region loop chains it across evaluations, where consecutive
-    systems differ only by a small (u, w, α) perturbation."""
+    systems differ only by a small (u, w, α) perturbation.
+    ``return_info=True`` additionally appends the solve's
+    :class:`.krylov.KrylovInfo` (adjoint-CG convergence telemetry)."""
     a1 = jnp.asarray(alphas[0], u.dtype)
     a0 = jnp.asarray(alphas[1], u.dtype)
     H, diag, psi_y, psi_z = _build_joint_system(u, w, a1, a0, gamma)
@@ -242,8 +245,8 @@ def tgv_implicit_cotangents(u, w, alphas, v, *, gamma: float = 1e-4,
     # per-image inner products (item_ndim=3 → the (3, M, N) stacked planes):
     # every image's adjoint solve is independent of how the batch is grouped,
     # so data-parallel shards reproduce the joint solve exactly
-    lam, _ = cg_batched(H, rhs, x0=lam0, tol=cg_tol, maxiter=cg_maxiter,
-                        M=lambda r: r / diag, item_ndim=3)
+    lam, info = cg_batched(H, rhs, x0=lam0, tol=cg_tol, maxiter=cg_maxiter,
+                           M=lambda r: r / diag, item_ndim=3)
     lu = lam[..., 0, :, :]
     lw = lam[..., 1:3, :, :]
 
@@ -258,7 +261,11 @@ def tgv_implicit_cotangents(u, w, alphas, v, *, gamma: float = 1e-4,
     g1 = -scalarprod(psi_y, _GRAD.apply(lu) - lw)
     g0 = -scalarprod(psi_z, sym_grad(lw))
     out = lu, (reduce_like(g1, a1), reduce_like(g0, a0))
-    return out + (lam,) if return_lam else out
+    if return_lam:
+        out = out + (lam,)
+    if return_info:
+        out = out + (info,)
+    return out
 
 
 def make_diff_tgv_denoise(maxiter: int = 5000, gamma: float = 1e-4,

@@ -68,14 +68,16 @@ def _dpsi_coupled(field, gamma):
 
 def vtv_implicit_cotangents(u, alpha, v, *, gamma: float = 1e-4,
                             cg_tol: float = 1e-6, cg_maxiter: int = 1000,
-                            lam0=None, return_lam: bool = False):
+                            lam0=None, return_lam: bool = False,
+                            return_info: bool = False):
     """Implicit-function-theorem cotangents at a VTV solution ``u``.
 
     Given the loss cotangent ``v = ∂J/∂u`` (shaped like u, (..., C, M, N)),
     solves the SPD smoothed system H λ = v once and returns ``(df, dα)``
     with ``dα`` shaped like ``alpha`` (scalar or (M, N) map).  ``lam0``
     warm-starts the adjoint CG (``return_lam=True`` appends the multiplier)
-    — the same chaining discipline as :func:`.tgv.tgv_implicit_cotangents`.
+    — the same chaining discipline as :func:`.tgv.tgv_implicit_cotangents`;
+    ``return_info=True`` appends the solve's :class:`.krylov.KrylovInfo`.
     """
     a = jnp.asarray(alpha, u.dtype)
     g = _GRAD.apply(u)                       # (..., C, 2, M, N)
@@ -93,8 +95,8 @@ def vtv_implicit_cotangents(u, alpha, v, *, gamma: float = 1e-4,
     diag = (1.0 + _GRAD.gram_diag(jnp.stack([a_s, a_s], axis=-3)))
     diag = diag[..., None, :, :]             # broadcast over channels
 
-    lam, _ = cg_batched(H, v, x0=lam0, tol=cg_tol, maxiter=cg_maxiter,
-                        M=lambda r: r / diag, item_ndim=3)
+    lam, info = cg_batched(H, v, x0=lam0, tol=cg_tol, maxiter=cg_maxiter,
+                           M=lambda r: r / diag, item_ndim=3)
 
     g_map = -scalarprod(psi, _GRAD.apply(lam), axes=_AXES)   # (..., M, N)
     if a.ndim >= 2:
@@ -103,7 +105,11 @@ def vtv_implicit_cotangents(u, alpha, v, *, gamma: float = 1e-4,
     else:
         da = jnp.sum(g_map).astype(a.dtype)
     out = lam, da
-    return out + (lam,) if return_lam else out
+    if return_lam:
+        out = out + (lam,)
+    if return_info:
+        out = out + (info,)
+    return out
 
 
 def make_diff_vtv_denoise(maxiter: int = 5000, gamma: float = 1e-4,

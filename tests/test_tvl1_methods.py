@@ -159,9 +159,13 @@ class TestFusedTVL1:
         # holds to float noise, not bitwise
         np.testing.assert_allclose(np.asarray(seg.x), np.asarray(one.x),
                                    rtol=1e-9)
-        np.testing.assert_allclose(np.asarray(seg.log),
-                                   np.asarray(one.log), rtol=1e-6,
-                                   atol=1e-12)
+        seg_log, one_log = np.asarray(seg.log), np.asarray(one.log)
+        np.testing.assert_allclose(seg_log[:, :4], one_log[:, :4],
+                                   rtol=1e-6, atol=1e-12)
+        # the adjoint-CG iteration count (col 4) is a DISCRETE counter on a
+        # residual threshold — float noise at the threshold flips it by ±1
+        np.testing.assert_allclose(seg_log[:, 4], one_log[:, 4], atol=1)
+        np.testing.assert_array_equal(seg_log[:, 5], one_log[:, 5])
         times = np.asarray(seg.times)
         assert times.shape == (int(seg.iterations),)
         assert np.all(times > 0) and np.all(np.diff(times) >= 0)
