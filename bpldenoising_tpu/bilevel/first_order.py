@@ -34,7 +34,8 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
-from jax import lax
+import numpy as np
+from jax import lax, shard_map
 
 from ..models import DenoiseModel, sumregs_model, tv_model
 from ..ops import PatchOp, scalarprod, xi
@@ -49,6 +50,12 @@ class SingleLoopResult(NamedTuple):
     cost: jnp.ndarray           # final ½Σ‖u−ū‖²
     alpha_trajectory: jnp.ndarray   # (outer, *param_shape)
     cost_trajectory: jnp.ndarray    # (outer,)
+    # (outer,) ‖dJ/dα‖₂ per outer step (None on learners that predate it)
+    gnorm_trajectory: Optional[jnp.ndarray] = None
+    # host-side per-iteration cumulative wall seconds, filled only by the
+    # segmented driver (log_every); segment-end granularity, AOT-compiled
+    # executables so no JIT time is included
+    times: Optional["np.ndarray"] = None
 
 
 def _bc(m):
@@ -92,12 +99,14 @@ def _param_layout(model: DenoiseModel, x0, image_shape):
 @functools.partial(
     jax.jit,
     static_argnames=("model", "outer", "n_inner", "n_adj", "pop",
-                     "param_shape", "axis_name", "optimizer"))
+                     "param_shape", "axis_name", "optimizer",
+                     "return_carry"))
 def _single_loop_impl(utrue, f, x0, *, model: DenoiseModel, outer: int,
                       n_inner: int, n_adj: int, pop: Optional[PatchOp],
                       param_shape: tuple, lr, gamma, tau0, sigma0,
                       beta1, beta2, eps, axis_name: Optional[str] = None,
-                      optimizer=None):
+                      optimizer=None, carry0=None,
+                      return_carry: bool = False):
     dtype = f.dtype
     K = model.K
     L = jnp.sqrt(jnp.asarray(model.opnorm_sq(), dtype))
@@ -209,33 +218,50 @@ def _single_loop_impl(utrue, f, x0, *, model: DenoiseModel, outer: int,
         if axis_name is not None:
             cost = lax.psum(cost, axis_name)
         # trajectory pairs each cost with the α that PRODUCED it (x, not the
-        # freshly updated parameter)
-        return (u, ys, p, z_new, opt_state, t), (x, cost)
+        # freshly updated parameter); gnorm is the approximate-hypergradient
+        # norm in the ORIGINAL parameterization (g_x, pre-chain-rule) so the
+        # perf log is comparable with the trust-region paths' ‖dJ/dα‖
+        gnorm = jnp.sqrt(jnp.sum(jnp.asarray(g_x) ** 2))
+        return (u, ys, p, z_new, opt_state, t), (x, cost, gnorm)
 
-    u0 = f
+    if carry0 is None:
+        carry0 = _init_carry(f, x0, K=K, param_shape=param_shape,
+                             optimizer=optimizer)
+
+    carry, (alphas_traj, costs, gnorms) = lax.scan(outer_step, carry0, None,
+                                                   length=outer)
+    u, _, _, z, _, _ = carry
+    final_cost = 0.5 * jnp.sum((u - utrue) ** 2)
+    if axis_name is not None:
+        final_cost = lax.psum(final_cost, axis_name)
+    res = SingleLoopResult(alpha=jnp.exp(z), u=u,
+                           cost=final_cost,
+                           alpha_trajectory=alphas_traj,
+                           cost_trajectory=costs,
+                           gnorm_trajectory=gnorms)
+    if return_carry:
+        return res, carry
+    return res
+
+
+def _init_carry(f, x0, *, K: int, param_shape: tuple, optimizer=None):
+    """Initial scan carry (u, dual blocks, adjoint p, log α, optimizer
+    state, step counter) — shared by the in-impl path and the segmented
+    host driver (which builds it with GLOBAL padded shapes before sharding
+    it through shard_map)."""
+    dtype = f.dtype
     zero_like = 0.0 * f[..., None, :, :]
     ys0 = tuple(
         jnp.zeros(f.shape[:-2] + (2,) + f.shape[-2:], dtype) + zero_like
         for _ in range(K))
-    p0 = jnp.zeros_like(f)
     z0 = jnp.log(jnp.asarray(x0, dtype))
     if optimizer is not None:
         opt_state0 = optimizer.init(z0)
     else:
         opt_state0 = (jnp.zeros(param_shape, dtype),
                       jnp.zeros(param_shape, dtype))
-    carry0 = (u0, ys0, p0, z0, opt_state0, jnp.zeros((), dtype))
-
-    carry, (alphas_traj, costs) = lax.scan(outer_step, carry0, None,
-                                           length=outer)
-    u, _, _, z, _, _ = carry
-    final_cost = 0.5 * jnp.sum((u - utrue) ** 2)
-    if axis_name is not None:
-        final_cost = lax.psum(final_cost, axis_name)
-    return SingleLoopResult(alpha=jnp.exp(z), u=u,
-                            cost=final_cost,
-                            alpha_trajectory=alphas_traj,
-                            cost_trajectory=costs)
+    return (f, ys0, jnp.zeros_like(f), z0, opt_state0,
+            jnp.zeros((), dtype))
 
 
 def single_loop_learn(utrue, f, x0, model: DenoiseModel, *,
@@ -244,7 +270,8 @@ def single_loop_learn(utrue, f, x0, model: DenoiseModel, *,
                       tau0: float = 5.0, sigma0: float = 0.99 / 5.0,
                       beta1: float = 0.9, beta2: float = 0.999,
                       eps: float = 1e-8, mesh=None,
-                      optimizer=None) -> SingleLoopResult:
+                      optimizer=None, log_every: Optional[int] = None,
+                      segment_callback=None) -> SingleLoopResult:
     """Single-loop bilevel learning for any model/parameterization.
 
     ``x0`` must be strictly positive (the parameter lives in log space).
@@ -278,29 +305,132 @@ def single_loop_learn(utrue, f, x0, model: DenoiseModel, *,
               n_adj=int(n_adj), pop=pop, param_shape=param_shape, lr=lr,
               gamma=gamma, tau0=tau0, sigma0=sigma0, beta1=beta1,
               beta2=beta2, eps=eps, optimizer=optimizer)
+    make_carry0 = functools.partial(_init_carry, x0=x0, K=model.K,
+                                    param_shape=param_shape,
+                                    optimizer=optimizer)
+
+    def carry_spec_fn(carry, b, r):
+        u, ys, p, z, opt_state, t = carry
+        return (b, jax.tree.map(lambda _: b, ys), b, r,
+                jax.tree.map(lambda _: r, opt_state), r)
+
+    res = drive_single_loop(_single_loop_impl, utrue, f, x0, kw,
+                            make_carry0=make_carry0,
+                            carry_spec_fn=carry_spec_fn, mesh=mesh,
+                            log_every=log_every,
+                            segment_callback=segment_callback)
+    if squeeze:
+        res = res._replace(u=res.u[0])
+    return res
+
+
+def drive_single_loop(impl, utrue, f, x0, kw, *, make_carry0,
+                      carry_spec_fn, mesh=None, log_every=None,
+                      segment_callback=None) -> SingleLoopResult:
+    """Shared host driver for every single-loop family (TV/sumregs here,
+    TGV/VTV/TVL1 in their sibling modules).
+
+    ``impl``: a jitted scan body wrapper with the common contract
+    ``impl(utrue, f, x0, *, carry0, return_carry, axis_name, **kw) ->
+    SingleLoopResult [, carry]`` emitting ``(α, cost, ‖g‖)`` trajectories.
+    ``make_carry0(f_like)``: initial scan carry (called with the PADDED
+    global stack under a mesh).  ``carry_spec_fn(carry, b, r)``: shard_map
+    PartitionSpec pytree for the carry (batch-state ``b``, parameter state
+    ``r``).
+
+    ``log_every=None`` → the whole loop is ONE device program (zero host
+    hops).  ``log_every=j`` → chunked dispatch, one program per ``j`` outer
+    steps: restores real per-segment wall-clock — the same observability
+    trade the fused trust region makes (``tr_core.run_segmented``) — at
+    ~1/j of the latency saving.  Executables are AOT-compiled before the
+    clock starts, so ``times`` is pure execution; ``times[i]`` is the
+    segment-end cumulative wall covering iteration ``i`` (no invented
+    sub-segment precision)."""
+    import time
+
     if mesh is not None:
-        import jax
-        from jax import shard_map
         from jax.sharding import PartitionSpec as P
+
         from ..parallel.mesh import BATCH_AXIS, pad_batch
 
         O = utrue.shape[0]
-        n_shards = mesh.shape[BATCH_AXIS]
-        utrue_p, _ = pad_batch(utrue, n_shards)
-        f_p, _ = pad_batch(f, n_shards)
+        utrue_p, _ = pad_batch(utrue, mesh.shape[BATCH_AXIS])
+        f_p, _ = pad_batch(f, mesh.shape[BATCH_AXIS])
         b, r = P(BATCH_AXIS), P()
-        out_specs = SingleLoopResult(alpha=r, u=b, cost=r,
-                                     alpha_trajectory=r, cost_trajectory=r)
+        res_spec = SingleLoopResult(alpha=r, u=b, cost=r,
+                                    alpha_trajectory=r, cost_trajectory=r,
+                                    gnorm_trajectory=r, times=None)
+
+    if log_every is None:
+        if mesh is None:
+            return impl(utrue, f, x0, **kw)
         fn = shard_map(
-            lambda ut, ff: _single_loop_impl(ut, ff, x0,
-                                             axis_name=BATCH_AXIS, **kw),
-            mesh=mesh, in_specs=(b, b), out_specs=out_specs)
+            lambda ut, ff: impl(ut, ff, x0, axis_name=BATCH_AXIS, **kw),
+            mesh=mesh, in_specs=(b, b), out_specs=res_spec)
         res = jax.jit(fn)(utrue_p, f_p)
-        res = res._replace(u=res.u[:O])
+        return res._replace(u=res.u[:O])
+
+    log_every = int(log_every)
+    outer = kw["outer"]
+    if mesh is not None:
+        carry = make_carry0(f_p)        # global padded shapes
+        cspec = carry_spec_fn(carry, b, r)
+
+        def make_runner(seg: int):
+            kws = dict(kw, outer=seg)
+            fn = shard_map(
+                lambda ut, ff, c: impl(ut, ff, x0, carry0=c,
+                                       return_carry=True,
+                                       axis_name=BATCH_AXIS, **kws),
+                mesh=mesh, in_specs=(b, b, cspec),
+                out_specs=(res_spec, cspec))
+            jf = jax.jit(fn)
+            return lambda c: jf(utrue_p, f_p, c), (
+                lambda c: jf.lower(utrue_p, f_p, c).compile())
     else:
-        res = _single_loop_impl(utrue, f, x0, **kw)
-    if squeeze:
-        res = res._replace(u=res.u[0])
+        O = None
+        carry = make_carry0(f)
+
+        def make_runner(seg: int):
+            kws = dict(kw, outer=seg)
+            run = lambda c: impl(utrue, f, x0, carry0=c,
+                                 return_carry=True, **kws)
+            return run, (lambda c: impl.lower(
+                utrue, f, x0, carry0=c, return_carry=True,
+                **kws).compile())
+
+    seg_lengths = sorted({min(log_every, outer), outer % log_every} - {0},
+                         reverse=True)
+    runners = {}
+    for seg in seg_lengths:
+        run, compile_fn = make_runner(seg)
+        compile_fn(carry)          # AOT: JIT excluded from the clock
+        runners[seg] = run
+
+    times = np.zeros((outer,), np.float64)
+    pieces = []
+    done = 0
+    t0 = time.perf_counter()
+    while done < outer:
+        seg = min(log_every, outer - done)
+        res_seg, carry = runners[seg](carry)
+        jax.block_until_ready(carry)
+        elapsed = time.perf_counter() - t0
+        times[done:done + seg] = elapsed
+        pieces.append(res_seg)
+        done += seg
+        if segment_callback is not None:
+            segment_callback(done, elapsed)
+    res = pieces[-1]._replace(
+        alpha_trajectory=jnp.concatenate(
+            [p.alpha_trajectory for p in pieces]),
+        cost_trajectory=jnp.concatenate(
+            [p.cost_trajectory for p in pieces]),
+        gnorm_trajectory=jnp.concatenate(
+            [p.gnorm_trajectory for p in pieces]),
+        times=times)
+    if O is not None:
+        res = res._replace(u=res.u[:O])
     return res
 
 

@@ -45,7 +45,8 @@ from ..ops.grad import FwdGradientOp
 from ..models import vtv_model
 from ..solvers.krylov import cg_batched
 from ..solvers.vtv import _dpsi_coupled
-from .first_order import SingleLoopResult, _check_positive_x0
+from .first_order import (SingleLoopResult, _check_positive_x0,
+                          drive_single_loop)
 
 __all__ = ["single_loop_vtv_learn", "vtv_param_layout"]
 
@@ -68,12 +69,13 @@ def vtv_param_layout(x0, image_shape) -> Optional[PatchOp]:
 @functools.partial(
     jax.jit,
     static_argnames=("outer", "n_inner", "n_adj", "pop", "param_shape",
-                     "axis_name", "optimizer"))
+                     "axis_name", "optimizer", "return_carry"))
 def _single_loop_vtv_impl(utrue, f, x0, *, outer: int, n_inner: int,
                           n_adj: int, pop: Optional[PatchOp],
                           param_shape: tuple, lr, gamma, tau0, sigma0,
                           beta1, beta2, eps,
-                          axis_name: Optional[str] = None, optimizer=None):
+                          axis_name: Optional[str] = None, optimizer=None,
+                          carry0=None, return_carry: bool = False):
     dtype = f.dtype
     L = jnp.sqrt(jnp.asarray(_VTV.opnorm_sq(), dtype))
     tau = jnp.asarray(tau0, dtype) / L
@@ -141,9 +143,33 @@ def _single_loop_vtv_impl(utrue, f, x0, *, outer: int, n_inner: int,
         cost = 0.5 * jnp.sum((u - utrue) ** 2)
         if axis_name is not None:
             cost = lax.psum(cost, axis_name)
-        return (u, y, lam, z_new, opt_state, t), (x, cost)
+        gnorm = jnp.sqrt(jnp.sum(g_x ** 2))
+        return (u, y, lam, z_new, opt_state, t), (x, cost, gnorm)
 
-    # cold start (0·f keeps the mesh-varying type, as in solvers.pdps)
+    if carry0 is None:
+        carry0 = _vtv_init_carry(f, x0, param_shape=param_shape,
+                                 optimizer=optimizer)
+
+    carry, (alphas_traj, costs, gnorms) = lax.scan(outer_step, carry0,
+                                                   None, length=outer)
+    u, _, _, z, _, _ = carry
+    final_cost = 0.5 * jnp.sum((u - utrue) ** 2)
+    if axis_name is not None:
+        final_cost = lax.psum(final_cost, axis_name)
+    res = SingleLoopResult(alpha=jnp.exp(z), u=u, cost=final_cost,
+                           alpha_trajectory=alphas_traj,
+                           cost_trajectory=costs,
+                           gnorm_trajectory=gnorms)
+    if return_carry:
+        return res, carry
+    return res
+
+
+def _vtv_init_carry(f, x0, *, param_shape: tuple, optimizer=None):
+    """Initial scan carry: CP state (u, y), adjoint λ, log α, optimizer
+    state, step counter.  Cold start (0·f keeps the mesh-varying type, as
+    in solvers.pdps)."""
+    dtype = f.dtype
     zero_like = 0.0 * f[..., None, :, :]
     y0 = jnp.zeros(f.shape[:-2] + (2,) + f.shape[-2:], dtype) + zero_like
     lam0 = jnp.zeros_like(f)
@@ -153,17 +179,7 @@ def _single_loop_vtv_impl(utrue, f, x0, *, outer: int, n_inner: int,
     else:
         opt_state0 = (jnp.zeros(param_shape, dtype),
                       jnp.zeros(param_shape, dtype))
-    carry0 = (f, y0, lam0, z0, opt_state0, jnp.zeros((), dtype))
-
-    carry, (alphas_traj, costs) = lax.scan(outer_step, carry0, None,
-                                           length=outer)
-    u, _, _, z, _, _ = carry
-    final_cost = 0.5 * jnp.sum((u - utrue) ** 2)
-    if axis_name is not None:
-        final_cost = lax.psum(final_cost, axis_name)
-    return SingleLoopResult(alpha=jnp.exp(z), u=u, cost=final_cost,
-                            alpha_trajectory=alphas_traj,
-                            cost_trajectory=costs)
+    return (f, y0, lam0, z0, opt_state0, jnp.zeros((), dtype))
 
 
 def single_loop_vtv_learn(utrue, f, x0, *, outer: int = 300,
@@ -172,7 +188,8 @@ def single_loop_vtv_learn(utrue, f, x0, *, outer: int = 300,
                           tau0: float = 5.0, sigma0: float = 0.99 / 5.0,
                           beta1: float = 0.9, beta2: float = 0.999,
                           eps: float = 1e-8, mesh=None,
-                          optimizer=None) -> SingleLoopResult:
+                          optimizer=None, log_every=None,
+                          segment_callback=None) -> SingleLoopResult:
     """Single-loop vectorial-TV bilevel learning on (O, C, M, N) /
     (C, M, N) color stacks.
 
@@ -200,27 +217,19 @@ def single_loop_vtv_learn(utrue, f, x0, *, outer: int = 300,
               pop=pop, param_shape=tuple(x0.shape), lr=lr, gamma=gamma,
               tau0=tau0, sigma0=sigma0, beta1=beta1, beta2=beta2, eps=eps,
               optimizer=optimizer)
-    if mesh is not None:
-        from jax import shard_map
-        from jax.sharding import PartitionSpec as P
+    make_carry0 = functools.partial(_vtv_init_carry, x0=x0,
+                                    param_shape=tuple(x0.shape),
+                                    optimizer=optimizer)
 
-        from ..parallel.mesh import BATCH_AXIS, pad_batch
+    def carry_spec_fn(carry, b, r):
+        u, y, lam, z, opt_state, t = carry
+        return (b, b, b, r, jax.tree.map(lambda _: r, opt_state), r)
 
-        O = utrue.shape[0]
-        n_shards = mesh.shape[BATCH_AXIS]
-        utrue_p, _ = pad_batch(utrue, n_shards)
-        f_p, _ = pad_batch(f, n_shards)
-        b, r = P(BATCH_AXIS), P()
-        out_specs = SingleLoopResult(alpha=r, u=b, cost=r,
-                                     alpha_trajectory=r, cost_trajectory=r)
-        fn = shard_map(
-            lambda ut, ff: _single_loop_vtv_impl(
-                ut, ff, x0, axis_name=BATCH_AXIS, **kw),
-            mesh=mesh, in_specs=(b, b), out_specs=out_specs)
-        res = jax.jit(fn)(utrue_p, f_p)
-        res = res._replace(u=res.u[:O])
-    else:
-        res = _single_loop_vtv_impl(utrue, f, x0, **kw)
+    res = drive_single_loop(_single_loop_vtv_impl, utrue, f, x0, kw,
+                            make_carry0=make_carry0,
+                            carry_spec_fn=carry_spec_fn, mesh=mesh,
+                            log_every=log_every,
+                            segment_callback=segment_callback)
     if squeeze:
         res = res._replace(u=res.u[0])
     return res

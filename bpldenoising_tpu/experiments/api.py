@@ -410,6 +410,40 @@ def _stretched_inputs(ds, stretch_all):
     return tuple(np.asarray(d) for d in ds)
 
 
+def single_loop_log_every(outer: int) -> int:
+    """Chunked-dispatch cadence for single-loop experiment runs (~20 log
+    entries): real per-segment wall-clock + cost/gradient trajectories in
+    the perf log — the same observability trade tr_fused makes."""
+    return max(1, int(outer) // 20)
+
+
+def single_loop_state(res, alpha0):
+    """SingleLoopResult → (BilevelState with real telemetry, final ‖g‖).
+
+    Log entries carry segment-end cumulative wall-clock, the true cost and
+    hypergradient-norm trajectories and the last parameter step; the TR
+    radius has no first-order analogue → NaN (honest over a fabricated
+    zero).  Shared by every family's method='single_loop' dispatch."""
+    from ..bilevel.harness import BilevelState
+    from ..viz.log import BilevelLogEntry
+
+    st = BilevelState()
+    costs = np.asarray(res.cost_trajectory)
+    gnorms = np.asarray(res.gnorm_trajectory)
+    alphas = np.asarray(res.alpha_trajectory)
+    x0 = np.asarray(alpha0, dtype=float)
+    log_every = single_loop_log_every(len(costs))
+    for i, c in enumerate(costs):
+        if (i + 1) % log_every == 0 or i + 1 == len(costs):
+            prev = alphas[i - 1] if i > 0 else x0
+            step_norm = float(np.linalg.norm(np.ravel(alphas[i] - prev)))
+            st.log.append(BilevelLogEntry(
+                i + 1, float(res.times[i]), float(c), float(gnorms[i]),
+                float("nan"), step_norm))
+    g_norm = float(gnorms[-1]) if len(gnorms) else float("nan")
+    return st, g_norm
+
+
 def _run_single_loop(params, model_kind, stretch_all=False):
     """Single-loop first-order path behind the same experiment surface
     (beyond-reference capability; artifacts match the TR path's)."""
@@ -427,19 +461,16 @@ def _run_single_loop(params, model_kind, stretch_all=False):
         mesh = make_batch_mesh()
     ds = _load(params)
     model = tv_model() if model_kind == "tv" else sumregs_model()
+    outer = int(params.sl_outer)
     res = single_loop_learn(
         ds[0], ds[1], params.alpha0, model,
-        outer=int(params.sl_outer), n_inner=int(params.sl_inner),
-        n_adj=int(params.sl_adj), lr=float(params.sl_lr), mesh=mesh)
-    st = BilevelState()
-    costs = np.asarray(res.cost_trajectory)
-    for i, c in enumerate(costs):
-        if (i + 1) % max(1, len(costs) // 20) == 0:
-            st.log.append(BilevelLogEntry(i + 1, 0.0, float(c), 0.0, 0.0,
-                                          0.0))
+        outer=outer, n_inner=int(params.sl_inner),
+        n_adj=int(params.sl_adj), lr=float(params.sl_lr), mesh=mesh,
+        log_every=single_loop_log_every(outer))
+    st, g_norm = single_loop_state(res, params.alpha0)
     out = BilevelResult(x=np.asarray(res.alpha), u=np.asarray(res.u),
-                        state=st, cost=float(res.cost), g_norm=float("nan"),
-                        iterations=int(params.sl_outer))
+                        state=st, cost=float(res.cost), g_norm=g_norm,
+                        iterations=outer)
     b, b_noisy = _stretched_inputs(ds, stretch_all)
     save_results(params, b, b_noisy, out.x, linear_stretch(out.u), st)
     return out

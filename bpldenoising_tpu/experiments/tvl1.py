@@ -182,11 +182,10 @@ def _run_tvl1_single_loop(params, stretch_all=True):
     """Single-loop first-order TV-L1 path behind the same experiment
     surface (``method='single_loop'``; artifacts match the TR paths')."""
     from ..bilevel.first_order_tvl1 import single_loop_tvl1_learn
-    from ..bilevel.harness import BilevelState
     from ..bilevel.trust_region import BilevelResult
-    from ..viz.log import BilevelLogEntry
     from .api import (_load, _reject_flags, _stretched_inputs,
-                      linear_stretch, save_results)
+                      linear_stretch, save_results, single_loop_log_every,
+                      single_loop_state)
 
     _reject_flags(params, "single_loop",
                   ("checkpoint", "resume", "save_iterations", "inner_tol"))
@@ -200,15 +199,11 @@ def _run_tvl1_single_loop(params, stretch_all=True):
         outer=int(params.sl_outer), n_inner=int(params.sl_inner),
         n_adj=int(params.sl_adj), lr=float(params.sl_lr),
         gamma_d=float(params.tvl1_gamma_d),
-        gamma=float(params.tvl1_gamma), mesh=mesh)
-    st = BilevelState()
-    costs = np.asarray(res.cost_trajectory)
-    for i, c in enumerate(costs):
-        if (i + 1) % max(1, len(costs) // 20) == 0:
-            st.log.append(BilevelLogEntry(i + 1, 0.0, float(c), 0.0, 0.0,
-                                          0.0))
+        gamma=float(params.tvl1_gamma), mesh=mesh,
+        log_every=single_loop_log_every(params.sl_outer))
+    st, g_norm = single_loop_state(res, params.alpha0)
     out = BilevelResult(x=np.asarray(res.alpha), u=np.asarray(res.u),
-                        state=st, cost=float(res.cost), g_norm=float("nan"),
+                        state=st, cost=float(res.cost), g_norm=g_norm,
                         iterations=int(params.sl_outer))
     b, b_noisy = _stretched_inputs(ds, stretch_all)
     save_results(params, b, b_noisy, out.x, linear_stretch(out.u), st)

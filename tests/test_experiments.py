@@ -148,6 +148,22 @@ class TestSingleLoopMethod:
         assert float(np.asarray(res.x)) > 0
         files = artifacts()
         assert any(f.endswith("_quality.txt") for f in files)
+        # real telemetry in the perf log (VERDICT r3 #6): non-zero monotone
+        # wall-clock, real cost values and gradient norms — not the zeroed
+        # placeholder entries of earlier rounds
+        perf = [f for f in files if f.endswith(".txt")
+                and "quality" not in f]
+        assert perf
+        path = os.path.join("output", "circle_128_10", perf[0])
+        rows = [ln.split("\t") for ln in open(path)
+                if ln.strip() and not ln.startswith("#")]
+        times = np.array([float(r[1]) for r in rows])
+        fvals = np.array([float(r[2]) for r in rows])
+        gnorms = np.array([float(r[3]) for r in rows])
+        assert len(rows) >= 10
+        assert np.all(times > 0) and np.all(np.diff(times) >= 0)
+        assert np.all(fvals > 0) and np.all(np.isfinite(gnorms))
+        assert np.any(gnorms > 0)
 
     def test_sumregs_single_loop(self):
         res = api.scalar_bilevel_sumregs_learn(

@@ -84,6 +84,70 @@ class TestGeneralizedSingleLoop:
         assert np.all(np.isfinite(np.asarray(res.cost_trajectory)))
 
 
+class TestSegmentedTelemetry:
+    """log_every chunked dispatch: identical trajectory, real wall-clock
+    (VERDICT r3 #6 — single-loop runs previously logged zeroed telemetry)."""
+
+    def test_matches_single_dispatch(self, rng):
+        utrue, f = small_ds(rng, n=16, O=1)
+        kw = dict(outer=30, n_inner=10, n_adj=4, lr=0.05)
+        one = single_loop_tv_learn(utrue, f, alpha0=0.05, **kw)
+        seg = single_loop_tv_learn(utrue, f, alpha0=0.05, log_every=7, **kw)
+        # same scan body; segment boundaries only split the scan, so the
+        # trajectories agree to float noise across executables
+        np.testing.assert_allclose(np.asarray(seg.alpha_trajectory),
+                                   np.asarray(one.alpha_trajectory),
+                                   rtol=1e-9)
+        np.testing.assert_allclose(np.asarray(seg.cost_trajectory),
+                                   np.asarray(one.cost_trajectory),
+                                   rtol=1e-9)
+        np.testing.assert_allclose(np.asarray(seg.gnorm_trajectory),
+                                   np.asarray(one.gnorm_trajectory),
+                                   rtol=1e-8)
+        times = np.asarray(seg.times)
+        assert times.shape == (30,)
+        # AOT-compiled executables: every segment-end time is real (> 0)
+        # and cumulative times are monotone
+        assert np.all(times > 0) and np.all(np.diff(times) >= 0)
+        assert one.times is None
+
+    def test_gnorm_trajectory_meaningful(self, rng):
+        utrue, f = small_ds(rng, n=16, O=1)
+        res = single_loop_tv_learn(utrue, f, alpha0=0.005, outer=100,
+                                   n_inner=25, n_adj=6, lr=0.1)
+        g = np.asarray(res.gnorm_trajectory)
+        assert g.shape == (100,) and np.all(np.isfinite(g))
+        # the hypergradient shrinks as the parameter approaches the valley
+        assert g[-10:].mean() < g[:10].mean()
+
+    def test_segmented_mesh(self, rng):
+        import jax
+        from jax.sharding import Mesh
+        from bpldenoising_tpu.models import tv_model
+        utrue, f = small_ds(rng, n=16, O=3)   # uneven batch over 2 shards
+        mesh = Mesh(np.array(jax.devices()[:2]), ("batch",))
+        kw = dict(outer=20, n_inner=8, n_adj=3, lr=0.05)
+        plain = single_loop_learn(utrue, f, 0.05, tv_model(), **kw)
+        seg = single_loop_learn(utrue, f, 0.05, tv_model(), mesh=mesh,
+                                log_every=6, **kw)
+        np.testing.assert_allclose(np.asarray(seg.alpha_trajectory),
+                                   np.asarray(plain.alpha_trajectory),
+                                   rtol=1e-6)
+        assert seg.u.shape == utrue.shape
+        times = np.asarray(seg.times)
+        assert times.shape == (20,) and np.all(np.diff(times) >= 0)
+
+    def test_segment_callback(self, rng):
+        utrue, f = small_ds(rng, n=16, O=1)
+        hops = []
+        single_loop_tv_learn(utrue, f, alpha0=0.05, outer=10, n_inner=5,
+                             n_adj=2, log_every=4,
+                             segment_callback=lambda it, t: hops.append(
+                                 (it, t)))
+        assert [h[0] for h in hops] == [4, 8, 10]
+        assert all(t > 0 for _, t in hops)
+
+
 class TestOptaxIntegration:
     def test_optax_adam_matches_builtin(self, rng):
         """optax.adam with the built-in hyperparameters reproduces the
