@@ -21,6 +21,7 @@ off by default under pytest/CI.
 from __future__ import annotations
 
 import sys
+import threading
 import time
 from dataclasses import dataclass, field
 from typing import Callable, Optional
@@ -35,39 +36,99 @@ __all__ = ["BilevelState", "bilevel_iterate", "LiveView"]
 class LiveView:
     """Optional live visualization of the current reconstruction and
     (for patch/3-map parameters) normalized parameter maps
-    (ref ``src/BilevelVisualise.jl:100-171,213-235``).  Headless-safe."""
+    (ref ``src/BilevelVisualise.jl:100-171,213-235``).  Headless-safe.
 
-    def __init__(self):
+    Rendering happens on a background thread fed by a depth-1
+    latest-frame channel: :meth:`show` never blocks the iteration — if
+    the renderer is still busy when the next frame arrives, the pending
+    frame is REPLACED (dropped) so the display always shows the newest
+    iterate.  This matches the reference's ``Threads.@spawn`` consumer on
+    a bounded ``Channel(1)`` that keeps only the latest frame
+    (``src/BilevelVisualise.jl:71-89,279-295``); ``wasted_time``
+    accounting in the harness then only covers the cheap enqueue.
+
+    ``renderer(image, param)`` is injectable (tests; alternative
+    backends).  The default matplotlib renderer no-ops headless (agg);
+    interactive GUI backends that require main-thread drawing should be
+    wrapped in a renderer that marshals to their event loop."""
+
+    def __init__(self, renderer: Optional[Callable] = None):
+        self._renderer = renderer if renderer is not None else self._draw
+        self._cond = threading.Condition()
+        self._frame = None          # latest pending frame, depth-1 channel
+        self._stopping = False
+        self._thread = None
         self._fig = None
+        self.frames_drawn = 0
+        self.frames_dropped = 0
 
     def show(self, image: np.ndarray, param: Optional[np.ndarray]):
-        try:
-            import matplotlib
-            import matplotlib.pyplot as plt
-            if self._fig is None:
-                if matplotlib.get_backend().lower() == "agg":
-                    return  # headless: no-op
-                plt.ion()
-                self._fig = plt.figure("bpldenoising")
-            self._fig.clf()
-            ncols = 1 + (param is not None)
-            ax = self._fig.add_subplot(1, ncols, 1)
-            if image.ndim == 3:  # planar (C, M, N) color → HWC for imshow
-                image = np.clip(np.moveaxis(image, 0, -1), 0.0, 1.0)
-            ax.imshow(image, cmap="gray")
-            ax.set_title("reconstruction")
-            ax.axis("off")
-            if param is not None:
-                ax2 = self._fig.add_subplot(1, ncols, 2)
-                ax2.imshow(param, cmap="gray")
-                ax2.set_title("parameter")
-                ax2.axis("off")
-            self._fig.canvas.draw_idle()
-            self._fig.canvas.flush_events()
-        except Exception:
-            pass  # visualization must never take down a run
+        """Enqueue the newest frame (non-blocking; replaces any pending
+        one) and make sure the render thread is running."""
+        frame = (np.asarray(image),
+                 None if param is None else np.asarray(param))
+        with self._cond:
+            if self._stopping:
+                return
+            if self._thread is None:
+                self._thread = threading.Thread(
+                    target=self._pump, name="bpldenoising-liveview",
+                    daemon=True)
+                self._thread.start()
+            if self._frame is not None:
+                self.frames_dropped += 1
+            self._frame = frame
+            self._cond.notify()
+
+    def _pump(self):
+        while True:
+            with self._cond:
+                while self._frame is None and not self._stopping:
+                    self._cond.wait()
+                if self._frame is None:     # stopping, nothing pending
+                    return
+                frame, self._frame = self._frame, None
+            try:
+                self._renderer(*frame)
+            except Exception:
+                pass  # visualization must never take down a run
+            self.frames_drawn += 1
+
+    def _draw(self, image: np.ndarray, param: Optional[np.ndarray]):
+        import matplotlib
+        import matplotlib.pyplot as plt
+        if self._fig is None:
+            if matplotlib.get_backend().lower() == "agg":
+                return  # headless: no-op
+            plt.ion()
+            self._fig = plt.figure("bpldenoising")
+        self._fig.clf()
+        ncols = 1 + (param is not None)
+        ax = self._fig.add_subplot(1, ncols, 1)
+        if image.ndim == 3:  # planar (C, M, N) color → HWC for imshow
+            image = np.clip(np.moveaxis(image, 0, -1), 0.0, 1.0)
+        ax.imshow(image, cmap="gray")
+        ax.set_title("reconstruction")
+        ax.axis("off")
+        if param is not None:
+            ax2 = self._fig.add_subplot(1, ncols, 2)
+            ax2.imshow(param, cmap="gray")
+            ax2.set_title("parameter")
+            ax2.axis("off")
+        self._fig.canvas.draw_idle()
+        self._fig.canvas.flush_events()
 
     def close(self):
+        """Drain the channel (a pending frame is still drawn — the final
+        iterate stays on screen, ref ``finalise_bilevel_visualisation``)
+        and join the render thread."""
+        with self._cond:
+            self._stopping = True
+            self._cond.notify()
+        if self._thread is not None:
+            self._thread.join(timeout=5.0)
+            self._thread = None
+        self._stopping = False
         if self._fig is not None:
             try:
                 import matplotlib.pyplot as plt
