@@ -152,6 +152,34 @@ def run_matrix(mode: str) -> dict:
                         params=tr_params(0.1) | dict(maxiter=15))
     record("tvl1_scalar_circle_sp", ds, res, time.perf_counter() - t0)
 
+    # 8. TV-L1 fused on-device trust region (method matrix parity with
+    # every other family — bilevel/fused_tvl1.py; bit-parity with the
+    # host loop at inner_tol=None, tests/test_tvl1_methods.py)
+    from bpldenoising_tpu.bilevel import bilevel_learn_tvl1_fused
+    t0 = time.perf_counter()
+    res = bilevel_learn_tvl1_fused(
+        ds, xinit=0.4, params=tr_params(0.1) | dict(maxiter=15),
+        inner_maxiter=5000, inner_tol=None, backend=backend)
+    record("tvl1_fused_circle_sp", ds, res, time.perf_counter() - t0)
+
+    # 9. TV-L1 single-loop first-order learner (one lax.scan dispatch;
+    # lands in the same TR valley — tests/test_tvl1_methods.py)
+    from bpldenoising_tpu.bilevel import single_loop_tvl1_learn
+    t0 = time.perf_counter()
+    sl = single_loop_tvl1_learn(ds[0], ds[1], 0.4, outer=300, n_inner=40,
+                                n_adj=10)
+    np.asarray(sl.u)
+    wall = time.perf_counter() - t0
+    results["tvl1_single_loop_circle_sp"] = dict(
+        x=np.asarray(sl.alpha).tolist(), cost=float(sl.cost),
+        g_norm=float(np.asarray(sl.gnorm_trajectory)[-1]),
+        iterations=300,
+        mean_psnr=float(np.mean(np.asarray(
+            psnr(ds[0], jnp.asarray(sl.u))))),
+        wall_s=round(wall, 3))
+    print(f"tvl1_single_loop_circle_sp: "
+          f"{results['tvl1_single_loop_circle_sp']}", file=sys.stderr)
+
     return results
 
 
