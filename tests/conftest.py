@@ -24,8 +24,33 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 # XLA:CPU compiles are slow in this environment (~0.5s per tiny executable);
-# cache them persistently so repeat test runs are cheap.
-_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache")
+# cache them persistently so repeat test runs are cheap.  The cache dir is
+# keyed by a HOST CPU fingerprint: XLA:CPU AOT executables encode the
+# compile machine's feature set (avx512/amx/...), and deserializing an
+# entry produced on a different host can hard-crash the process
+# (observed: SIGSEGV in compilation_cache.get_executable_and_time loading
+# +prefer-no-scatter entries from an amx-capable builder on a plainer
+# host) — a per-host subdir makes foreign entries unreachable.
+
+
+def _host_fingerprint() -> str:
+    import hashlib
+    import platform
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith(("flags", "Features")):
+                    flags = line.strip()
+                    break
+    except OSError:
+        pass
+    blob = f"{platform.machine()}|{flags}"
+    return hashlib.sha1(blob.encode()).hexdigest()[:12]
+
+
+_cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache",
+                          _host_fingerprint())
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
