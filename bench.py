@@ -911,6 +911,20 @@ def run(quick: bool = False, backend: str = "pallas",
             out["tvl1_single_loop_alpha"] = round(float(r_tsl.alpha), 5)
             out["tvl1_single_loop_final_cost"] = round(
                 float(r_tsl.cost), 4)
+
+            # one-kernel learner (single image, fully VMEM-resident)
+            from bpldenoising_tpu.bilevel import single_loop_tvl1_pallas
+
+            def run_tvl1_ok():
+                a, u, _ = single_loop_tvl1_pallas(spt[0], spd[0], 0.4,
+                                                  outer=300, n_inner=40,
+                                                  n_adj=10)
+                _sync(u)
+                return a
+
+            a_l1ok, tvl1_ok_wall = _best_of(run_tvl1_ok)
+            out["tvl1_one_kernel_walltime_s"] = round(tvl1_ok_wall, 4)
+            out["tvl1_one_kernel_alpha"] = round(float(a_l1ok), 5)
         except Exception as e:  # pragma: no cover - hardware-specific
             print(f"tvl1 failed: {e}", file=sys.stderr)
         if only == "tvl1":

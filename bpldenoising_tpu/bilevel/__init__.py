@@ -7,6 +7,7 @@ from .first_order_pallas import (single_loop_pallas,
 from .first_order_tgv import single_loop_tgv_learn
 from .first_order_tgv_pallas import single_loop_tgv_pallas
 from .first_order_tvl1 import single_loop_tvl1_learn
+from .first_order_tvl1_pallas import single_loop_tvl1_pallas
 from .first_order_vtv import single_loop_vtv_learn
 from .first_order_vtv_pallas import single_loop_vtv_pallas
 from .fused import FusedResult, bilevel_learn_fused
@@ -21,7 +22,7 @@ __all__ = [
     "bilevel_iterate", "BilevelState", "LiveView",
     "single_loop_tv_learn", "single_loop_learn", "single_loop_sumregs_learn",
     "single_loop_tgv_learn", "single_loop_tgv_pallas",
-    "single_loop_tvl1_learn",
+    "single_loop_tvl1_learn", "single_loop_tvl1_pallas",
     "single_loop_vtv_learn", "single_loop_vtv_pallas",
     "SingleLoopResult", "single_loop_tv_pallas", "single_loop_pallas",
     "single_loop_pallas_tiled",
