@@ -149,11 +149,12 @@ def main():
              ex.generate_vtv_cost_plot("color_disks"))[-1])
 
     # beyond-reference TV-L1 family (impulse noise); bilevel learning runs
-    # the Huber-smoothed surrogate's implicit hypergradient under the host
-    # TR loop (DESIGN.md "TV-L1" — the smoothed route; only method="tr")
+    # the Huber-smoothed surrogate's implicit hypergradient with the full
+    # method matrix (tr / tr_fused / single_loop — DESIGN.md "TV-L1")
     step("scalar_bilevel_tvl1_learn (circle_sp)",
          lambda: ex.scalar_bilevel_tvl1_learn(
-             inner_maxiter=inner, maxiter=outer, dtype=args.dtype))
+             inner_maxiter=inner, maxiter=outer, dtype=args.dtype,
+             method=args.method, backend=args.backend))
     step("validate_tvl1_parameter (0.9 on circle_sp)",
          lambda: ex.validate_tvl1_parameter(
              0.9, dataset_name="circle_sp",
@@ -163,6 +164,14 @@ def main():
              "circle_sp", np.logspace(-1.0, 1.7, points),
              maxiter=sweep_iters, dtype=args.dtype),
              ex.generate_tvl1_cost_plot("circle_sp"))[-1])
+
+    # fine-grid spatially-varying α through the L-BFGS trust-region path
+    # (256 parameters > lbfgs_threshold; scripts/fine_grid.py runs the full
+    # 16x16/32x32 ladder with scalar-initialized grids and PSNR checks)
+    step("patch_bilevel_tv_learn (16x16 fine grid, L-BFGS)",
+         lambda: api.patch_bilevel_tv_learn(
+             alpha0=0.07 * np.ones((16, 16)), delta0=0.07 / 4,
+             dataset_name="faces_train", num_samples=10, **common))
 
     # validations at plausible learned parameters
     step("validate_tv_parameter (0.07 on faces_val)",

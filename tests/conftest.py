@@ -52,7 +52,11 @@ def _host_fingerprint() -> str:
 _cache_dir = os.path.join(os.path.dirname(__file__), "..", ".jax_cache",
                           _host_fingerprint())
 jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+# Cache only compiles that actually cost something: caching every tiny
+# executable produced ~2k entries per full run, and the cache get/put path
+# has been observed to segfault sporadically in very long processes —
+# fewer entries keeps most of the win at a fraction of the traffic.
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 import numpy as np  # noqa: E402
