@@ -430,19 +430,29 @@ def run(quick: bool = False, backend: str = "pallas",
         _, hypergrad_s = _best_of(lambda: hg(u_opt, ds[0]))
         # adjoint-CG convergence at the learned α (a solve silently hitting
         # cg_maxiter would poison the hypergradient — surface it here the
-        # way the learning-function factories do, utils/telemetry.py)
-        _, _, hg_info = jax.jit(
-            lambda u, t: exact_hypergrad(u, t, (alpha,), model, fast_cfg))(
-                u_opt, ds[0])
-        hg_iters, hg_conv = jax.device_get(
-            (hg_info.iters, hg_info.converged))
+        # way the learning-function factories do, utils/telemetry.py).
+        # Two probes: the speed-mode cfg the fused loop actually uses
+        # (cg_maxiter=100 COLD — expected unconverged; the loop's
+        # warm-started adjoint carry makes up the accuracy across TR
+        # iterations, FIDELITY.md) and an accuracy-grade full-budget solve
+        # (must converge, else the hypergradient itself is suspect).
+        def probe(cfg):
+            _, _, info = jax.jit(lambda u, t: exact_hypergrad(
+                u, t, (alpha,), model, cfg))(u_opt, ds[0])
+            it, conv = jax.device_get((info.iters, info.converged))
+            return int(np.max(it)), bool(np.all(conv))
+
+        fast_it, fast_conv = probe(fast_cfg)
+        acc_it, acc_conv = probe(HypergradConfig())
 
         out.update({
             "phase_solve_cold_s": round(solve_cold_s, 4),
             "phase_solve_warm_s": round(solve_warm_s, 4),
             "phase_hypergrad_s": round(hypergrad_s, 4),
-            "adjoint_cg_iters": int(np.max(hg_iters)),
-            "adjoint_cg_converged": bool(np.all(hg_conv)),
+            "adjoint_cg_iters_speed_cfg_cold": fast_it,
+            "adjoint_cg_converged_speed_cfg_cold": fast_conv,
+            "adjoint_cg_iters": acc_it,
+            "adjoint_cg_converged": acc_conv,
         })
 
     # --- raw fused-kernel PD throughput ------------------------------------
