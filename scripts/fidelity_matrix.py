@@ -10,6 +10,9 @@ merges the two into FIDELITY.md.
 Usage:
     JAX_PLATFORMS=cpu python scripts/fidelity_matrix.py --mode oracle
     python scripts/fidelity_matrix.py --mode tpu
+    python scripts/fidelity_matrix.py --mode tpu --only tgv   # re-run rows
+        whose key contains 'tgv', merged into the existing JSON (for
+        re-measuring one row without paying the whole matrix)
 """
 
 from __future__ import annotations
@@ -23,7 +26,7 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def run_matrix(mode: str) -> dict:
+def run_matrix(mode: str, only: str | None = None) -> dict:
     import jax
 
     if mode == "oracle":
@@ -80,105 +83,123 @@ def run_matrix(mode: str) -> dict:
         )
         print(f"{key}: {results[key]}", file=sys.stderr)
 
+    def want(key):
+        return only is None or only in key
+
     # 1. scalar TV on faces (the flagship)
-    ds = load("faces_train_128_10", 10)
-    lf = make_tv_learning_function(maxiter=5000, backend=backend)
-    warm(lf, 0.1, ds)
-    t0 = time.perf_counter()
-    res = bilevel_learn(ds, lf, xinit=0.1, params=tr_params(0.1))
-    record("scalar_tv_faces10", ds, res, time.perf_counter() - t0)
+    if want("scalar_tv_faces10"):
+        ds = load("faces_train_128_10", 10)
+        lf = make_tv_learning_function(maxiter=5000, backend=backend)
+        warm(lf, 0.1, ds)
+        t0 = time.perf_counter()
+        res = bilevel_learn(ds, lf, xinit=0.1, params=tr_params(0.1))
+        record("scalar_tv_faces10", ds, res, time.perf_counter() - t0)
 
     # 2. patch 2x2 TV on cameraman (ref patch_bilevel_params: Δ₀=α₀=1e-4)
-    ds = load("cameraman_128_5", 1)
-    warm(lf, 1e-4 * np.ones((2, 2)), ds)
-    t0 = time.perf_counter()
-    res = bilevel_learn(ds, lf, xinit=1e-4 * np.ones((2, 2)),
-                        params=tr_params(1e-4))
-    record("patch2x2_tv_cameraman", ds, res, time.perf_counter() - t0)
+    if want("patch2x2_tv_cameraman"):
+        ds = load("cameraman_128_5", 1)
+        lf = make_tv_learning_function(maxiter=5000, backend=backend)
+        warm(lf, 1e-4 * np.ones((2, 2)), ds)
+        t0 = time.perf_counter()
+        res = bilevel_learn(ds, lf, xinit=1e-4 * np.ones((2, 2)),
+                            params=tr_params(1e-4))
+        record("patch2x2_tv_cameraman", ds, res, time.perf_counter() - t0)
 
     # 3. sumregs vector on circle (ref sumregs params: Δ₀=0.01, α₀=1e-3)
-    ds = load("circle_128_10", 1)
-    lf3 = make_sumregs_learning_function(maxiter=5000, backend=backend)
-    warm(lf3, np.full(3, 1e-3), ds)
-    t0 = time.perf_counter()
-    res = bilevel_learn(ds, lf3, xinit=np.full(3, 1e-3),
-                        params=tr_params(0.01))
-    record("sumregs_vec_circle", ds, res, time.perf_counter() - t0)
+    if want("sumregs_vec_circle"):
+        ds = load("circle_128_10", 1)
+        lf3 = make_sumregs_learning_function(maxiter=5000, backend=backend)
+        warm(lf3, np.full(3, 1e-3), ds)
+        t0 = time.perf_counter()
+        res = bilevel_learn(ds, lf3, xinit=np.full(3, 1e-3),
+                            params=tr_params(0.01))
+        record("sumregs_vec_circle", ds, res, time.perf_counter() - t0)
 
     # 4. patch 2x2x3 sumregs on cameraman (ref: β₂=1.5, Δ₀=0.1, α₀=1e-3)
-    ds = load("cameraman_128_5", 1)
-    warm(lf3, 1e-3 * np.ones((2, 2, 3)), ds)
-    p = tr_params(0.1) | dict(beta2=1.5)
-    t0 = time.perf_counter()
-    res = bilevel_learn(ds, lf3, xinit=1e-3 * np.ones((2, 2, 3)), params=p)
-    record("patch_sumregs_cameraman", ds, res, time.perf_counter() - t0)
+    if want("patch_sumregs_cameraman"):
+        ds = load("cameraman_128_5", 1)
+        lf3 = make_sumregs_learning_function(maxiter=5000, backend=backend)
+        warm(lf3, 1e-3 * np.ones((2, 2, 3)), ds)
+        p = tr_params(0.1) | dict(beta2=1.5)
+        t0 = time.perf_counter()
+        res = bilevel_learn(ds, lf3, xinit=1e-3 * np.ones((2, 2, 3)),
+                            params=p)
+        record("patch_sumregs_cameraman", ds, res, time.perf_counter() - t0)
 
     # 5. TGV² weight pair on pyramid (the family's home-turf dataset),
     # fused trust region (host TR is bit-identical at inner_tol=None —
     # FIDELITY.md "TGV method agreement")
-    from bpldenoising_tpu.bilevel import bilevel_learn_tgv_fused
-    ds = load("pyramid_128_10", 1)
-    x0 = np.array([0.05, 0.05])
-    t0 = time.perf_counter()
-    res = bilevel_learn_tgv_fused(
-        ds, xinit=x0, params=tr_params(0.02) | dict(maxiter=15),
-        inner_maxiter=3000, inner_tol=None, backend=backend)
-    record("tgv_pair_pyramid", ds, res, time.perf_counter() - t0)
+    if want("tgv_pair_pyramid"):
+        from bpldenoising_tpu.bilevel import bilevel_learn_tgv_fused
+        ds = load("pyramid_128_10", 1)
+        x0 = np.array([0.05, 0.05])
+        t0 = time.perf_counter()
+        res = bilevel_learn_tgv_fused(
+            ds, xinit=x0, params=tr_params(0.02) | dict(maxiter=15),
+            inner_maxiter=3000, inner_tol=None, backend=backend)
+        record("tgv_pair_pyramid", ds, res, time.perf_counter() - t0)
 
     # 6. vectorial (color) TV on color_disks (the family's home-turf
     # dataset), fused trust region (host TR is bit-identical at
     # inner_tol=None — tests/test_vtv.py::TestFusedVTV)
-    from bpldenoising_tpu.bilevel import bilevel_learn_vtv_fused
-    t, d = testdataset("color_disks_128_10", color=True)
-    dt = jnp.dtype(dtype)
-    ds = (jnp.asarray(t, dt), jnp.asarray(d, dt))
-    t0 = time.perf_counter()
-    res = bilevel_learn_vtv_fused(
-        ds, xinit=np.asarray(0.05),
-        params=tr_params(0.02) | dict(maxiter=15),
-        inner_maxiter=3000, inner_tol=None, backend=backend)
-    record("vtv_scalar_color_disks", ds, res, time.perf_counter() - t0)
+    if want("vtv_scalar_color_disks"):
+        from bpldenoising_tpu.bilevel import bilevel_learn_vtv_fused
+        t, d = testdataset("color_disks_128_10", color=True)
+        dt = jnp.dtype(dtype)
+        ds = (jnp.asarray(t, dt), jnp.asarray(d, dt))
+        t0 = time.perf_counter()
+        res = bilevel_learn_vtv_fused(
+            ds, xinit=np.asarray(0.05),
+            params=tr_params(0.02) | dict(maxiter=15),
+            inner_maxiter=3000, inner_tol=None, backend=backend)
+        record("vtv_scalar_color_disks", ds, res, time.perf_counter() - t0)
 
     # 7. TV-L1 scalar on circle_sp (Huber-smoothed surrogate — the
-    # learnable route for the L1 data term; learning/tvl1.py.  Host TR
-    # only; the inner path is the same jnp PD iteration in both modes, so
+    # learnable route for the L1 data term; learning/tvl1.py.  Host TR;
+    # the inner path is the same jnp PD iteration in both modes, so
     # the row isolates pure f32-vs-f64 drift)
-    from bpldenoising_tpu.learning.tvl1 import make_tvl1_learning_function
-    ds = load("circle_sp_128_20", 1)
-    lf7 = make_tvl1_learning_function(maxiter=5000)
-    warm(lf7, 0.4, ds)
-    t0 = time.perf_counter()
-    res = bilevel_learn(ds, lf7, xinit=0.4,
-                        params=tr_params(0.1) | dict(maxiter=15))
-    record("tvl1_scalar_circle_sp", ds, res, time.perf_counter() - t0)
+    if want("tvl1_scalar_circle_sp"):
+        from bpldenoising_tpu.learning.tvl1 import (
+            make_tvl1_learning_function)
+        ds = load("circle_sp_128_20", 1)
+        lf7 = make_tvl1_learning_function(maxiter=5000)
+        warm(lf7, 0.4, ds)
+        t0 = time.perf_counter()
+        res = bilevel_learn(ds, lf7, xinit=0.4,
+                            params=tr_params(0.1) | dict(maxiter=15))
+        record("tvl1_scalar_circle_sp", ds, res, time.perf_counter() - t0)
 
     # 8. TV-L1 fused on-device trust region (method matrix parity with
     # every other family — bilevel/fused_tvl1.py; bit-parity with the
     # host loop at inner_tol=None, tests/test_tvl1_methods.py)
-    from bpldenoising_tpu.bilevel import bilevel_learn_tvl1_fused
-    t0 = time.perf_counter()
-    res = bilevel_learn_tvl1_fused(
-        ds, xinit=0.4, params=tr_params(0.1) | dict(maxiter=15),
-        inner_maxiter=5000, inner_tol=None, backend=backend)
-    record("tvl1_fused_circle_sp", ds, res, time.perf_counter() - t0)
+    if want("tvl1_fused_circle_sp"):
+        from bpldenoising_tpu.bilevel import bilevel_learn_tvl1_fused
+        ds = load("circle_sp_128_20", 1)
+        t0 = time.perf_counter()
+        res = bilevel_learn_tvl1_fused(
+            ds, xinit=0.4, params=tr_params(0.1) | dict(maxiter=15),
+            inner_maxiter=5000, inner_tol=None, backend=backend)
+        record("tvl1_fused_circle_sp", ds, res, time.perf_counter() - t0)
 
     # 9. TV-L1 single-loop first-order learner (one lax.scan dispatch;
     # lands in the same TR valley — tests/test_tvl1_methods.py)
-    from bpldenoising_tpu.bilevel import single_loop_tvl1_learn
-    t0 = time.perf_counter()
-    sl = single_loop_tvl1_learn(ds[0], ds[1], 0.4, outer=300, n_inner=40,
-                                n_adj=10)
-    np.asarray(sl.u)
-    wall = time.perf_counter() - t0
-    results["tvl1_single_loop_circle_sp"] = dict(
-        x=np.asarray(sl.alpha).tolist(), cost=float(sl.cost),
-        g_norm=float(np.asarray(sl.gnorm_trajectory)[-1]),
-        iterations=300,
-        mean_psnr=float(np.mean(np.asarray(
-            psnr(ds[0], jnp.asarray(sl.u))))),
-        wall_s=round(wall, 3))
-    print(f"tvl1_single_loop_circle_sp: "
-          f"{results['tvl1_single_loop_circle_sp']}", file=sys.stderr)
+    if want("tvl1_single_loop_circle_sp"):
+        from bpldenoising_tpu.bilevel import single_loop_tvl1_learn
+        ds = load("circle_sp_128_20", 1)
+        t0 = time.perf_counter()
+        sl = single_loop_tvl1_learn(ds[0], ds[1], 0.4, outer=300,
+                                    n_inner=40, n_adj=10)
+        np.asarray(sl.u)
+        wall = time.perf_counter() - t0
+        results["tvl1_single_loop_circle_sp"] = dict(
+            x=np.asarray(sl.alpha).tolist(), cost=float(sl.cost),
+            g_norm=float(np.asarray(sl.gnorm_trajectory)[-1]),
+            iterations=300,
+            mean_psnr=float(np.mean(np.asarray(
+                psnr(ds[0], jnp.asarray(sl.u))))),
+            wall_s=round(wall, 3))
+        print(f"tvl1_single_loop_circle_sp: "
+              f"{results['tvl1_single_loop_circle_sp']}", file=sys.stderr)
 
     return results
 
@@ -186,10 +207,18 @@ def run_matrix(mode: str) -> dict:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", choices=["oracle", "tpu"], required=True)
+    ap.add_argument("--only", default=None,
+                    help="substring filter on row keys; results merge "
+                         "into the existing JSON instead of replacing it")
     args = ap.parse_args()
-    results = run_matrix(args.mode)
+    results = run_matrix(args.mode, only=args.only)
     out = os.path.join(os.path.dirname(__file__),
                        f"fidelity_{args.mode}.json")
+    if args.only and os.path.exists(out):
+        with open(out) as fh:
+            merged = json.load(fh)
+        merged.update(results)
+        results = merged
     with open(out, "w") as fh:
         json.dump(results, fh, indent=2)
     print(f"wrote {out}", file=sys.stderr)
