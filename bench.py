@@ -99,6 +99,20 @@ def _floor_sub(wall: float, floor: float):
     return dev
 
 
+def _sweep_score(primary, out, extra_keys):
+    """Composite value for ``--only`` sweep mode (scripts/pin_schedule.py):
+    the section's primary device time plus every swept-kernel walltime the
+    section measured, so a schedule-salt candidate is judged on ALL the
+    kernel families it pins, not just the solver.  A missing extra (that
+    sub-bench failed) contributes a large penalty — a crash must never
+    make a candidate look fast."""
+    total = primary or 0.0
+    for k in extra_keys:
+        v = out.get(k)
+        total += float(v) if v is not None else 1e3
+    return round(total, 4)
+
+
 def _best_of(fn, n=2):
     """The tunneled device shows large run-to-run contention variance; the
     min over repeated runs measures capability, not interference.  ``fn``
@@ -693,7 +707,9 @@ def run(quick: bool = False, backend: str = "pallas",
                 round(tgv_rate_dev, 2) if tgv_rate_dev else None),
         })
         if only == "tgv":
-            out["value"] = round(tgv_device or tgv_wall_big, 4)
+            out["value"] = _sweep_score(tgv_device or tgv_wall_big, out, (
+                "tgv_fused_walltime_s", "tgv_patch_fused_walltime_s",
+                "tgv_one_kernel_walltime_s"))
             return out
 
     # --- vectorial (color) TV (beyond-reference model family) --------------
@@ -849,7 +865,8 @@ def run(quick: bool = False, backend: str = "pallas",
                 print(f"vtv_1024 failed: {e}", file=sys.stderr)
 
         if only == "vtv":
-            out["value"] = round(vtv_device or vtv_wall_big, 4)
+            out["value"] = _sweep_score(vtv_device or vtv_wall_big, out, (
+                "vtv_fused_walltime_s", "vtv_one_kernel_walltime_s"))
             return out
 
     # --- TV-L1 (beyond-reference noise-model family) -----------------------
@@ -963,7 +980,8 @@ def run(quick: bool = False, backend: str = "pallas",
         except Exception as e:  # pragma: no cover - hardware-specific
             print(f"tvl1 failed: {e}", file=sys.stderr)
         if only == "tvl1":
-            out["value"] = round(tvl1_device or 0.0, 4)
+            out["value"] = _sweep_score(tvl1_device, out, (
+                "tvl1_fused_walltime_s", "tvl1_one_kernel_walltime_s"))
             return out
 
     # --- fine-grid spatially-varying α (the L-BFGS trust-region tier) ------

@@ -58,13 +58,16 @@ PHASES = {
     # — bench --only tgv compiles and exercises all three, and their
     # measured lottery spread is small (~4%), so a joint draw suffices
     "tgv": ("tgv", ("BPL_MOSAIC_SALT_TGV", "BPL_MOSAIC_SALT_TGV_MAP",
-                    "BPL_MOSAIC_SALT_TGV_TILED")),
+                    "BPL_MOSAIC_SALT_TGV_TILED", "BPL_MOSAIC_SALT_OK_TGV")),
     # vectorial (color) TV: the coupled 4-D-block kernel plus the
     # one-kernel-learner family swept in lockstep (both exercised by
     # --only vtv), scored on the batch-64 device throughput
     "vtv": ("vtv", ("BPL_MOSAIC_SALT_VTV", "BPL_MOSAIC_SALT_OK_VTV")),
-    # TV-L1: one kernel family, scored on the batch-64 device throughput
-    "tvl1": ("tvl1", ("BPL_MOSAIC_SALT_TVL1",)),
+    # TV-L1: the solver kernel plus the Huber-smoothed fused-TR kernel and
+    # the one-kernel learner, swept in lockstep (all exercised by
+    # --only tvl1), scored on the batch-64 device throughput
+    "tvl1": ("tvl1", ("BPL_MOSAIC_SALT_TVL1", "BPL_MOSAIC_SALT_TVL1H",
+                      "BPL_MOSAIC_SALT_OK_TVL1")),
 }
 
 

@@ -59,8 +59,43 @@ jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache_dir))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
+import json  # noqa: E402
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# --- test-suite budget (PARITY.md "Test-suite budget") -------------------
+# tests/durations.json records each test's measured 'call' seconds on the
+# reference dev box (warm compile cache; refresh recipe in
+# scripts/make_durations_manifest.py).  Every test at or above the
+# manifest's slow_threshold_s is auto-marked @pytest.mark.slow here, so
+#     pytest -m "not slow"        # quick developer run (~3 min, 1 core)
+#     pytest                      # full suite (the CI / pre-commit gate)
+# Tests absent from the manifest (new tests) default to quick until the
+# manifest is refreshed.  Explicit @pytest.mark.slow marks still work.
+
+def _load_durations():
+    path = os.path.join(os.path.dirname(__file__), "durations.json")
+    try:
+        with open(path) as fh:
+            payload = json.load(fh)
+        return float(payload["slow_threshold_s"]), payload["durations"]
+    except (OSError, KeyError, ValueError):
+        return 5.0, {}
+
+
+_SLOW_THRESHOLD_S, _DURATIONS = _load_durations()
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        # manifest keys are repo-root-relative ("tests/test_x.py::..."); the
+        # nodeid drops the "tests/" prefix when pytest is invoked from
+        # inside tests/, so try both spellings
+        secs = _DURATIONS.get(item.nodeid) or _DURATIONS.get(
+            "tests/" + item.nodeid, 0.0)
+        if secs >= _SLOW_THRESHOLD_S:
+            item.add_marker(pytest.mark.slow)
 
 
 @pytest.fixture
