@@ -71,6 +71,31 @@ PHASES = {
 }
 
 
+_SEED = {"dir": None}
+
+
+def _seed_cache(cand: str) -> set:
+    """Pre-populate a fresh candidate cache dir with the entries of the
+    last measured candidate.  The persistent cache is content-addressed
+    (module hash in the key), so entries for OTHER salts simply miss while
+    the non-swept modules — identical across candidates of a phase, and
+    the bulk of each candidate's ~10 min compile bill on this 1-core box —
+    hit.  Returns the set of seeded filenames so the installer can skip
+    them (only entries the winning candidate itself compiled belong in the
+    committed canonical cache)."""
+    seeded: set = set()
+    src = _SEED["dir"]
+    if os.path.isdir(cand):
+        return seeded
+    os.makedirs(cand)
+    if src and os.path.isdir(src):
+        for f in os.listdir(src):
+            if f.endswith("-cache"):
+                shutil.copy2(os.path.join(src, f), os.path.join(cand, f))
+                seeded.add(f)
+    return seeded
+
+
 def _measure(mode: str, env_salts: dict, cache_dir: str) -> dict:
     """Compile + measure one candidate through ``bench.py --only <mode>``.
     Lower ``value`` is better in every mode."""
@@ -107,10 +132,14 @@ def _sweep(phase: str, salts: list[str], fixed_env: dict, work: str,
     results = []
     for i, salt in enumerate(salts):
         cand = os.path.join(work, f"{phase}_{i}")
+        seeded = _seed_cache(cand)
         env_salts = dict(fixed_env)
         env_salts.update({v: salt for v in env_vars})
         res = _measure(mode, env_salts, cand)
-        res.update(salt=salt, cache=cand, median=res["best"])
+        res.update(salt=salt, cache=cand, median=res["best"],
+                   preseeded=seeded)
+        if res["best"] != float("inf"):
+            _SEED["dir"] = cand
         results.append(res)
         print(f"  {phase} salt={salt!r:8} value={res['best']:.4f}",
               file=sys.stderr)
@@ -180,7 +209,7 @@ def main() -> None:
             if w["best"] == float("inf"):
                 continue
             for f in os.listdir(w["cache"]):
-                if f.endswith("-cache"):
+                if f.endswith("-cache") and f not in w.get("preseeded", ()):
                     shutil.copy2(os.path.join(w["cache"], f),
                                  os.path.join(canonical, f))
         salt_map = {}
