@@ -42,7 +42,9 @@ __all__ = ["denoise_pdps_row_sharded", "denoise_pdps_batch_row_sharded",
            "tgv_denoise_pdps_row_sharded",
            "tgv_denoise_pdps_batch_row_sharded",
            "vtv_denoise_pdps_row_sharded",
-           "vtv_denoise_pdps_batch_row_sharded", "ROWS_AXIS"]
+           "vtv_denoise_pdps_batch_row_sharded",
+           "tvl1_denoise_row_sharded",
+           "tvl1_denoise_batch_row_sharded", "ROWS_AXIS"]
 
 ROWS_AXIS = "rows"
 
@@ -497,6 +499,109 @@ def vtv_denoise_pdps_row_sharded(f, alpha, mesh: Mesh, *, tau0=5.0,
     fn = shard_map(local, mesh=mesh,
                    in_specs=(P(None, ROWS_AXIS, None), a_spec),
                    out_specs=P(None, ROWS_AXIS, None))
+    return jax.jit(fn)(f, a)
+
+
+def _local_tvl1(maxiter: int, tau_v, sigma_v):
+    """Per-shard TV-L1 CP body on a local (m, N) row block.
+
+    Numerics mirror :func:`..solvers.tvl1._tvl1_impl` (UNACCELERATED
+    primal–dual with the shift-centered soft-shrinkage primal prox — the
+    L1 data term is not strongly convex, so there is no ω schedule);
+    the forward-gradient row stencil halo-exchanges one boundary row per
+    application, the column stencil is local.  ``a_blk`` is a scalar or
+    an (m, N) row block of an (M, N) weight map."""
+    def local(f_blk, a_blk):
+        dtype = f_blk.dtype
+        tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+        u = f_blk
+        zeros = 0.0 * f_blk      # keeps the mesh-varying type of the data
+        yx = zeros
+        yy = zeros
+
+        def body(_, carry):
+            u, yx, yy = carry
+            div = _dplus_T_rows(yx) + dplus_T(yy, -1)
+            v = u - tau_v * div - f_blk
+            u_new = f_blk + jnp.sign(v) * jnp.maximum(
+                jnp.abs(v) - tau_v, 0.0)
+            ubar = 2.0 * u_new - u
+            qx = yx + sigma_v * _dplus_rows(ubar)
+            qy = yy + sigma_v * dplus(ubar, -1)
+            n = jnp.sqrt(qx * qx + qy * qy)
+            scale = jnp.where(n <= a_blk, 1.0,
+                              a_blk / jnp.maximum(n, tiny))
+            return u_new, qx * scale, qy * scale
+
+        u, _, _ = lax.fori_loop(0, maxiter, body, (u, yx, yy))
+        return u
+
+    return local
+
+
+def _tvl1_step_sizes(f, tau0, sigma0):
+    from ..models import tv_model
+    L = jnp.sqrt(jnp.asarray(tv_model().opnorm_sq(), f.dtype))
+    return (jnp.asarray(tau0, f.dtype) / L,
+            jnp.asarray(sigma0, f.dtype) / L)
+
+
+def tvl1_denoise_row_sharded(f, alpha, mesh: Mesh, *, tau0=0.99,
+                             sigma0=0.99, maxiter=5000):
+    """TV-L1 denoising of a single (M, N) image row-sharded over ``mesh``
+    — the spatial-decomposition analogue of
+    :func:`..solvers.tvl1.tvl1_denoise` for images beyond one chip,
+    completing the halo tier for the impulse-noise family (TV, TGV and
+    VTV have the same rung).  Each iteration performs 2 nearest-neighbor
+    halo exchanges (∇ᵀy and ∇ū).  ``alpha`` is a scalar or an (M, N)
+    weight map (sharded by rows).  M must divide by the mesh size."""
+    f = jnp.asarray(f)
+    if f.ndim != 2:
+        raise ValueError("row-sharded solver expects a single (M, N) image")
+    a = jnp.asarray(alpha, f.dtype)
+    n_shards = mesh.shape[ROWS_AXIS]
+    if f.shape[0] % n_shards:
+        raise ValueError(
+            f"rows {f.shape[0]} not divisible by mesh size {n_shards}")
+    tau_v, sigma_v = _tvl1_step_sizes(f, tau0, sigma0)
+    a_spec = P(ROWS_AXIS, None) if a.ndim >= 2 else P()
+    local = _local_tvl1(int(maxiter), tau_v, sigma_v)
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(ROWS_AXIS, None), a_spec),
+                   out_specs=P(ROWS_AXIS, None))
+    return jax.jit(fn)(f, a)
+
+
+def tvl1_denoise_batch_row_sharded(f, alpha, mesh: Mesh, *, tau0=0.99,
+                                   sigma0=0.99, maxiter=5000):
+    """TV-L1 on an (O, M, N) stack over a 2-D (batch × rows) mesh — data
+    parallelism composed with spatial decomposition (one batched
+    ``ppermute`` per stencil application carries every local image's
+    boundary row at once), the TV-L1 analogue of
+    :func:`denoise_pdps_batch_row_sharded`."""
+    f = jnp.asarray(f)
+    if f.ndim != 3:
+        raise ValueError("expected an (O, M, N) stack")
+    a = jnp.asarray(alpha, f.dtype)
+    from .mesh import BATCH_AXIS
+    n_batch = mesh.shape[BATCH_AXIS]
+    n_rows = mesh.shape[ROWS_AXIS]
+    if f.shape[0] % n_batch:
+        raise ValueError(
+            f"batch {f.shape[0]} not divisible by mesh axis {n_batch}")
+    if f.shape[1] % n_rows:
+        raise ValueError(
+            f"rows {f.shape[1]} not divisible by mesh axis {n_rows}")
+    tau_v, sigma_v = _tvl1_step_sizes(f, tau0, sigma0)
+    a_spec = P(ROWS_AXIS, None) if a.ndim >= 2 else P()
+    local = _local_tvl1(int(maxiter), tau_v, sigma_v)
+
+    def local_batched(f_blk, a_blk):
+        return jax.vmap(lambda fi: local(fi, a_blk))(f_blk)
+
+    fn = shard_map(local_batched, mesh=mesh,
+                   in_specs=(P(BATCH_AXIS, ROWS_AXIS, None), a_spec),
+                   out_specs=P(BATCH_AXIS, ROWS_AXIS, None))
     return jax.jit(fn)(f, a)
 
 

@@ -214,3 +214,41 @@ class TestRowShardedVTV:
         u = vtv_denoise_pdps_batch_row_sharded(f, 0.1, mesh2d, maxiter=200)
         np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref),
                                    atol=1e-10)
+
+
+class TestRowShardedTVL1:
+    def test_scalar_matches(self, mesh, rng):
+        from bpldenoising_tpu.parallel.halo import tvl1_denoise_row_sharded
+        from bpldenoising_tpu.solvers.tvl1 import tvl1_denoise
+        f = jnp.asarray(rng.standard_normal((32, 16)))
+        u_ref = tvl1_denoise(f, 0.4, maxiter=400)
+        u = tvl1_denoise_row_sharded(f, 0.4, mesh, maxiter=400)
+        np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref),
+                                   atol=1e-10)
+
+    def test_alpha_map_matches(self, mesh, rng):
+        from bpldenoising_tpu.parallel.halo import tvl1_denoise_row_sharded
+        from bpldenoising_tpu.solvers.tvl1 import tvl1_denoise
+        f = jnp.asarray(rng.standard_normal((32, 16)))
+        amap = jnp.asarray(0.2 + 0.4 * rng.uniform(size=(32, 16)))
+        u_ref = tvl1_denoise(f, amap, maxiter=300)
+        u = tvl1_denoise_row_sharded(f, amap, mesh, maxiter=300)
+        np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref),
+                                   atol=1e-10)
+
+    def test_indivisible_raises(self, mesh):
+        from bpldenoising_tpu.parallel.halo import tvl1_denoise_row_sharded
+        with pytest.raises(ValueError, match="rows 30"):
+            tvl1_denoise_row_sharded(jnp.zeros((30, 16)), 0.4, mesh)
+
+    def test_batch_rows_matches(self, rng):
+        from bpldenoising_tpu.parallel import make_batch_rows_mesh
+        from bpldenoising_tpu.parallel.halo import (
+            tvl1_denoise_batch_row_sharded)
+        from bpldenoising_tpu.solvers.tvl1 import tvl1_denoise
+        mesh2d = make_batch_rows_mesh(2, 4)
+        f = jnp.asarray(rng.standard_normal((4, 32, 16)))
+        u_ref = tvl1_denoise(f, 0.4, maxiter=200)
+        u = tvl1_denoise_batch_row_sharded(f, 0.4, mesh2d, maxiter=200)
+        np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref),
+                                   atol=1e-10)
