@@ -258,6 +258,22 @@ def run(quick: bool = False, backend: str = "pallas",
             "final_cost": round(float(res.cost), 4),
             "outer_iterations": int(res.iterations),
         })
+        # in-loop adjoint-CG guard (VERDICT r4 #4): the fused log carries
+        # per-TR-iteration CG iters/converged (tr_core.py columns 4-5) —
+        # the WARM in-loop behaviour, not a cold probe.  A regression that
+        # makes the warm-chained adjoint hit its cg_maxiter=100 cap flips
+        # flagship_adjoint_cg_all_converged here.
+        lg = np.asarray(res.log)[: int(res.iterations)]
+        cg_it, cg_cv = lg[:, 4], lg[:, 5]
+        cg_m = ~np.isnan(cg_it)
+        if cg_m.any():
+            out["flagship_adjoint_cg_max_iters"] = int(np.max(cg_it[cg_m]))
+            out["flagship_adjoint_cg_all_converged"] = bool(
+                np.all(cg_cv[cg_m] > 0.5))
+            if not out["flagship_adjoint_cg_all_converged"]:
+                out["warning_flagship_cg_capped"] = (
+                    "warm in-loop adjoint CG hit cg_maxiter - hypergradient "
+                    "accuracy is no longer guaranteed by warm chaining")
         if only == "flagship":
             return out
 
@@ -468,6 +484,10 @@ def run(quick: bool = False, backend: str = "pallas",
             "adjoint_cg_iters": acc_it,
             "adjoint_cg_converged": acc_conv,
         })
+        if not acc_conv:   # VERDICT r4 #4: this probe MUST converge
+            out["warning_accuracy_cg_unconverged"] = (
+                "full-budget adjoint CG did not converge at the learned "
+                "alpha - the exact hypergradient itself is suspect")
 
     # --- raw fused-kernel PD throughput ------------------------------------
     if only in (None, "throughput"):
@@ -1012,8 +1032,72 @@ def run(quick: bool = False, backend: str = "pallas",
             if out.get("mean_psnr_db"):
                 out["fine_grid16_psnr_gain_db"] = round(
                     fg_psnr - out["mean_psnr_db"], 3)
+
+            if not quick:
+                # 32×32 = 1024-param grid (VERDICT r4 #6): the stronger
+                # fine-grid result (+0.139 dB over the learned scalar in
+                # scripts/fine_grid_pallas.json) gets a per-round guard.
+                # Needs the larger outer budget the ladder script uses
+                # (~57 TR iterations to converge at 1024 params).
+                x0g32 = jnp.full((32, 32), jnp.asarray(a_star, ds[0].dtype))
+
+                def run_fg32():
+                    res = bilevel_learn_fused(
+                        ds, xinit=x0g32,
+                        params=_params(60) | dict(delta0=a_star / 4),
+                        inner_maxiter=fg_inner, inner_tol=1e-6,
+                        check_every=100, backend=backend)
+                    _sync(res.u)
+                    return res
+
+                r32, fg32_wall = _best_of(run_fg32)
+                fg32_psnr = float(np.mean(np.asarray(psnr(ds[0], r32.u))))
+                out["fine_grid32_walltime_s"] = round(fg32_wall, 4)
+                out["fine_grid32_psnr_db"] = round(fg32_psnr, 3)
+                out["fine_grid32_final_cost"] = round(float(r32.cost), 4)
+                if out.get("mean_psnr_db"):
+                    out["fine_grid32_psnr_gain_db"] = round(
+                        fg32_psnr - out["mean_psnr_db"], 3)
         except Exception as e:  # pragma: no cover - hardware-specific
             print(f"fine_grid failed: {e}", file=sys.stderr)
+
+        # fine-grid TGV on pyramid (VERDICT r4 #6): 16×16×2 = 512 params
+        # initialized at the learned scalar [α₁, α₀]; gain vs the scalar
+        # TGV optimum on the same dataset (scripts/fine_grid.py:137-165,
+        # where it measured +1.1 dB).  Skipped in quick mode.
+        if not quick:
+            try:
+                import bpldenoising_tpu.experiments as ex
+                from bpldenoising_tpu.data import testdataset
+                common = dict(method="tr_fused", backend=backend,
+                              dtype=dtype_name, inner_maxiter=inner,
+                              save_results=False, verbose_iter=0)
+                res_ts = ex.scalar_bilevel_tgv_learn(
+                    dataset_name="pyramid_128_10", num_samples=1,
+                    maxiter=20, **common)
+                a_tgv = np.asarray(res_ts.x)
+                true_p, _ = testdataset("pyramid_128_10")
+                tgv_scalar_psnr = float(np.mean(np.asarray(
+                    psnr(jnp.asarray(true_p[:1], ds[0].dtype),
+                         jnp.asarray(res_ts.u)))))
+                x0t = np.ones((16, 16, 2)) * a_tgv[None, None, :]
+                t0 = time.perf_counter()
+                res_tg = ex.patch_bilevel_tgv_learn(
+                    dataset_name="pyramid_128_10", num_samples=1,
+                    alpha0=x0t, delta0=float(a_tgv.min()) / 4.0,
+                    maxiter=60, **common)
+                _sync(res_tg.u)
+                tgv_fg_wall = time.perf_counter() - t0
+                tgv_fg_psnr = float(np.mean(np.asarray(
+                    psnr(jnp.asarray(true_p[:1], ds[0].dtype),
+                         jnp.asarray(res_tg.u)))))
+                out["fine_grid_tgv_walltime_s"] = round(tgv_fg_wall, 4)
+                out["fine_grid_tgv_psnr_db"] = round(tgv_fg_psnr, 3)
+                out["fine_grid_tgv_psnr_gain_db"] = round(
+                    tgv_fg_psnr - tgv_scalar_psnr, 3)
+            except Exception as e:  # pragma: no cover - hardware-specific
+                print(f"fine_grid_tgv failed: {e}", file=sys.stderr)
+
         if only == "fine_grid":
             out["value"] = out.get("fine_grid16_walltime_s", 0.0)
             return out
@@ -1069,7 +1153,79 @@ def main():
         result = {"metric": "bilevel learn walltime, faces_train_128_10",
                   "value": None, "unit": "s", "vs_baseline": None,
                   "error": f"TPU backend unavailable: {e}"}
-    print(json.dumps(result))
+    _emit(result)
+
+
+# Ordered whitelist for the compact stdout line (VERDICT r4 #2): the
+# driver records only the last ~2000 chars of stdout, and the full result
+# dict outgrew that in round 4 (BENCH_r04.json parsed: null).  The full
+# dict now goes to a committed file; stdout gets the headline + the
+# per-family walltimes + the regression-guard fields, hard-capped below
+# the driver's tail window.  Later keys are dropped first if the cap is
+# ever hit, so metric/value/vs_baseline always survive.
+_COMPACT_KEYS = (
+    "metric", "value", "unit", "vs_baseline", "vs_baseline_r1",
+    "value_raw_s", "learned_alpha", "alpha_vs_parity_target",
+    "mean_psnr_db", "final_cost", "outer_iterations",
+    "flagship_adjoint_cg_max_iters", "flagship_adjoint_cg_all_converged",
+    "adjoint_cg_iters", "adjoint_cg_converged",
+    "warning_flagship_cg_capped", "warning_accuracy_cg_unconverged",
+    "error", "quick", "only",
+    "tr_host_walltime_s", "tr_parity_walltime_s",
+    "single_loop_walltime_s", "one_kernel_walltime_s",
+    "sumregs_walltime_s", "patch_tv_walltime_s",
+    "gpix_iter_per_sec_batch256_128_device", "vpu_util_pct_batch256",
+    "tgv_learn_walltime_s", "tgv_fused_walltime_s",
+    "tgv_one_kernel_walltime_s", "tgv_gpix_iter_per_sec_batch64_device",
+    "vtv_learn_walltime_s", "vtv_fused_walltime_s",
+    "vtv_single_loop_walltime_s", "vtv_one_kernel_walltime_s",
+    "tvl1_learn_walltime_s", "tvl1_fused_walltime_s",
+    "tvl1_single_loop_walltime_s", "tvl1_one_kernel_walltime_s",
+    "fine_grid16_psnr_gain_db", "fine_grid32_psnr_gain_db",
+    "fine_grid_tgv_psnr_gain_db", "pixelwise128_psnr_gain_db",
+    "pixelwise128_walltime_s",
+)
+
+_COMPACT_MAX_CHARS = 1500
+
+
+def _emit(result: dict) -> None:
+    """Write the full result to bench_results/ and print a compact line.
+
+    The full record is the durable machine-readable artifact (committed;
+    ``bench_results/latest.json`` is a stable alias).  The stdout line is
+    what the round driver captures; it carries the whitelisted headline
+    fields plus a ``full_results`` pointer and never exceeds
+    ``_COMPACT_MAX_CHARS``.
+    """
+    import datetime
+    here = os.path.dirname(os.path.abspath(__file__))
+    outdir = os.path.join(here, "bench_results")
+    path = None
+    try:
+        os.makedirs(outdir, exist_ok=True)
+        ts = datetime.datetime.now(datetime.timezone.utc).strftime(
+            "%Y%m%dT%H%M%SZ")
+        path = os.path.join(outdir, f"BENCH_{ts}.json")
+        with open(path, "w") as f:
+            json.dump(result, f, indent=1, sort_keys=True)
+        with open(os.path.join(outdir, "latest.json"), "w") as f:
+            json.dump(result, f, indent=1, sort_keys=True)
+    except OSError as e:  # read-only checkout: stdout line still works
+        print(f"bench_results write failed: {e}", file=sys.stderr)
+        path = None
+
+    compact = {k: result[k] for k in _COMPACT_KEYS[:4] if k in result}
+    if path is not None:
+        compact["full_results"] = os.path.relpath(path, here)
+    for k in _COMPACT_KEYS[4:]:
+        if k in result:
+            compact[k] = result[k]
+    line = json.dumps(compact)
+    while len(line) > _COMPACT_MAX_CHARS and len(compact) > 5:
+        compact.pop(next(reversed(compact)))
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -87,6 +87,17 @@ def _load_durations():
 _SLOW_THRESHOLD_S, _DURATIONS = _load_durations()
 
 
+def pytest_deselected(items):
+    """Record deselected items so tests/test_doc_counts.py can reconstruct
+    the TOTAL collected count under ``-m "not slow"`` runs."""
+    if items:
+        config = items[0].config
+        store = getattr(config, "_bpl_deselected_items", None)
+        if store is None:
+            store = config._bpl_deselected_items = []
+        store.extend(items)
+
+
 def pytest_collection_modifyitems(config, items):
     for item in items:
         # manifest keys are repo-root-relative ("tests/test_x.py::..."); the
