@@ -1058,6 +1058,35 @@ def run(quick: bool = False, backend: str = "pallas",
                 if out.get("mean_psnr_db"):
                     out["fine_grid32_psnr_gain_db"] = round(
                         fg32_psnr - out["mean_psnr_db"], 3)
+
+                # pixelwise 128×128 = 16,384-param full-resolution α
+                # (VERDICT r4 #3 capstone): the parameterization axis at
+                # its natural limit (ref src/TVLearningFunctionVec.jl:57-70
+                # caps the PatchOp grid only at the image size).  Warm-
+                # started from the learned 32×32 map (block-upsampled), so
+                # it must BEAT the 32×32 optimum to show a gain here.
+                from bpldenoising_tpu.ops import PatchOp
+                x0px = PatchOp((32, 32), (128, 128)).apply(r32.x)
+
+                def run_px():
+                    res = bilevel_learn_fused(
+                        ds, xinit=x0px,
+                        params=_params(100) | dict(delta0=a_star / 8),
+                        inner_maxiter=fg_inner, inner_tol=1e-6,
+                        check_every=100, backend=backend)
+                    _sync(res.u)
+                    return res
+
+                rpx, px_wall = _best_of(run_px)
+                px_psnr = float(np.mean(np.asarray(psnr(ds[0], rpx.u))))
+                out["pixelwise128_walltime_s"] = round(px_wall, 4)
+                out["pixelwise128_psnr_db"] = round(px_psnr, 3)
+                out["pixelwise128_final_cost"] = round(float(rpx.cost), 4)
+                out["pixelwise128_psnr_vs_grid32_db"] = round(
+                    px_psnr - fg32_psnr, 3)
+                if out.get("mean_psnr_db"):
+                    out["pixelwise128_psnr_gain_db"] = round(
+                        px_psnr - out["mean_psnr_db"], 3)
         except Exception as e:  # pragma: no cover - hardware-specific
             print(f"fine_grid failed: {e}", file=sys.stderr)
 

@@ -201,6 +201,35 @@ def run_matrix(mode: str, only: str | None = None) -> dict:
         print(f"tvl1_single_loop_circle_sp: "
               f"{results['tvl1_single_loop_circle_sp']}", file=sys.stderr)
 
+    # 10. pixelwise 128×128 TV on cameraman — full-resolution per-pixel α,
+    # the parameterization limit (ref src/TVLearningFunctionVec.jl:57-70:
+    # the PatchOp grid is capped only by the image size).  Fused L-BFGS
+    # trust region (16,384 params ≫ lbfgs_threshold).  ``x`` is stored as
+    # the map's [mean, min, max] — the full 16k-entry map would drown the
+    # report table; per-pixel hypergradient correctness is pinned by the
+    # FD oracle in tests/test_pixelwise.py instead.
+    if want("pixelwise_tv_cameraman"):
+        from bpldenoising_tpu.bilevel import bilevel_learn_fused
+        ds = load("cameraman_128_5", 1)
+        x0 = 0.029 * np.ones((128, 128))   # ≈ the learned scalar α
+        t0 = time.perf_counter()
+        res = bilevel_learn_fused(
+            ds, xinit=x0, params=tr_params(0.029 / 8) | dict(maxiter=15),
+            inner_maxiter=3000, inner_tol=None, backend=backend)
+        wall = time.perf_counter() - t0
+        xg = np.asarray(res.x, dtype=float)
+        results["pixelwise_tv_cameraman"] = dict(
+            x=[float(xg.mean()), float(xg.min()), float(xg.max())],
+            cost=float(res.cost),
+            g_norm=float(res.g_norm),
+            iterations=int(res.iterations),
+            mean_psnr=float(np.mean(np.asarray(
+                psnr(ds[0], jnp.asarray(res.u))))),
+            wall_s=round(wall, 3),
+        )
+        print(f"pixelwise_tv_cameraman: "
+              f"{results['pixelwise_tv_cameraman']}", file=sys.stderr)
+
     return results
 
 

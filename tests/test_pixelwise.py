@@ -1,0 +1,96 @@
+"""Full-resolution pixelwise α (VERDICT r4 #3 capstone).
+
+The reference's inner solver accepts a full-size per-pixel weight array —
+``src/TVLearningFunctionVec.jl:57-70`` builds the PatchOp for an arbitrary
+parameter grid, and nothing caps it below the image size; the pixelwise
+limit is one α per pixel.  In this framework that is ``PatchOp`` with 1×1
+blocks (an identity layout, ``ops/patch.py``), flowing through the same
+``tr_fused`` L-BFGS trust-region path as every other patch grid.
+
+Tests here pin the two things the capstone rests on:
+
+* the exact (adjoint-CG) hypergradient is correct per *pixel* — FD oracle
+  in float64 on a small image, sampled at random pixels (checking all
+  components would cost 2·N² converged solves);
+* end-to-end pixelwise learning through ``bilevel_learn_fused`` improves
+  on its scalar initialization (cost strictly decreases, shapes survive).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bpldenoising_tpu.bilevel import bilevel_learn_fused
+from bpldenoising_tpu.models import tv_model
+from bpldenoising_tpu.ops import PatchOp
+from bpldenoising_tpu.solvers import denoise_pdps
+from bpldenoising_tpu.solvers.hypergrad import exact_hypergrad
+from bpldenoising_tpu.utils.config import Params
+
+MAXITER = 20000
+
+
+def problem(rng, shape=(12, 12), sigma=0.1):
+    x, y = np.meshgrid(np.arange(shape[1]), np.arange(shape[0]))
+    clean = ((x - shape[1] / 2) ** 2 + (y - shape[0] / 2) ** 2
+             < (shape[0] / 3) ** 2).astype(np.float64)
+    noisy = clean + sigma * rng.standard_normal(shape)
+    return jnp.asarray(clean), jnp.asarray(noisy)
+
+
+def cost(model, f, utrue, amap):
+    u = denoise_pdps(f, (amap,), model, maxiter=MAXITER)
+    return 0.5 * float(jnp.sum((u - utrue) ** 2))
+
+
+def test_pixelwise_hypergrad_matches_fd(rng):
+    """Per-pixel dJ/dα_ij vs central differences, float64, 12×12 image.
+
+    The pixelwise layout is PatchOp((12,12),(12,12)) — identity blocks —
+    so ``want_maps=True`` already returns the full-resolution gradient map
+    and ``apply_adjoint`` is a no-op reshape; both routes must agree.
+    """
+    utrue, f = problem(rng)
+    model = tv_model()
+    pop = PatchOp((12, 12), (12, 12))
+    amap = pop.apply(jnp.full((12, 12), 0.08))
+    u = denoise_pdps(f, (amap,), model, maxiter=MAXITER)
+    (gmap,), _, info = exact_hypergrad(u, utrue, (amap,), model,
+                                       want_maps=True)
+    assert bool(info.converged)
+    g = np.asarray(pop.apply_adjoint(gmap))
+    assert g.shape == (12, 12)
+    np.testing.assert_allclose(g, np.asarray(gmap))  # identity layout
+
+    h = 1e-5
+    pixels = [(1, 1), (6, 6), (3, 9), (10, 4), (0, 7), (8, 0)]
+    for i, j in pixels:
+        jp = cost(model, f, utrue, amap.at[i, j].add(h))
+        jm = cost(model, f, utrue, amap.at[i, j].add(-h))
+        g_fd = (jp - jm) / (2 * h)
+        np.testing.assert_allclose(g[i, j], g_fd, rtol=3e-2, atol=2e-4,
+                                   err_msg=f"pixel ({i},{j})")
+
+
+def test_pixelwise_fused_learn_beats_scalar_init(rng):
+    """End-to-end 32×32 = 1024-param pixelwise learn on the fused path."""
+    x, y = np.meshgrid(np.arange(32), np.arange(32))
+    clean = np.clip(np.kron(rng.random((4, 4)), np.ones((8, 8))), 0, 1)
+    noisy = clean + 0.1 * rng.standard_normal((32, 32))
+    ds = (jnp.asarray(clean, jnp.float32)[None],
+          jnp.asarray(noisy, jnp.float32)[None])
+    a0 = 0.1
+    cost0 = 0.5 * float(jnp.sum(
+        (denoise_pdps(ds[1], (jnp.full((32, 32), a0, jnp.float32),),
+                      tv_model(), maxiter=2000) - ds[0]) ** 2))
+    params = Params(eta1=0.25, eta2=0.75, beta1=0.25, beta2=1.9,
+                    delta0=a0 / 4, maxiter=10, tol=1e-6, verbose_iter=0)
+    res = bilevel_learn_fused(ds, xinit=jnp.full((32, 32), a0, jnp.float32),
+                              params=params, inner_maxiter=2000,
+                              inner_tol=1e-6, check_every=100,
+                              backend="jnp")
+    x = np.asarray(res.x)
+    assert x.shape == (32, 32)
+    assert float(res.cost) < cost0
+    assert x.min() >= 0.0       # TR box keeps α nonnegative
+    assert np.ptp(x) > 0.0      # genuinely spatially varying
