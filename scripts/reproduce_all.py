@@ -73,7 +73,13 @@ def main():
         dt = time.perf_counter() - t0
         line = f"- **{name}** — {dt:.1f}s"
         if out is not None and hasattr(out, "x"):
-            line += (f"; x = {np.asarray(out.x).ravel().round(6).tolist()}, "
+            xr = np.asarray(out.x).ravel()
+            if xr.size > 8:   # large maps: stats, not 16k numbers
+                xs = (f"{xr.size} params, mean/min/max = "
+                      f"[{xr.mean():.6f}, {xr.min():.6f}, {xr.max():.6f}]")
+            else:
+                xs = str(xr.round(6).tolist())
+            line += (f"; x = {xs}, "
                      f"cost = {out.cost:.4f}, iters = {out.iterations}")
         report.append(line)
         print(line, file=sys.stderr)
@@ -172,6 +178,18 @@ def main():
          lambda: api.patch_bilevel_tv_learn(
              alpha0=0.07 * np.ones((16, 16)), delta0=0.07 / 4,
              dataset_name="faces_train", num_samples=10, **common))
+
+    # pixelwise full-resolution α — the parameterization limit (one α per
+    # pixel; scripts/pixelwise.py runs the scalar→grid→pixelwise ladder
+    # with hierarchical warm starts and PSNR checks).  Fused path always:
+    # 16,384 host-TR dispatches per dense-gradient evaluation would be
+    # pointless on the tunnel.
+    px = 32 if args.quick else 128
+    step(f"patch_bilevel_tv_learn ({px}x{px} pixelwise, L-BFGS)",
+         lambda: api.patch_bilevel_tv_learn(
+             alpha0=0.07 * np.ones((px, px)), delta0=0.07 / 8,
+             dataset_name="faces_train", num_samples=10,
+             **(common | dict(method="tr_fused", checkpoint=False))))
 
     # validations at plausible learned parameters
     step("validate_tv_parameter (0.07 on faces_val)",
