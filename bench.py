@@ -1249,7 +1249,9 @@ def _emit(result: dict) -> None:
         compact["full_results"] = os.path.relpath(path, here)
     for k in _COMPACT_KEYS[4:]:
         if k in result:
-            compact[k] = result[k]
+            # warnings carry prose in the full record; the compact line
+            # only needs the flag
+            compact[k] = True if k.startswith("warning") else result[k]
     line = json.dumps(compact)
     while len(line) > _COMPACT_MAX_CHARS and len(compact) > 5:
         compact.pop(next(reversed(compact)))
