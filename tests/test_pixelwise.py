@@ -94,3 +94,28 @@ def test_pixelwise_fused_learn_beats_scalar_init(rng):
     assert float(res.cost) < cost0
     assert x.min() >= 0.0       # TR box keeps α nonnegative
     assert np.ptp(x) > 0.0      # genuinely spatially varying
+
+
+def test_pixelwise_tgv_fused_learn(rng):
+    """Pixelwise TGV: one (α₁, α₀) pair per pixel — (n, n, 2) parameters
+    through the fused TGV trust-region path (the TGV leg of the capstone;
+    scripts/pixelwise.py runs it at 128×128×2 = 32,768 params)."""
+    from bpldenoising_tpu.bilevel.fused_tgv import bilevel_learn_tgv_fused
+
+    n = 16
+    xg, yg = np.meshgrid(np.arange(n), np.arange(n))
+    clean = (xg + yg).astype(np.float32) / (2 * n)   # TGV-friendly ramp
+    noisy = clean + 0.1 * rng.standard_normal((n, n)).astype(np.float32)
+    ds = (jnp.asarray(clean)[None], jnp.asarray(noisy)[None])
+    x0 = jnp.full((n, n, 2), 0.05, jnp.float32)
+    params = Params(eta1=0.25, eta2=0.75, beta1=0.25, beta2=1.9,
+                    delta0=0.0125, maxiter=6, tol=1e-8, verbose_iter=0)
+    res = bilevel_learn_tgv_fused(ds, xinit=x0, params=params,
+                                  inner_maxiter=400, inner_tol=None,
+                                  cg_maxiter=200, backend="jnp")
+    x = np.asarray(res.x)
+    assert x.shape == (n, n, 2)
+    assert np.isfinite(float(res.cost))
+    assert x.min() >= 0.0
+    lg = np.asarray(res.log)[: int(res.iterations), 0]
+    assert lg[-1] <= lg[0] + 1e-9   # cost non-increasing over TR iterations
