@@ -34,6 +34,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..models import DenoiseModel, sumregs_model, tv_model
 from .first_order import _check_positive_x0
+from .pcg import CG_VARIANTS
 from ..solvers.pdps_pallas import (_div_pair, _grad_pair, _gram_axis,
                                    _stencil_kind, _VMEM_LIMIT,
                                    make_masks,
@@ -47,11 +48,14 @@ _N_SCALARS = 7   # lr, gamma, tau, sigma, beta1, beta2, eps
 
 
 def _learner_math(model: DenoiseModel, masks, dtype, gamma, tau, sigma,
-                  persist: bool):
+                  persist: bool, cg_variant: str = "classic"):
     """The single-loop learner's numeric core — PD step, γ-smoothed adjoint
     system, preconditioned CG — shared by the VMEM-resident kernel
     (:func:`_kernel`) and the batch-tiled kernel (:func:`_tiled_kernel`).
-    ``gamma``/``tau``/``sigma`` are traced scalars (read from SMEM)."""
+    ``gamma``/``tau``/``sigma`` are traced scalars (read from SMEM).
+    ``cg_variant`` selects the adjoint-CG body (``bilevel/pcg.py``):
+    ``"classic"`` matches the jnp-scan oracle bit-for-bit; ``"pipelined"``
+    is the one-sync-point Chronopoulos–Gear form."""
     ops = model.ops
     kinds = [_stencil_kind(op) for op in ops]
     K = model.K
@@ -125,27 +129,7 @@ def _learner_math(model: DenoiseModel, masks, dtype, gamma, tau, sigma,
         inv_diag = 1.0 / diag
         return piece, M_apply, inv_diag
 
-    def cg_steps(M_apply, inv_diag, b, p, n_adj):
-        r = b - M_apply(p)
-        zv = inv_diag * r
-        d = zv
-        rz = jnp.sum(r * zv)
-
-        def body(_, carry):
-            p, r, zv, d, rz = carry
-            Md = M_apply(d)
-            denom = jnp.sum(d * Md)
-            a = rz / jnp.where(denom == 0, 1.0, denom)
-            p = p + a * d
-            r = r - a * Md
-            zv = inv_diag * r
-            rz_new = jnp.sum(r * zv)
-            beta = rz_new / jnp.where(rz == 0, 1.0, rz)
-            d = zv + beta * d
-            return (p, r, zv, d, rz_new)
-
-        p, _, _, _, _ = lax.fori_loop(0, n_adj, body, (p, r, zv, d, rz))
-        return p
+    cg_steps = CG_VARIANTS[cg_variant]
 
     return pd_step, reg_pieces, cg_steps
 
@@ -200,7 +184,7 @@ def _nonpatch_scalars(model: DenoiseModel, x0, dtype, lr, gamma, tau0,
 
 def _kernel(model: DenoiseModel, K: int, patch: bool, batched: bool,
             outer: int, n_inner: int, n_adj: int, traj_is_cost: bool,
-            persist: bool):
+            persist: bool, cg_variant: str = "classic"):
     def kernel(*refs):
         scalars_ref = refs[0]
         f_ref, utrue_ref = refs[1], refs[2]
@@ -252,7 +236,7 @@ def _kernel(model: DenoiseModel, K: int, patch: bool, batched: bool,
             return [jnp.exp(z) for z in zs]
 
         pd_step, reg_pieces, cg_steps = _learner_math(
-            model, masks, dtype, gamma, tau, sigma, persist)
+            model, masks, dtype, gamma, tau, sigma, persist, cg_variant)
 
         def pullback(gmap):
             """per-pixel gradient map (summed over batch) → parameter."""
@@ -361,9 +345,10 @@ def _choose_persist(f, K: int, extra_patch_bytes: int) -> bool:
 @functools.partial(
     jax.jit,
     static_argnames=("model", "outer", "n_inner", "n_adj", "interpret",
-                     "persist"))
+                     "persist", "cg_variant"))
 def _impl(utrue, f, x0, *, model, outer, n_inner, n_adj, lr, gamma, tau0,
-          sigma0, beta1, beta2, eps, interpret, persist):
+          sigma0, beta1, beta2, eps, interpret, persist,
+          cg_variant="classic"):
     dtype = f.dtype
     K = model.K
     x0 = jnp.asarray(x0, dtype)
@@ -413,7 +398,7 @@ def _impl(utrue, f, x0, *, model, outer, n_inner, n_adj, lr, gamma, tau0,
     traj_is_cost = patch or K > 1
     outs = pl.pallas_call(
         _kernel(model, K, patch, batched, int(outer), int(n_inner),
-                int(n_adj), traj_is_cost, persist),
+                int(n_adj), traj_is_cost, persist, cg_variant),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
@@ -762,7 +747,8 @@ def single_loop_pallas(utrue, f, x0, model: DenoiseModel = None, *,
                        tau0: float = 5.0, sigma0: float = 0.99 / 5.0,
                        beta1: float = 0.9, beta2: float = 0.999,
                        eps: float = 1e-8, interpret: bool = False,
-                       persist: bool | None = None):
+                       persist: bool | None = None,
+                       cg_variant: str = "classic"):
     """One-kernel single-loop learning for any parameterization.
 
     ``x0``: scalar / (m, n) patch / (K,) vector / (m, n, K) patch stack
@@ -815,7 +801,7 @@ def single_loop_pallas(utrue, f, x0, model: DenoiseModel = None, *,
                        n_inner=int(n_inner), n_adj=int(n_adj), lr=lr,
                        gamma=gamma, tau0=tau0, sigma0=sigma0, beta1=beta1,
                        beta2=beta2, eps=eps, interpret=bool(interpret),
-                       persist=persist)
+                       persist=persist, cg_variant=str(cg_variant))
     return x, (u[0] if squeeze else u), traj
 
 
