@@ -40,6 +40,7 @@ from jax import lax, shard_map
 from ..models import DenoiseModel, sumregs_model, tv_model
 from ..ops import PatchOp, scalarprod, xi
 from ..solvers.hypergrad import build_reg_system
+from .pcg import CG_VARIANTS
 
 __all__ = ["single_loop_learn", "single_loop_tv_learn", "SingleLoopResult"]
 
@@ -100,13 +101,14 @@ def _param_layout(model: DenoiseModel, x0, image_shape):
     jax.jit,
     static_argnames=("model", "outer", "n_inner", "n_adj", "pop",
                      "param_shape", "axis_name", "optimizer",
-                     "return_carry"))
+                     "return_carry", "cg_variant"))
 def _single_loop_impl(utrue, f, x0, *, model: DenoiseModel, outer: int,
                       n_inner: int, n_adj: int, pop: Optional[PatchOp],
                       param_shape: tuple, lr, gamma, tau0, sigma0,
                       beta1, beta2, eps, axis_name: Optional[str] = None,
                       optimizer=None, carry0=None,
-                      return_carry: bool = False):
+                      return_carry: bool = False,
+                      cg_variant: str = "classic"):
     dtype = f.dtype
     K = model.K
     L = jnp.sqrt(jnp.asarray(model.opnorm_sq(), dtype))
@@ -165,26 +167,10 @@ def _single_loop_impl(utrue, f, x0, *, model: DenoiseModel, outer: int,
         return lax.psum(s, axis_name) if axis_name is not None else s
 
     def cg_steps(M_apply, inv_diag, b, p):
-        r = b - M_apply(p)
-        z = inv_diag * r
-        d = z
-        rz = _vdot(r, z)
-
-        def body(_, carry):
-            p, r, z, d, rz = carry
-            Md = M_apply(d)
-            denom = _vdot(d, Md)
-            a = rz / jnp.where(denom == 0, 1.0, denom)
-            p = p + a * d
-            r = r - a * Md
-            z = inv_diag * r
-            rz_new = _vdot(r, z)
-            beta = rz_new / jnp.where(rz == 0, 1.0, rz)
-            d = z + beta * d
-            return (p, r, z, d, rz_new)
-
-        p, _, _, _, _ = lax.fori_loop(0, n_adj, body, (p, r, z, d, rz))
-        return p
+        # classic or pipelined Jacobi-PCG (bilevel/pcg.py) with GLOBAL
+        # (psum'd) dots under data parallelism
+        return CG_VARIANTS[cg_variant](M_apply, inv_diag, b, p, n_adj,
+                                       vdot=_vdot)
 
     def outer_step(carry, _):
         u, ys, p, z, opt_state, t = carry
@@ -271,7 +257,8 @@ def single_loop_learn(utrue, f, x0, model: DenoiseModel, *,
                       beta1: float = 0.9, beta2: float = 0.999,
                       eps: float = 1e-8, mesh=None,
                       optimizer=None, log_every: Optional[int] = None,
-                      segment_callback=None) -> SingleLoopResult:
+                      segment_callback=None,
+                      cg_variant: str = "classic") -> SingleLoopResult:
     """Single-loop bilevel learning for any model/parameterization.
 
     ``x0`` must be strictly positive (the parameter lives in log space).
@@ -304,7 +291,8 @@ def single_loop_learn(utrue, f, x0, model: DenoiseModel, *,
     kw = dict(model=model, outer=int(outer), n_inner=int(n_inner),
               n_adj=int(n_adj), pop=pop, param_shape=param_shape, lr=lr,
               gamma=gamma, tau0=tau0, sigma0=sigma0, beta1=beta1,
-              beta2=beta2, eps=eps, optimizer=optimizer)
+              beta2=beta2, eps=eps, optimizer=optimizer,
+              cg_variant=str(cg_variant))
     make_carry0 = functools.partial(_init_carry, x0=x0, K=model.K,
                                     param_shape=param_shape,
                                     optimizer=optimizer)

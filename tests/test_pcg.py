@@ -68,3 +68,30 @@ def test_one_kernel_pipelined_equivalent_trajectory(rng):
     x_p, _, _ = single_loop_pallas(utrue, f, 0.1, tv_model(),
                                    cg_variant="pipelined", **kw)
     np.testing.assert_allclose(float(x_p), float(x_c), rtol=2e-3)
+
+
+def test_kernel_matches_scan_under_pipelined(rng):
+    """The exactness contract (kernel ≍ scan at rtol 1e-9,
+    tests/test_first_order_pallas.py) holds identically when BOTH use the
+    pipelined CG — the variant swaps in without weakening the oracle."""
+    from bpldenoising_tpu.bilevel.first_order import single_loop_learn
+    from bpldenoising_tpu.bilevel.first_order_pallas import single_loop_pallas
+    from bpldenoising_tpu.models import tv_model
+
+    n = 16
+    x, y = np.meshgrid(np.arange(n), np.arange(n))
+    clean = ((x - n / 2) ** 2 + (y - n / 2) ** 2 < (n / 3) ** 2).astype(
+        float)   # float64 like test_first_order_pallas.small_ds: the
+    # bit-level contract is an f64 property (f32 drifts at rounding level
+    # between jnp.vdot and jnp.sum reduction orders)
+    utrue = jnp.asarray(np.stack([clean] * 2))
+    f = utrue + 0.1 * jnp.asarray(rng.standard_normal((2, n, n)))
+    kw = dict(outer=30, n_inner=10, n_adj=5)
+    ref = single_loop_learn(utrue, f, 0.1, tv_model(),
+                            cg_variant="pipelined", **kw)
+    x_k, u_k, _ = single_loop_pallas(utrue, f, 0.1, tv_model(),
+                                     cg_variant="pipelined",
+                                     interpret=True, **kw)
+    np.testing.assert_allclose(float(x_k), float(ref.alpha), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(u_k), np.asarray(ref.u),
+                               atol=1e-9)
