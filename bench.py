@@ -1106,9 +1106,14 @@ def run(quick: bool = False, backend: str = "pallas",
                     maxiter=20, **common)
                 a_tgv = np.asarray(res_ts.x)
                 true_p, _ = testdataset("pyramid_128_10")
-                tgv_scalar_psnr = float(np.mean(np.asarray(
-                    psnr(jnp.asarray(true_p[:1], ds[0].dtype),
-                         jnp.asarray(res_ts.u)))))
+
+                def _pyr_psnr(u):
+                    u = np.asarray(u).reshape(-1, 128, 128)
+                    t = jnp.asarray(true_p[: u.shape[0]], ds[0].dtype)
+                    return float(np.mean(np.asarray(psnr(t,
+                                                         jnp.asarray(u)))))
+
+                tgv_scalar_psnr = _pyr_psnr(res_ts.u)
                 x0t = np.ones((16, 16, 2)) * a_tgv[None, None, :]
                 t0 = time.perf_counter()
                 res_tg = ex.patch_bilevel_tgv_learn(
@@ -1117,9 +1122,7 @@ def run(quick: bool = False, backend: str = "pallas",
                     maxiter=60, **common)
                 _sync(res_tg.u)
                 tgv_fg_wall = time.perf_counter() - t0
-                tgv_fg_psnr = float(np.mean(np.asarray(
-                    psnr(jnp.asarray(true_p[:1], ds[0].dtype),
-                         jnp.asarray(res_tg.u)))))
+                tgv_fg_psnr = _pyr_psnr(res_tg.u)
                 out["fine_grid_tgv_walltime_s"] = round(tgv_fg_wall, 4)
                 out["fine_grid_tgv_psnr_db"] = round(tgv_fg_psnr, 3)
                 out["fine_grid_tgv_psnr_gain_db"] = round(
