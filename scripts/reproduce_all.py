@@ -157,10 +157,22 @@ def main():
     # beyond-reference TV-L1 family (impulse noise); bilevel learning runs
     # the Huber-smoothed surrogate's implicit hypergradient with the full
     # method matrix (tr / tr_fused / single_loop — DESIGN.md "TV-L1")
+    tvl1_common = dict(inner_maxiter=inner, maxiter=outer, dtype=args.dtype,
+                       backend=args.backend)
     step("scalar_bilevel_tvl1_learn (circle_sp)",
+         lambda: ex.scalar_bilevel_tvl1_learn(method=args.method,
+                                              **tvl1_common))
+    step("scalar_bilevel_tvl1_learn method=tr_fused",
+         lambda: ex.scalar_bilevel_tvl1_learn(method="tr_fused",
+                                              **tvl1_common))
+    step("scalar_bilevel_tvl1_learn method=single_loop",
          lambda: ex.scalar_bilevel_tvl1_learn(
-             inner_maxiter=inner, maxiter=outer, dtype=args.dtype,
-             method=args.method, backend=args.backend))
+             method="single_loop", sl_outer=(20 if args.quick else 300),
+             **{k: v for k, v in tvl1_common.items()
+                if k != "inner_maxiter"}))
+    step("patch_bilevel_tvl1_learn (2x2)",
+         lambda: ex.patch_bilevel_tvl1_learn(
+             alpha0=0.4 * np.ones((2, 2)), **tvl1_common))
     step("validate_tvl1_parameter (0.9 on circle_sp)",
          lambda: ex.validate_tvl1_parameter(
              0.9, dataset_name="circle_sp",
