@@ -209,26 +209,40 @@ def run(quick: bool = False, backend: str = "pallas",
         return cost, float(np.mean(np.asarray(psnr(ds[0], u))))
 
     # --- headline: fused on-device TR (fast mode, fidelity-checked) -------
+    # Speed-mode inner budget (round-5 sweep): inner_tol=5e-6 with a
+    # check_every=50 convergence cadence.  The round-4 budget (1e-6 / 100)
+    # OVER-converged the warm inner solves — the sweep measured identical
+    # PSNR (27.386) and final cost at every tolerance in [1e-6, 2e-5],
+    # while 5e-6/50 lands 1.7× faster (0.048 s vs 0.081 s device) with α
+    # parity 8.4e-7 vs the round-1 target (12× TIGHTER than 1e-6/100's
+    # 1.04e-5 — f32 α lands inside a ±2e-5 noise band regardless of inner
+    # tolerance, so extra inner iterations buy nothing).  Parity mode
+    # below is untouched: cold fixed-budget reference semantics.
+    FAST_INNER_TOL, FAST_CHECK_EVERY = 5e-6, 50
     if only in (None, "flagship"):
-        def run_fused(inner_tol, cfg):
+        def run_fused(inner_tol, cfg, check_every=100):
             return bilevel_learn_fused(ds, xinit=0.1, params=params,
                                        inner_maxiter=inner,
                                        inner_tol=inner_tol,
-                                       check_every=100, cfg=cfg,
+                                       check_every=check_every, cfg=cfg,
                                        backend=backend)
+
+        def run_fast():
+            return run_fused(FAST_INNER_TOL, fast_cfg,
+                             check_every=FAST_CHECK_EVERY)
 
         # interleave trivial-dispatch probes with the flagship repeats: the
         # tunnel's round-trip floor drifts on a minutes timescale, so the
         # subtraction baseline must be sampled AT the flagship measurement,
         # not at bench start
-        res = _sync(run_fused(1e-6, fast_cfg))   # compile + warm
+        res = _sync(run_fast())   # compile + warm
         wall = flag_floor = float("inf")
         for _ in range(6):
             t0 = time.perf_counter()
             _sync(trivial(ds[1]))
             flag_floor = min(flag_floor, time.perf_counter() - t0)
             t0 = time.perf_counter()
-            res = _sync(run_fused(1e-6, fast_cfg))
+            res = _sync(run_fast())
             wall = min(wall, time.perf_counter() - t0)
         learned_alpha = float(res.x)
         # headline value = DEVICE execution walltime: the raw wall ends
@@ -438,16 +452,19 @@ def run(quick: bool = False, backend: str = "pallas",
     if only is None:
         alpha = jnp.asarray(learned_alpha, ds[0].dtype)
 
+        # probes run at the flagship's speed-mode inner budget so the
+        # phase numbers decompose the headline, not a stricter solve
         if backend == "pallas":
             def solve_state(a, state0=None):
                 return denoise_pdps_pallas(ds[1], (a,), model,
-                                           maxiter=inner, tol=1e-6,
-                                           check_every=100, state0=state0,
-                                           return_state=True)
+                                           maxiter=inner, tol=FAST_INNER_TOL,
+                                           check_every=FAST_CHECK_EVERY,
+                                           state0=state0, return_state=True)
         else:
             def solve_state(a, state0=None):
                 u, ys, _ = denoise_pdps(ds[1], (a,), model, maxiter=inner,
-                                        tol=1e-6, check_every=100,
+                                        tol=FAST_INNER_TOL,
+                                        check_every=FAST_CHECK_EVERY,
                                         state0=state0, return_dual=True)
                 return u, (u, ys)
 
@@ -609,10 +626,14 @@ def run(quick: bool = False, backend: str = "pallas",
         # (warm-started inner solves + adjoint CG chained in the carry)
         from bpldenoising_tpu.bilevel.fused_tgv import bilevel_learn_tgv_fused
 
+        # inner budget 3e-6/100 (round-5 sweep): 1.7× faster than the
+        # round-4 1e-6/500 AND the learned pair lands on the host path's
+        # α = [0.0855, 0.0441] (the tighter budget converged to a nearby
+        # flat-valley point [0.0930, 0.0433] with cost lower by only 0.02%)
         def run_tgv_fused():
             res = bilevel_learn_tgv_fused(
                 ds, xinit=tgv_x0, params=tgv_params, inner_maxiter=inner,
-                inner_tol=1e-6, backend=backend)
+                inner_tol=3e-6, check_every=100, backend=backend)
             _sync(res.u)
             return res
 
@@ -629,8 +650,8 @@ def run(quick: bool = False, backend: str = "pallas",
         def run_tgv_patch():
             res = bilevel_learn_tgv_fused(
                 ds, xinit=0.05 * jnp.ones((2, 2, 2), ds[0].dtype),
-                params=tgv_params, inner_maxiter=inner, inner_tol=1e-6,
-                backend=backend)
+                params=tgv_params, inner_maxiter=inner, inner_tol=3e-6,
+                check_every=100, backend=backend)
             _sync(res.u)
             return res
 
@@ -768,10 +789,13 @@ def run(quick: bool = False, backend: str = "pallas",
         try:
             from bpldenoising_tpu.bilevel import bilevel_learn_vtv_fused
 
+            # inner budget 1e-5/100 (round-5 sweep): 1.9× faster than the
+            # round-4 1e-6/500 at Δα = 3e-6 and cost +0.005%
             def run_vtv_fused():
                 res = bilevel_learn_vtv_fused(
                     cds, xinit=np.asarray(0.05), params=vtv_params,
-                    inner_maxiter=inner, inner_tol=1e-6, backend=backend)
+                    inner_maxiter=inner, inner_tol=1e-5, check_every=100,
+                    backend=backend)
                 _sync(res.u)
                 return res
 
